@@ -1,0 +1,21 @@
+"""openmldb_ray — a Ray-Data-native rebuild of OpenMLDB's offline
+SQL-over-time feature-engineering surface.
+
+Reference semantics studied from lukeAyin/OpenMLDB (read-only at
+/root/reference); the architecture is idiomatic Ray Data: Dataset
+pipelines, zero-copy Arrow batches inside map_batches, actor pools for
+stateful stages, explicit shuffles for the wide steps.
+
+Public surface:
+    core.frames.FrameSpec        — window frame description
+    core.window_exact            — reference-exact ring-buffer kernel
+    core.window_fast             — vectorized kernel for common aggs
+    stages.window_stage.window_agg        — distributed window aggregate
+    stages.join_stage.last_join           — point-in-time / as-of LAST JOIN
+    stages.union_stage.window_union_agg   — WINDOW UNION backfill
+    stages.session_stage.sessionize       — session gap windows
+    stages.dedup / textstats / simsearch  — training-data ops
+    pipelines.flagship                    — the tokenized-sequence suite
+"""
+
+__version__ = "0.1.0"

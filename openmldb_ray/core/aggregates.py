@@ -1,0 +1,316 @@
+"""Window / group UDAF library.
+
+Re-implements the aggregate surface of the reference's UDF library
+(hybridse/src/udf/default_udf_library.cc InitUdaf;
+default_defs/feature_zero_def.cc:654-666 for top1_ratio/topn_frequency;
+default_defs/*_by_category_def.cc for the *_cate family;
+window_functions_def.cc:95-175 for lag/at/first_value).
+
+Semantics notes (must-match):
+- NULL inputs are skipped by every aggregate; ``count(col)`` counts
+  non-null values, ``count_star`` counts rows.
+- Window buffers are ordered NEWEST-FIRST: buffer index 0 is the current
+  row. Hence ``first_value(col)`` returns the CURRENT row's value and
+  ``lag(col, n) == at(col, n)`` is the value n rows before the current
+  one *within the window buffer* (window_functions_def.cc:95-175).
+- ``top(col, k)`` returns the k largest values as a comma-joined string,
+  descending. ``topn_frequency(col, k)`` returns the k most frequent
+  values comma-joined (count desc, value asc tiebreak). ``top1_ratio`` is
+  most-frequent-count / non-null-count.
+- ``*_cate(value, cat)`` returns "cat1:agg,cat2:agg" with categories
+  sorted ascending; ``*_cate_where`` filters rows by a bool condition
+  column first.
+- ``lead`` is NOT in the reference (an extension required by the north
+  rule); it is resolved at the partition level (forward shift), not from
+  the window buffer, and is flagged non-point-in-time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Aggregate specification
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    kind: str                 # one of KINDS below
+    name: str                 # output column name
+    col: str | None = None    # input value column (None for count_star)
+    cond: str | None = None   # bool condition column for *_where
+    cat: str | None = None    # category column for *_cate
+    k: int | None = None      # k for top/topn_frequency, offset for lag/at/lead
+
+
+KINDS = {
+    "sum", "count", "count_star", "avg", "min", "max",
+    "sum_where", "count_where", "avg_where", "min_where", "max_where",
+    "distinct_count", "median", "top", "topn_frequency", "top1_ratio",
+    "lag", "at", "first_value", "lead",
+    "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
+    "sum_cate_where", "count_cate_where", "avg_cate_where",
+    "min_cate_where", "max_cate_where",
+}
+
+#: aggregates the vectorized kernel (window_fast) implements
+FAST_KINDS = {"sum", "count", "count_star", "avg", "min", "max",
+              "lag", "at", "first_value", "lead"}
+
+
+class Agg:
+    """Convenience constructors: ``Agg.sum("v", "sum_v")`` etc."""
+
+    @staticmethod
+    def _mk(kind, col=None, name=None, **kw):
+        if name is None:
+            name = f"{kind}_{col}" if col else kind
+        return AggSpec(kind=kind, name=name, col=col, **kw)
+
+    @classmethod
+    def sum(cls, col, name=None):
+        return cls._mk("sum", col, name)
+
+    @classmethod
+    def count(cls, col, name=None):
+        return cls._mk("count", col, name)
+
+    @classmethod
+    def count_star(cls, name="count_star"):
+        return AggSpec(kind="count_star", name=name)
+
+    @classmethod
+    def avg(cls, col, name=None):
+        return cls._mk("avg", col, name)
+
+    @classmethod
+    def min(cls, col, name=None):
+        return cls._mk("min", col, name)
+
+    @classmethod
+    def max(cls, col, name=None):
+        return cls._mk("max", col, name)
+
+    @classmethod
+    def sum_where(cls, col, cond, name=None):
+        return cls._mk("sum_where", col, name, cond=cond)
+
+    @classmethod
+    def count_where(cls, col, cond, name=None):
+        return cls._mk("count_where", col, name, cond=cond)
+
+    @classmethod
+    def avg_where(cls, col, cond, name=None):
+        return cls._mk("avg_where", col, name, cond=cond)
+
+    @classmethod
+    def min_where(cls, col, cond, name=None):
+        return cls._mk("min_where", col, name, cond=cond)
+
+    @classmethod
+    def max_where(cls, col, cond, name=None):
+        return cls._mk("max_where", col, name, cond=cond)
+
+    @classmethod
+    def distinct_count(cls, col, name=None):
+        return cls._mk("distinct_count", col, name)
+
+    @classmethod
+    def median(cls, col, name=None):
+        return cls._mk("median", col, name)
+
+    @classmethod
+    def top(cls, col, k, name=None):
+        return cls._mk("top", col, name, k=k)
+
+    @classmethod
+    def topn_frequency(cls, col, k, name=None):
+        return cls._mk("topn_frequency", col, name, k=k)
+
+    @classmethod
+    def top1_ratio(cls, col, name=None):
+        return cls._mk("top1_ratio", col, name)
+
+    @classmethod
+    def lag(cls, col, n, name=None):
+        return cls._mk("lag", col, name or f"lag{n}_{col}", k=n)
+
+    @classmethod
+    def at(cls, col, n, name=None):
+        return cls._mk("at", col, name or f"at{n}_{col}", k=n)
+
+    @classmethod
+    def first_value(cls, col, name=None):
+        return cls._mk("first_value", col, name)
+
+    @classmethod
+    def lead(cls, col, n, name=None):
+        return cls._mk("lead", col, name or f"lead{n}_{col}", k=n)
+
+    @classmethod
+    def cate(cls, kind, col, cat, name=None, cond=None):
+        base = f"{kind}_cate" + ("_where" if cond else "")
+        return cls._mk(base, col, name, cat=cat, cond=cond)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-window evaluators (used by window_exact over buffer index lists)
+#
+# Columns are passed as dict name -> (values: np.ndarray, valid: np.ndarray).
+# ``idx`` is the int array of window row positions, newest first (0=current).
+
+
+def _vals(cols, col, idx):
+    v, ok = cols[col]
+    sel = idx[ok[idx]]
+    return v[sel]
+
+
+def _where_idx(cols, cond, idx):
+    cv, cok = cols[cond]
+    keep = cok[idx] & (cv[idx].astype(bool))
+    return idx[keep]
+
+
+def _fmt_num(x) -> str:
+    """Format a value the way the reference renders it in top()/cate strings."""
+    if isinstance(x, (float, np.floating)):
+        f = float(x)
+        return str(int(f)) if f.is_integer() else repr(f)
+    if isinstance(x, (bool, np.bool_)):
+        return str(bool(x)).lower()
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    return str(x)
+
+
+def _agg_scalar(kind, arr):
+    if arr.size == 0:
+        return None
+    if kind == "sum":
+        return arr.sum()
+    if kind == "avg":
+        return float(arr.sum()) / arr.size
+    if kind == "min":
+        return arr.min()
+    if kind == "max":
+        return arr.max()
+    if kind == "count":
+        return arr.size
+    raise AssertionError(kind)
+
+
+def make_evaluator(spec: AggSpec):
+    """Return fn(cols, idx) -> python scalar (None = NULL)."""
+    kind, col, cond, cat, k = spec.kind, spec.col, spec.cond, spec.cat, spec.k
+
+    if kind == "count_star":
+        return lambda cols, idx: int(idx.size)
+
+    if kind in ("sum", "avg", "min", "max", "count"):
+        def ev(cols, idx, kind=kind):
+            arr = _vals(cols, col, idx)
+            out = _agg_scalar(kind, arr)
+            return None if out is None and kind != "count" else (0 if kind == "count" and out is None else out)
+        return ev
+
+    if kind in ("sum_where", "avg_where", "min_where", "max_where", "count_where"):
+        base = kind[: -len("_where")]
+
+        def ev(cols, idx, base=base):
+            arr = _vals(cols, col, _where_idx(cols, cond, idx))
+            out = _agg_scalar(base, arr)
+            if base == "count":
+                return 0 if out is None else out
+            return out
+        return ev
+
+    if kind == "distinct_count":
+        return lambda cols, idx: int(np.unique(_vals(cols, col, idx)).size)
+
+    if kind == "median":
+        def ev(cols, idx):
+            arr = _vals(cols, col, idx)
+            return None if arr.size == 0 else float(np.median(arr.astype(np.float64)))
+        return ev
+
+    if kind == "top":
+        def ev(cols, idx):
+            arr = _vals(cols, col, idx)
+            if arr.size == 0:
+                return None
+            kk = min(k, arr.size)
+            topk = np.sort(arr)[::-1][:kk]
+            return ",".join(_fmt_num(x) for x in topk)
+        return ev
+
+    if kind == "topn_frequency":
+        def ev(cols, idx):
+            arr = _vals(cols, col, idx)
+            if arr.size == 0:
+                return None
+            uniq, cnt = np.unique(arr, return_counts=True)
+            order = np.lexsort((uniq, -cnt))  # count desc, value asc
+            return ",".join(_fmt_num(uniq[i]) for i in order[:k])
+        return ev
+
+    if kind == "top1_ratio":
+        def ev(cols, idx):
+            arr = _vals(cols, col, idx)
+            if arr.size == 0:
+                return None
+            _, cnt = np.unique(arr, return_counts=True)
+            return float(cnt.max()) / float(arr.size)
+        return ev
+
+    if kind in ("lag", "at"):
+        def ev(cols, idx):
+            if k >= idx.size:
+                return None
+            v, ok = cols[col]
+            j = idx[k]
+            return v[j] if ok[j] else None
+        return ev
+
+    if kind == "first_value":
+        def ev(cols, idx):
+            if idx.size == 0:
+                return None
+            v, ok = cols[col]
+            j = idx[0]
+            return v[j] if ok[j] else None
+        return ev
+
+    if kind == "lead":
+        raise ValueError("lead is partition-level (forward shift), not a window-buffer aggregate")
+
+    if kind.endswith("_cate") or kind.endswith("_cate_where"):
+        base = kind.split("_cate")[0]
+
+        def ev(cols, idx, base=base):
+            use = _where_idx(cols, cond, idx) if cond else idx
+            cv, cok = cols[cat]
+            vv, vok = cols[col]
+            keep = cok[use] & vok[use]
+            use = use[keep]
+            if use.size == 0:
+                return None
+            cats = cv[use]
+            vals = vv[use]
+            order = np.argsort(cats, kind="stable")
+            cats, vals = cats[order], vals[order]
+            out = []
+            i = 0
+            n = cats.shape[0]
+            while i < n:
+                j = i
+                while j < n and cats[j] == cats[i]:
+                    j += 1
+                out.append(f"{_fmt_num(cats[i])}:{_fmt_num(_agg_scalar('count' if base == 'count' else base, vals[i:j]))}")
+                i = j
+            return ",".join(out)
+        return ev
+
+    raise ValueError(f"unknown aggregate kind: {kind}")

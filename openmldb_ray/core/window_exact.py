@@ -1,0 +1,135 @@
+"""Reference-exact sliding-window kernel (single partition, pure Python).
+
+Re-implements ``HistoryWindow::BufferData`` / ``Slide``
+(reference: hybridse/include/vm/mem_catalog.h:363-529) and the offline
+consumption loop (WindowAggPlan.scala:501-558, 560-611):
+
+- input rows must be sorted ts-ascending, with WINDOW UNION rows placed
+  BEFORE primary rows on ts ties (WindowAggPlan.scala:78-91) and arrival
+  order otherwise stable (out-of-order ts within a partition is a caller
+  bug, mirroring mem_catalog.h:385-388).
+- the buffer is newest-first: index 0 = current row.
+- rows with NULL or negative order key emit nothing and never enter the
+  buffer (WindowAggPlan.scala:784-791).
+- union (non-primary) rows feed the buffer but never emit.
+- eviction implements the merged-frame union rule: a row stays while it
+  satisfies EITHER the ROWS count bound OR the ROWS_RANGE ts bound
+  (mem_catalog.h:462-491); MAXSIZE caps the buffer unconditionally.
+- EXCLUDE CURRENT_TIME / EXCLUDE CURRENT_ROW are applied to the view,
+  not the buffer (mem_catalog.h:493-525).
+- INSTANCE_NOT_IN_WINDOW: primary rows are never buffered; each primary
+  row's own view still starts with itself (mem_catalog.h:274-275).
+
+This kernel is the semantic source of truth; the vectorized kernel
+(window_fast) must agree with it on its eligible subset (tested in
+tests/test_window_kernel.py).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from .aggregates import AggSpec, make_evaluator
+from .frames import FrameSpec
+
+
+def window_project_exact(
+    ts: np.ndarray,
+    ts_valid: np.ndarray,
+    cols: dict[str, tuple[np.ndarray, np.ndarray]],
+    aggs: list[AggSpec],
+    frame: FrameSpec,
+    is_primary: np.ndarray | None = None,
+):
+    """Compute window aggregates over one sorted partition.
+
+    Returns (emit_idx, outputs): ``emit_idx`` int64 array of input row
+    positions that produced output (primary rows with a valid order key,
+    in order), ``outputs`` dict name -> list of python scalars (None=NULL).
+    """
+    n = ts.shape[0]
+    evals = [(a.name, make_evaluator(a)) for a in aggs]
+    outputs: dict[str, list] = {name: [] for name, _ in evals}
+    emit: list[int] = []
+
+    buf: deque[int] = deque()  # newest first
+    rows_p = frame.rows_preceding
+    range_p = frame.range_preceding
+    open_r = frame.open_range
+    max_size = frame.max_size
+    merged = frame.is_merged
+    unbounded = frame.is_unbounded
+
+    def slide(cur_ts: int) -> None:
+        if range_p is not None:
+            lo = cur_ts - range_p
+            while buf:
+                bt = ts[buf[-1]]
+                in_range = (bt > lo) if open_r else (bt >= lo)
+                if in_range:
+                    break
+                if merged and len(buf) <= rows_p + 1:
+                    break  # still covered by the ROWS bound
+                buf.pop()
+        elif rows_p is not None:
+            while len(buf) > rows_p + 1:
+                buf.pop()
+        if max_size > 0:
+            while len(buf) > max_size:
+                buf.pop()
+
+    def view(i: int, staged: bool) -> np.ndarray:
+        """Window indices for current row i. staged=True → i is not in buf."""
+        cand = ([i] + list(buf)) if staged else list(buf)
+        if staged:
+            # staged path must re-apply bounds the buffer eviction normally
+            # enforces (the staged row shifts positional counting by one)
+            out = []
+            cur = ts[i]
+            for pos, j in enumerate(cand):
+                ok = unbounded
+                if rows_p is not None and pos <= rows_p:
+                    ok = True
+                if range_p is not None and not ok:
+                    lo = cur - range_p
+                    bt = ts[j]
+                    ok = (bt > lo) if open_r else (bt >= lo)
+                if ok:
+                    out.append(j)
+            if max_size > 0:
+                out = out[:max_size]
+            cand = out
+        # end bounds (AND x PRECEDING)
+        if frame.rows_end:
+            cand = [j for pos, j in enumerate(cand) if pos >= frame.rows_end or j == i]
+        if frame.range_end:
+            hi = ts[i] + frame.range_end
+            cand = [j for j in cand if ts[j] <= hi or j == i]
+        # exclusions (view-level)
+        if frame.exclude_current_time:
+            cand = [j for j in cand if j == i or ts[j] != ts[i]]
+        if frame.exclude_current_row:
+            cand = [j for j in cand if j != i]
+        return np.asarray(cand, dtype=np.int64)
+
+    for i in range(n):
+        if not ts_valid[i] or ts[i] < 0:
+            continue
+        prim = True if is_primary is None else bool(is_primary[i])
+        if prim and frame.instance_not_in_window:
+            idx = view(i, staged=True)
+            emit.append(i)
+            for name, ev in evals:
+                outputs[name].append(ev(cols, idx))
+            continue  # never buffered
+        buf.appendleft(i)
+        slide(int(ts[i]))
+        if prim:
+            idx = view(i, staged=False)
+            emit.append(i)
+            for name, ev in evals:
+                outputs[name].append(ev(cols, idx))
+
+    return np.asarray(emit, dtype=np.int64), outputs

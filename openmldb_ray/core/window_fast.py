@@ -1,0 +1,169 @@
+"""Vectorized window kernel + dispatcher (single partition).
+
+Fast path for the common frames (`ROWS n PRECEDING AND CURRENT ROW`,
+`ROWS_RANGE d PRECEDING AND CURRENT ROW`, UNBOUNDED — no excludes, no
+MAXSIZE, no OPEN) and common aggregates (sum/count/avg/min/max/
+count_star/lag/at/first_value/lead), using pandas' Cython rolling
+kernels and numpy searchsorted instead of the reference's per-row JIT
+loop (WindowComputer.scala:78-141). Anything outside this subset
+falls back to the reference-exact kernel (window_exact).
+
+Semantics parity with the exact kernel is enforced by
+tests/test_window_kernel.py property sweeps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .aggregates import FAST_KINDS, AggSpec
+from .frames import FrameSpec
+from .window_exact import window_project_exact
+
+_SHIFT_KINDS = {"lag", "at", "first_value"}
+
+
+def _is_numeric(s: pd.Series) -> bool:
+    return pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s)
+
+
+def fast_eligible(g: pd.DataFrame, aggs: list[AggSpec], frame: FrameSpec) -> bool:
+    if not frame.fast_path_eligible():
+        return False
+    for a in aggs:
+        if a.kind not in FAST_KINDS:
+            return False
+        if a.col is not None and a.kind not in _SHIFT_KINDS and not _is_numeric(g[a.col]):
+            return False
+    return True
+
+
+def _rolling(series: pd.Series, ts: np.ndarray, frame: FrameSpec):
+    """Return a pandas Rolling/Expanding object implementing the frame."""
+    if frame.is_pure_rows:
+        return series.rolling(frame.rows_preceding + 1, min_periods=1)
+    if frame.is_pure_range:
+        idx = pd.DatetimeIndex(ts.view("datetime64[ms]"))
+        s = pd.Series(series.to_numpy(), index=idx)
+        return s.rolling(pd.Timedelta(milliseconds=frame.range_preceding), closed="both", min_periods=1)
+    return series.expanding(min_periods=1)
+
+
+def _range_winsize(ts: np.ndarray, frame: FrameSpec) -> np.ndarray:
+    """Rows in each row's window for a pure-range frame (window = [lo_i, i])."""
+    lo = np.searchsorted(ts, ts - frame.range_preceding, side="left")
+    return np.arange(ts.shape[0]) - lo + 1
+
+
+def window_project_vectorized(
+    g: pd.DataFrame, order_col: str, aggs: list[AggSpec], frame: FrameSpec
+) -> dict[str, np.ndarray]:
+    """Compute features over ALL rows of a sorted partition (caller applies
+    the primary-row emit mask). Returns name -> ndarray (NaN/None = NULL)."""
+    ts = g[order_col].to_numpy(np.int64)
+    n = ts.shape[0]
+    out: dict[str, np.ndarray] = {}
+    winsize = None
+
+    for a in aggs:
+        if a.kind == "count_star":
+            ones = pd.Series(np.ones(n))
+            out[a.name] = _rolling(ones, ts, frame).count().to_numpy(np.float64)
+        elif a.kind in ("sum", "count", "avg", "min", "max"):
+            s = pd.to_numeric(g[a.col], errors="coerce").astype(np.float64)
+            r = _rolling(s, ts, frame)
+            fn = {"sum": "sum", "count": "count", "avg": "mean", "min": "min", "max": "max"}[a.kind]
+            vals = getattr(r, fn)().to_numpy(np.float64)
+            if a.kind == "sum":
+                # rolling.sum with min_periods=1 yields 0.0 for all-NaN windows
+                # in some pandas versions; normalize to NULL like the reference
+                cnt = r.count().to_numpy(np.float64)
+                vals = np.where(cnt > 0, vals, np.nan)
+            out[a.name] = vals
+        elif a.kind in ("lag", "at", "first_value"):
+            k = 0 if a.kind == "first_value" else a.k
+            shifted = g[a.col].shift(k)
+            vals = shifted.to_numpy()
+            if frame.is_pure_rows and k > frame.rows_preceding:
+                vals = np.full(n, np.nan if _is_numeric(g[a.col]) else None, dtype=object if not _is_numeric(g[a.col]) else np.float64)
+            elif frame.is_pure_range and k > 0:
+                if winsize is None:
+                    winsize = _range_winsize(ts, frame)
+                mask = winsize <= k  # fewer than k+1 rows in buffer → NULL
+                if _is_numeric(g[a.col]):
+                    vals = vals.astype(np.float64)
+                    vals[mask] = np.nan
+                else:
+                    vals = vals.astype(object)
+                    vals[mask] = None
+            out[a.name] = vals
+        else:  # pragma: no cover - guarded by fast_eligible
+            raise AssertionError(a.kind)
+    return out
+
+
+def compute_window_features(
+    g: pd.DataFrame,
+    order_col: str,
+    aggs: list[AggSpec],
+    frame: FrameSpec,
+    is_primary_col: str | None = None,
+) -> pd.DataFrame:
+    """Dispatcher: run the window computation over one partition.
+
+    ``g`` must already be ordered (ts asc; union rows before primary rows on
+    ties — see stages.window_stage for the distributed sort contract).
+    Rows with NULL/negative order key are dropped (no output, no buffering).
+    Returns the emitted rows (primary only) with feature columns appended.
+    """
+    ok = g[order_col].notna() & (g[order_col] >= 0)
+    if not ok.all():
+        g = g[ok]
+    if len(g) == 0:
+        base = g.copy()
+        for a in aggs:
+            base[a.name] = []
+        if is_primary_col is not None and is_primary_col in base.columns:
+            base = base.drop(columns=[is_primary_col])
+        return base
+
+    lead_aggs = [a for a in aggs if a.kind == "lead"]
+    win_aggs = [a for a in aggs if a.kind != "lead"]
+    prim = g[is_primary_col].to_numpy(bool) if is_primary_col else None
+
+    if fast_eligible(g, win_aggs, frame):
+        feats = window_project_vectorized(g, order_col, win_aggs, frame)
+        res = g if prim is None else g[prim]
+        res = res.copy()
+        sel = slice(None) if prim is None else prim
+        for a in win_aggs:
+            res[a.name] = feats[a.name][sel]
+    else:
+        ts = g[order_col].to_numpy(np.float64)
+        ts_valid = np.ones(len(g), bool)  # invalid already dropped
+        cols: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        needed = {c for a in win_aggs for c in (a.col, a.cond, a.cat) if c}
+        for c in needed:
+            s = g[c]
+            valid = s.notna().to_numpy()
+            if _is_numeric(s):
+                vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(np.float64)
+            else:
+                vals = s.to_numpy(object)
+            cols[c] = (vals, valid)
+        emit_idx, outputs = window_project_exact(
+            ts.astype(np.int64), ts_valid, cols, win_aggs, frame, is_primary=prim
+        )
+        res = g.iloc[emit_idx].copy()
+        for a in win_aggs:
+            res[a.name] = outputs[a.name]
+
+    for a in lead_aggs:
+        # extension (not in reference, SURVEY §7.6): forward shift over the
+        # EMITTED stream — non-point-in-time, for label construction only.
+        res[a.name] = res[a.col].shift(-a.k)
+
+    if is_primary_col is not None and is_primary_col in res.columns:
+        res = res.drop(columns=[is_primary_col])
+    return res
