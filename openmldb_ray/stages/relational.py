@@ -1,0 +1,147 @@
+"""Relational operators: the non-window slice of the reference's offline
+plan inventory (SparkPlanner.scala:235-276 dispatch), re-expressed as thin
+Ray Data compositions. Each helper documents the reference node it covers.
+
+These are intentionally shallow — Ray Data's Dataset API already IS the
+operator; the value here is (a) OpenMLDB-exact semantics (e.g. GROUP BY
+aggregate null handling, LIMIT-before-sort ordering), (b) named-output
+aggregation matching the oracle SQL column names, (c) scale-conscious
+defaults (partial aggregation before the shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.aggregates import AggSpec
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def simple_project(ds: "ray.data.Dataset", columns: dict[str, str] | list[str],
+                   casts: dict[str, pa.DataType] | None = None) -> "ray.data.Dataset":
+    """SimpleProjectPlan.scala:35 — select / reorder / rename / cast."""
+    if isinstance(columns, list):
+        columns = {c: c for c in columns}
+    casts = casts or {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for src, dst in columns.items():
+            col = t[src]
+            if src in casts:
+                col = pc.cast(col, casts[src])
+            arrays.append(col)
+            names.append(dst)
+        return pa.Table.from_arrays([a.combine_chunks() for a in arrays], names=names)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def const_project(rows: list[dict]) -> "ray.data.Dataset":
+    """ConstProjectPlan.scala:32 — SELECT of constants."""
+    import ray.data as rd
+
+    return rd.from_items(rows)
+
+
+def filter_expr(ds: "ray.data.Dataset", predicate) -> "ray.data.Dataset":
+    """FilterPlan.scala:29-75 — vectorized predicate inside map_batches
+    (pc expression builder fn: pa.Table -> BooleanArray)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = predicate(t)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_aggregate(
+    ds: "ray.data.Dataset",
+    keys,
+    aggs: list[AggSpec],
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """GroupByAggregationPlan.scala:37-174 — full GROUP BY aggregate.
+
+    Simple aggregates (sum/count/avg/min/max/count_star) go through Ray
+    Data's native ``groupby().aggregate(...)`` which pre-aggregates per
+    block before the shuffle (the scale path). Anything else
+    (distinct_count/median/top/…/cate) falls back to
+    ``groupby().map_groups`` with the exact evaluators over whole groups.
+    """
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    native = {"sum": Sum, "count": Count, "avg": Mean, "min": Min, "max": Max}
+    if all(a.kind in native or a.kind == "count_star" for a in aggs):
+        fns = []
+        for a in aggs:
+            if a.kind == "count_star":
+                fns.append(Count(alias_name=a.name))
+            else:
+                fns.append(native[a.kind](a.col, alias_name=a.name))
+        return ds.groupby(keys, num_partitions=num_partitions).aggregate(*fns)
+
+    import numpy as np
+
+    from ..core.aggregates import make_evaluator
+
+    evals = [(a, make_evaluator(a)) for a in aggs]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(len(g), dtype=np.int64)
+        cols = {}
+        for a, _ in evals:
+            for c in (a.col, a.cond, a.cat):
+                if c and c not in cols:
+                    s = g[c]
+                    valid = s.notna().to_numpy()
+                    if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
+                        vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(float)
+                    else:
+                        vals = s.to_numpy(object)
+                    cols[c] = (vals, valid)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for a, ev in evals:
+            row[a.name] = [ev(cols, idx)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys, num_partitions=num_partitions).map_groups(fn, batch_format="pandas")
+
+
+def sort_by(ds: "ray.data.Dataset", keys, descending=False) -> "ray.data.Dataset":
+    """SortByPlan.scala:25-31 — global ORDER BY (range-partitioned sort)."""
+    return ds.sort(keys, descending=descending)
+
+
+def limit_n(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
+    """LimitPlan.scala:25-26."""
+    return ds.limit(n)
+
+
+def distinct(ds: "ray.data.Dataset", keys=None) -> "ray.data.Dataset":
+    """DISTINCT over the given columns (whole row when keys is None).
+
+    The reference has no offline Distinct implementation
+    (SparkPlanner.scala:274-275 throws); provided here because a
+    training-data engine needs it. Hash shuffle + first-row-per-group.
+    """
+    if keys is None:
+        keys = list(ds.schema().names)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sel = ds.select_columns(keys)
+    return sel.groupby(keys).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def concat_zip(a: "ray.data.Dataset", b: "ray.data.Dataset") -> "ray.data.Dataset":
+    """ConcatJoinPlan.scala:32-81 — zip two plan outputs row-by-row (used to
+    stitch independently computed windows). Requires equal row counts and
+    aligned ordering (same upstream sort)."""
+    return a.zip(b)
