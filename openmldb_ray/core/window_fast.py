@@ -23,6 +23,11 @@ from .window_exact import window_project_exact
 
 _SHIFT_KINDS = {"lag", "at", "first_value"}
 
+#: aggregates with an O(n) two-pointer sliding implementation (frequency
+#: state add/evict as the frame slides) — used when the frame is a simple
+#: ROWS / ROWS_RANGE / UNBOUNDED ... CURRENT ROW with no excludes
+SLIDING_KINDS = {"distinct_count", "topn_frequency", "top1_ratio"}
+
 
 def _is_numeric(s: pd.Series) -> bool:
     return pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s)
@@ -32,6 +37,8 @@ def fast_eligible(g: pd.DataFrame, aggs: list[AggSpec], frame: FrameSpec) -> boo
     if not frame.fast_path_eligible():
         return False
     for a in aggs:
+        if a.kind in SLIDING_KINDS:
+            continue
         if a.kind not in FAST_KINDS:
             return False
         if a.col is not None and a.kind not in _SHIFT_KINDS and not _is_numeric(g[a.col]):
@@ -103,6 +110,69 @@ def window_project_vectorized(
     return out
 
 
+def _frame_starts(ts: np.ndarray, frame: FrameSpec) -> np.ndarray:
+    """Non-decreasing array lo: window of row i = rows [lo[i], i]."""
+    n = ts.shape[0]
+    if frame.is_pure_rows:
+        return np.maximum(np.arange(n) - frame.rows_preceding, 0)
+    if frame.is_pure_range:
+        side = "right" if frame.open_range else "left"
+        return np.searchsorted(ts, ts - frame.range_preceding, side=side)
+    return np.zeros(n, dtype=np.int64)
+
+
+def window_project_sliding(
+    g: pd.DataFrame, order_col: str, aggs: list[AggSpec], frame: FrameSpec
+) -> dict[str, np.ndarray]:
+    """O(n) frequency-state computation of distinct_count / topn_frequency /
+    top1_ratio: one add per row, one evict per row leaving the frame.
+    Matches the exact kernel (parity-tested); requires fast-path frames."""
+    from collections import Counter
+
+    from .aggregates import _fmt_num
+
+    ts = g[order_col].to_numpy(np.int64)
+    n = ts.shape[0]
+    lo = _frame_starts(ts, frame)
+    out: dict[str, list] = {a.name: [] for a in aggs}
+    cols = {}
+    for a in aggs:
+        if a.col not in cols:
+            s = g[a.col]
+            cols[a.col] = (s.to_numpy(object), s.notna().to_numpy())
+    counters = {c: Counter() for c in cols}
+    totals = dict.fromkeys(cols, 0)
+    ptr = 0
+    for i in range(n):
+        for c, (vals, valid) in cols.items():
+            if valid[i]:
+                counters[c][vals[i]] += 1
+                totals[c] += 1
+        while ptr < lo[i]:
+            for c, (vals, valid) in cols.items():
+                if valid[ptr]:
+                    cnt = counters[c]
+                    cnt[vals[ptr]] -= 1
+                    if cnt[vals[ptr]] == 0:
+                        del cnt[vals[ptr]]
+                    totals[c] -= 1
+            ptr += 1
+        for a in aggs:
+            cnt = counters[a.col]
+            if a.kind == "distinct_count":
+                out[a.name].append(len(cnt))
+            elif a.kind == "top1_ratio":
+                out[a.name].append(
+                    None if totals[a.col] == 0 else max(cnt.values()) / totals[a.col])
+            else:  # topn_frequency: count desc, value asc
+                if not cnt:
+                    out[a.name].append(None)
+                else:
+                    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                    out[a.name].append(",".join(_fmt_num(k) for k, _ in items[: a.k]))
+    return {k: np.asarray(v, dtype=object) for k, v in out.items()}
+
+
 def compute_window_features(
     g: pd.DataFrame,
     order_col: str,
@@ -133,7 +203,11 @@ def compute_window_features(
     prim = g[is_primary_col].to_numpy(bool) if is_primary_col else None
 
     if fast_eligible(g, win_aggs, frame):
-        feats = window_project_vectorized(g, order_col, win_aggs, frame)
+        vec_aggs = [a for a in win_aggs if a.kind not in SLIDING_KINDS]
+        sld_aggs = [a for a in win_aggs if a.kind in SLIDING_KINDS]
+        feats = window_project_vectorized(g, order_col, vec_aggs, frame)
+        if sld_aggs:
+            feats.update(window_project_sliding(g, order_col, sld_aggs, frame))
         res = g if prim is None else g[prim]
         res = res.copy()
         sel = slice(None) if prim is None else prim
@@ -163,6 +237,12 @@ def compute_window_features(
         # extension (not in reference, SURVEY §7.6): forward shift over the
         # EMITTED stream — non-point-in-time, for label construction only.
         res[a.name] = res[a.col].shift(-a.k)
+
+    # canonical output dtypes: counts are int64 (never NULL — empty frames
+    # count 0), so downstream schemas are stable across kernels/partitions
+    for a in aggs:
+        if a.kind in ("count", "count_star", "count_where", "distinct_count"):
+            res[a.name] = pd.to_numeric(res[a.name], errors="coerce").fillna(0).astype(np.int64)
 
     if is_primary_col is not None and is_primary_col in res.columns:
         res = res.drop(columns=[is_primary_col])

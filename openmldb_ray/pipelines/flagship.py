@@ -1,0 +1,270 @@
+"""Flagship pipeline: the tokenized-sequence as-of-join + window suite.
+
+Input shape per BASELINE.json input_hint: a Parquet-able table of
+pre-tokenized training sequences
+``(doc_id:string, tokens:list<int32>, n_tok:int32, source:string)``,
+synthesized deterministically (hash-counter PRNG — batching-independent,
+resumable) per FIXTURES.md §F5. Derived in-pipeline: ``entity_key :=
+source``, ``event_ts`` (ms, with ties and out-of-order arrival).
+
+Stages (SURVEY §7.2, the reference dataflow re-expressed Ray-Data-first):
+1. distributed deterministic generation (or read) of sequences
+2. payload split: ``tokens`` never enters the shuffle — only the narrow
+   feature columns do (SURVEY §7.5 "wide token rows")
+3. point-in-time LAST JOIN against per-(source, day) stats, available only
+   after the day closes (zero temporal leakage)
+4. salted multi-window features over (entity_key, event_ts) with WINDOW
+   UNION backfill from the warm-up history stream
+5. hash re-join of features to the token payload by doc_id
+6. partitioned parquet output with per-partition lineage (resumable)
+
+Per-row invariant: output ``tokens`` byte-identical to input ``tokens``
+(tested in tests/test_flagship.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.aggregates import Agg
+from ..core.frames import rows_range
+from ..sources.io import read_table
+from ..stages.join_stage import last_join
+from ..stages.window_stage import window_agg_salted
+
+VOCAB = 50257
+BASE_TS = 1_700_000_000_000  # ms
+STEP_MS = 60_000
+SOURCES = ("web", "book", "code", "wiki", "chat")
+SOURCE_CUM = (0.70, 0.80, 0.88, 0.95, 1.0)  # hot "web" ≈ 70% → real skew
+DAY_MS = 86_400_000
+
+
+def _h64(x: np.ndarray, stream: int) -> np.ndarray:
+    """splitmix64-style counter hash: deterministic, vectorized,
+    independent of batch boundaries (the generation is thus resumable)."""
+    z = (x.astype(np.uint64) + np.uint64((stream * 0x9E3779B97F4A7C15) % (1 << 64)))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(x: np.ndarray, stream: int) -> np.ndarray:
+    return _h64(x, stream).astype(np.float64) / float(2**64)
+
+
+def gen_sequences_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
+    """Generate the F5 sequence rows for the given doc indices (vectorized)."""
+    ids = ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x100000001B3)
+    n = ids.shape[0]
+    u_len = _u01(ids, 1)
+    n_tok = (8 + np.floor(504 * u_len**3)).astype(np.int32)  # zipf-ish [8,512]
+    u_src = _u01(ids, 2)
+    src_idx = np.searchsorted(np.asarray(SOURCE_CUM), u_src, side="left")
+    src_idx = np.minimum(src_idx, len(SOURCES) - 1)
+    source = np.asarray(SOURCES, dtype=object)[src_idx]
+    # event_ts: hashed slot with deliberate ties (~2 docs/slot) — arrival
+    # order is NOT ts order, the temporal shuffle must sort
+    slots = (_h64(ids, 4) % np.uint64(max(1, num_docs // 2))).astype(np.int64)
+    event_ts = BASE_TS + slots * STEP_MS
+    lang_bucket = np.char.add("lb", (_h64(ids, 5) % np.uint64(8)).astype(np.int64).astype(str))
+    # tokens: token j of doc i = h64(i*PRIME + j) % VOCAB — flat-vectorized
+    total = int(n_tok.sum())
+    doc_rep = np.repeat(ids * np.uint64(2654435761), n_tok)
+    offs = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
+    j = np.arange(total, dtype=np.uint64) - np.repeat(offs[:-1], n_tok).astype(np.uint64)
+    flat = (_h64(doc_rep + j, 7) % np.uint64(VOCAB)).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat))
+    raw = (ids - np.uint64(seed) * np.uint64(0x100000001B3)).astype(np.int64)
+    doc_id = np.char.add("doc_", np.char.zfill(raw.astype(str), 12))
+    return pa.Table.from_arrays(
+        [pa.array(doc_id.astype(object), type=pa.string()), tokens,
+         pa.array(n_tok), pa.array(source, type=pa.string()),
+         pa.array(event_ts), pa.array(lang_bucket.astype(object), type=pa.string())],
+        names=["doc_id", "tokens", "n_tok", "source", "event_ts", "lang_bucket"],
+    )
+
+
+def make_sequences(num_docs: int, seed: int = 42, override_blocks: int | None = None):
+    """Distributed deterministic sequence table (Dataset)."""
+    import ray.data as rd
+
+    ds = rd.range(num_docs, override_num_blocks=override_blocks)
+
+    def fn(b: pa.Table) -> pa.Table:
+        return gen_sequences_batch(b["id"].to_numpy(), seed, num_docs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def default_num_docs(sf_dir: str | None) -> int:
+    if sf_dir is None:
+        return 5_000
+    n_docs = read_table(sf_dir, "documents").count()
+    return n_docs * 10  # sf0.001→5k, sf0.01→50k, sf0.1→500k
+
+
+FEATURE_AGGS = [
+    Agg.sum("n_tok", "sum_tok_6h"),
+    Agg.count_star("cnt_6h"),
+    Agg.avg("n_tok", "avg_tok_6h"),
+    Agg.min("n_tok", "min_tok_6h"),
+    Agg.max("n_tok", "max_tok_6h"),
+    Agg.lag("n_tok", 1, "lag1_tok"),
+    Agg.distinct_count("lang_bucket", "dc_lang_6h"),
+    Agg.topn_frequency("lang_bucket", 3, "top_lang_6h"),
+]
+FRAME = rows_range("6h")
+BUCKET_MS = DAY_MS  # >= frame extent; ~870 (entity, day) groups at bench scale
+
+#: canonical feature-row schema (before the token payload is re-attached);
+#: declared once so the bucketed payload join can pad statically
+FEATURE_SCHEMA: dict[str, pa.DataType] = {
+    "doc_id": pa.string(),
+    "source": pa.string(),
+    "event_ts": pa.int64(),
+    "n_tok": pa.int32(),
+    "lang_bucket": pa.string(),
+    "prev_day_sum_tok": pa.float64(),
+    "prev_day_cnt": pa.float64(),
+    "prev_day_avail_ts": pa.float64(),
+    "sum_tok_6h": pa.float64(),
+    "cnt_6h": pa.int64(),
+    "avg_tok_6h": pa.float64(),
+    "min_tok_6h": pa.float64(),
+    "max_tok_6h": pa.float64(),
+    "lag1_tok": pa.float64(),
+    "dc_lang_6h": pa.int64(),
+    "top_lang_6h": pa.string(),
+}
+
+
+def _canonicalize(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    arrays = [pc.cast(t[name], typ).combine_chunks() for name, typ in FEATURE_SCHEMA.items()]
+    return pa.Table.from_arrays(arrays, names=list(FEATURE_SCHEMA))
+
+
+def _doc_bucket(tbl: pa.Table, num_buckets: int) -> pa.Array:
+    """Stable bucket from the numeric doc_id suffix (doc_%012d) — avoids
+    process-dependent Python string hashing."""
+    import pyarrow.compute as pc
+
+    nums = pc.cast(pc.utf8_slice_codeunits(tbl["doc_id"], start=4), pa.int64())
+    h = pc.multiply(nums, pa.scalar(2654435761, pa.int64()))
+    return pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int32())
+
+
+def _bucketed_attach_tokens(feats, payload, num_buckets: int = 64):
+    """Partitioned hash join feats ⋈ payload on doc_id (list payload stays
+    in Arrow end to end)."""
+    import pyarrow.compute as pc
+
+    tok_type = pa.list_(pa.int32())
+
+    def tag_feats(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _doc_bucket(t, num_buckets))
+        t = t.append_column("tokens", pa.nulls(t.num_rows, type=tok_type))
+        return t.append_column("__is_feat", pa.array(np.ones(t.num_rows, bool)))
+
+    ft = feats.map_batches(_canonicalize, batch_format="pyarrow").map_batches(
+        tag_feats, batch_format="pyarrow")
+    feat_types = dict(FEATURE_SCHEMA)
+    feat_names = [n for n in FEATURE_SCHEMA if n not in ("doc_id", "tokens")]
+    col_order = list(FEATURE_SCHEMA) + ["__bucket", "tokens", "__is_feat"]
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _doc_bucket(t, num_buckets))
+        for name in feat_names:
+            t = t.append_column(name, pa.nulls(t.num_rows, type=feat_types[name]))
+        t = t.append_column("__is_feat", pa.array(np.zeros(t.num_rows, bool)))
+        return t.select(col_order)
+
+    pl = payload.map_batches(tag_payload, batch_format="pyarrow")
+    both = ft.union(pl)
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        mask = t["__is_feat"].combine_chunks()
+        f = t.filter(mask)
+        p = t.filter(pc.invert(mask))
+        idx = pc.index_in(f["doc_id"], value_set=p["doc_id"].combine_chunks())
+        toks = p["tokens"].combine_chunks().take(idx)
+        f = f.drop_columns(["tokens", "__bucket", "__is_feat"])
+        return f.append_column("tokens", toks)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def flagship(
+    sf_dir: str | None = None,
+    *,
+    num_docs: int | None = None,
+    seed: int = 42,
+    out_dir: str | None = None,
+    resume: bool = True,
+):
+    """Run the full suite; returns the feature Dataset (tokens re-attached).
+
+    When ``out_dir`` is given, also writes partitioned parquet with
+    per-partition lineage and returns the written dataset.
+    """
+    if num_docs is None:
+        num_docs = default_num_docs(sf_dir)
+    seqs = make_sequences(num_docs, seed)
+
+    # ---- payload split: tokens stay out of every shuffle -------------------
+    narrow = seqs.select_columns(["doc_id", "source", "event_ts", "n_tok", "lang_bucket"])
+    payload = seqs.select_columns(["doc_id", "tokens"])
+
+    # ---- per-(source, day) stats table, point-in-time available only after
+    # the day closes (avail_ts = day end) — the LAST JOIN right side --------
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["avail_ts"] = (df["event_ts"] // DAY_MS) * DAY_MS + DAY_MS
+        return df
+
+    from ..stages.relational import group_aggregate
+
+    daily = group_aggregate(
+        narrow.map_batches(add_day, batch_format="pandas")
+              .select_columns(["source", "avail_ts", "n_tok"]),
+        ["source", "avail_ts"],
+        [Agg.sum("n_tok", "day_sum_tok"), Agg.count_star("day_cnt")],
+    )
+
+    joined = last_join(
+        narrow, daily, ("source", "source"),
+        order_by="avail_ts", asof_left_ts="event_ts", tiebreak="avail_ts",
+        right_cols={"day_sum_tok": "prev_day_sum_tok", "day_cnt": "prev_day_cnt",
+                    "avail_ts": "prev_day_avail_ts"},
+        strategy="broadcast",
+    )
+
+    # ---- WINDOW UNION backfill: warm-up history feeds state only ----------
+    split_ts = BASE_TS + (num_docs // 2) * STEP_MS // 5  # first ~20% = history
+    primary = joined.filter(expr=f"event_ts >= {split_ts}")
+    history = joined.filter(expr=f"event_ts < {split_ts}")
+
+    feats = window_agg_salted(
+        primary, "source", "event_ts", FEATURE_AGGS, FRAME,
+        bucket_ms=BUCKET_MS, union=history, tiebreak="doc_id",
+    )
+
+    # ---- re-attach the token payload (bucketed hash join by doc_id) ------
+    # Ray's native join rejects list<> payload columns, so this is an
+    # explicit partitioned hash join: both sides get bucket = doc_index % B,
+    # are unioned with typed null padding, hash-shuffled by bucket, and
+    # matched inside each bucket with vectorized Arrow take — the tokens
+    # move through exactly ONE shuffle, zero-copy, and never through pandas.
+    out = _bucketed_attach_tokens(feats, payload, num_buckets=64)
+
+    if out_dir is not None:
+        from ..state.lineage import write_partitioned_with_lineage
+
+        out = out.materialize()
+        write_partitioned_with_lineage(out, out_dir, "source",
+                                       checksum_col="n_tok", resume=resume)
+    return out

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (north-rule extension).
+
+Images / audio / video are opaque ``binary`` columns with typed metadata
+columns alongside (``mm_type``, ``mm_width``/``mm_height`` or
+``mm_sample_rate``, …). The Ray-side plumbing — schema, actor-pool stage
+shape, small batch sizes for large payloads, output layout — is real and
+tested; the actual codec work is STUBBED (the image/audio libraries are
+not in this environment): ``decode_fn=None`` raises NotImplementedError,
+and ``fake_decode=True`` swaps in a deterministic fake so pipelines can be
+exercised end-to-end.
+
+Scale notes: binary payloads make blocks heavy — these stages default to
+``batch_size=64`` and ``batch_format="pyarrow"`` so payload bytes stay
+zero-copy in the object store until the decode touches them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING, Callable
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+MM_SCHEMA_FIELDS = [
+    ("mm_id", pa.int64()),
+    ("mm_type", pa.string()),       # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("mm_meta", pa.string()),       # JSON metadata (dims, codec, sr, …)
+]
+
+
+def _fake_image_decode(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: payload bytes → pseudo 8x8 RGB image."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "big"))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode → resize → feature vector.
+
+    Real deployments pass ``decode_fn`` (e.g. PIL/torchvision decode) which
+    is loaded ONCE per actor here in ``__init__``. Stub mode computes
+    mean-channel features of the deterministic fake image.
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 decode_fn: Callable[[bytes], np.ndarray] | None = None,
+                 fake_decode: bool = False):
+        self.payload_col = payload_col
+        if decode_fn is not None:
+            self.decode = decode_fn
+        elif fake_decode:
+            self.decode = _fake_image_decode
+        else:
+            def _raise(_):
+                raise NotImplementedError(
+                    "image decode requires an imaging library not present in "
+                    "this environment; pass decode_fn or fake_decode=True")
+            self.decode = _raise
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        for payload in t[self.payload_col].to_pylist():
+            img = self.decode(payload if payload is not None else b"")
+            feats.append(img.reshape(-1, img.shape[-1]).mean(axis=0).astype(np.float32))
+        return t.append_column(
+            "img_mean_rgb", pa.array([f.tolist() for f in feats],
+                                     type=pa.list_(pa.float32())))
+
+
+class AudioFrameSampler:
+    """Actor-pool stage shape for audio: frame-sample metadata extraction.
+    Stubbed identically to images (no audio codec available here)."""
+
+    def __init__(self, payload_col: str = "payload", frame_ms: int = 25,
+                 fake_decode: bool = False):
+        self.payload_col = payload_col
+        self.frame_ms = frame_ms
+        self.fake = fake_decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires an audio library not present in this "
+                "environment; pass fake_decode=True to exercise the plumbing")
+        n_frames = [max(1, (len(p) if p else 0) // 320) for p in t[self.payload_col].to_pylist()]
+        return t.append_column("n_frames", pa.array(n_frames, type=pa.int64()))
+
+
+def extract_image_features(ds: "ray.data.Dataset", *, fake_decode: bool = False,
+                           decode_fn=None, concurrency=(1, 8),
+                           batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageFeatureExtractor, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(decode_fn=decode_fn, fake_decode=fake_decode),
+        concurrency=concurrency,
+    )
+
+
+def sample_audio_frames(ds: "ray.data.Dataset", *, fake_decode: bool = False,
+                        concurrency=(1, 8), batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(fake_decode=fake_decode),
+        concurrency=concurrency,
+    )
+
+
+def make_multimodal_dataset(n: int = 64, seed: int = 42) -> "ray.data.Dataset":
+    """Deterministic synthetic multimodal table exercising the schema."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        rows.append({"mm_id": i, "mm_type": "image" if i % 2 == 0 else "audio",
+                     "payload": payload,
+                     "mm_meta": '{"w": 8, "h": 8}' if i % 2 == 0 else '{"sr": 16000}'})
+    return rd.from_items(rows)

@@ -1,0 +1,239 @@
+"""Similarity search over an embedding column (north-rule extension).
+
+Baseline: brute-force cosine top-k — queries are broadcast once
+(``ray.put`` of the L2-normalized query matrix), every batch does one
+numpy matmul, and per-(query) global top-k is reduced with a final small
+groupby. Scale path: LSH-bucketed variant (random-hyperplane signs) that
+only compares vectors sharing a bucket — the shuffle moves (bucket, id,
+vec) with the bucket count controlling recall/cost.
+
+Embedding-cosine near-duplicate detection reuses the LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import ray
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+
+
+class _BruteForceScorer:
+    """Actor-pool stage: per batch, cosine scores vs the broadcast query
+    matrix, emitting each batch's local top-k candidates per query."""
+
+    def __init__(self, qref, vec_col: str, id_col: str, k: int):
+        q = ray.get(qref)  # (num_queries, dim) already normalized
+        self.q = q["mat"]
+        self.qids = q["ids"]
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        v = _normalize(_stack(df[self.vec_col]))
+        ids = df[self.id_col].to_numpy()
+        scores = self.q @ v.T  # (nq, nb)
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            sel = top[qi]
+            out_q.extend([self.qids[qi]] * len(sel))
+            out_n.extend(ids[sel])
+            out_s.extend(scores[qi, sel])
+        return pd.DataFrame({"query_id": np.asarray(out_q),
+                             "neighbor_id": np.asarray(out_n),
+                             "score": np.asarray(out_s, dtype=np.float64)})
+
+
+def knn_brute_force(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Global cosine top-k per query: per-batch local top-k (matmul) →
+    small groupby('query_id') reduction to the global top-k. Output columns:
+    query_id, neighbor_id, score, rank (1-based)."""
+    qref = ray.put({"mat": _normalize(np.asarray(queries, dtype=np.float32)),
+                    "ids": np.asarray(query_ids)})
+    cands = ds.map_batches(
+        _BruteForceScorer, batch_format="pandas", batch_size=batch_size,
+        fn_constructor_kwargs=dict(qref=qref, vec_col=vec_col, id_col=id_col, k=k),
+        concurrency=concurrency,
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+class _HyperplaneHasher:
+    def __init__(self, dim: int, num_bits: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, num_bits)).astype(np.float32)
+        self.pows = (1 << np.arange(num_bits)).astype(np.int64)
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) > 0
+        return signs @ self.pows
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Approximate top-k: random-hyperplane LSH. Each vector lands in
+    ``num_tables`` buckets; queries are compared only against co-bucketed
+    vectors. Recall grows with num_tables; cost with 2^-num_bits density.
+    Same output schema as knn_brute_force (scores exact within candidates)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = qm.shape[1]
+    hashers = [_HyperplaneHasher(dim, num_bits, seed + t) for t in range(num_tables)]
+    qbuckets = [h.bucket(qm) for h in hashers]  # per table: (nq,)
+    # table → bucket → query indices that probe it
+    probe = {}
+    for t, qb in enumerate(qbuckets):
+        for qi, b in enumerate(qb):
+            probe.setdefault((t, int(b)), []).append(qi)
+    pref = ray.put({"probe": probe, "q": qm, "qids": np.asarray(query_ids),
+                    "hashers": hashers})
+
+    class _Scorer:
+        def __init__(self):
+            st = ray.get(pref)
+            self.probe, self.q, self.qids, self.hashers = (
+                st["probe"], st["q"], st["qids"], st["hashers"])
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+            v = _normalize(_stack(df[vec_col]))
+            ids = df[id_col].to_numpy()
+            frames = []
+            seen_pairs = set()
+            for t, h in enumerate(self.hashers):
+                vb = h.bucket(v)
+                for bi in np.unique(vb):
+                    qis = self.probe.get((t, int(bi)))
+                    if not qis:
+                        continue
+                    cand = np.nonzero(vb == bi)[0]
+                    scores = self.q[qis] @ v[cand].T
+                    for row, qi in enumerate(qis):
+                        for col, ci in enumerate(cand):
+                            key = (qi, ids[ci])
+                            if key in seen_pairs:
+                                continue
+                            seen_pairs.add(key)
+                            frames.append((self.qids[qi], ids[ci], float(scores[row, col])))
+            if not frames:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+            arr = pd.DataFrame(frames, columns=["query_id", "neighbor_id", "score"])
+            return arr
+
+    cands = ds.map_batches(_Scorer, batch_format="pandas", concurrency=concurrency)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def embedding_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.98,
+    num_bits: int = 10,
+    num_tables: int = 2,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate removal: LSH-bucket vectors, within
+    each bucket drop any id whose cosine to an earlier kept id exceeds the
+    threshold; anti-join survivors. Dimensionality read from the first row."""
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    hashers = [_HyperplaneHasher(dim, num_bits, seed + t) for t in range(num_tables)]
+    href = ray.put(hashers)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(href)
+        v = _normalize(_stack(df[vec_col]))
+        out = []
+        for t, h in enumerate(hs):
+            b = h.bucket(v)
+            out.append(pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                     "__t": t, "__b": b,
+                                     "__v": list(v.astype(np.float32))}))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+        g = g.sort_values(id_col, kind="stable")
+        v = np.stack(g["__v"].to_numpy())
+        ids = g[id_col].to_numpy()
+        kept = [0]
+        dups = []
+        for i in range(1, len(ids)):
+            if max(float(v[i] @ v[j]) for j in kept) >= cosine_threshold:
+                dups.append(ids[i])
+            else:
+                kept.append(i)
+        return pd.DataFrame({id_col: np.asarray(dups, dtype=ids.dtype)})
+
+    dup_ids = (ds.select_columns([id_col, vec_col])
+                 .map_batches(explode, batch_format="pandas")
+                 .groupby(["__t", "__b"])
+                 .map_groups(bucket_dups, batch_format="pandas")
+                 .unique(id_col))
+    dup_set = set(dup_ids)
+    ref = ray.put(dup_set)
+
+    class _Anti:
+        def __init__(self):
+            self.dups = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df[id_col].isin(self.dups)]
+
+    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))

@@ -1,0 +1,147 @@
+"""Text analysis stages for training-data curation (north-rule extension).
+
+All stages are actor-pool ``map_batches`` over pandas batches: regexes and
+frequency tables compile once per actor in ``__init__``, per-batch work is
+vectorized pandas string ops. At 100 TB these run embarrassingly parallel —
+no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+# Tiny per-language stopword/character profiles for the n-gram heuristic
+# language ID (public knowledge; deliberately dependency-free).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"},
+    "fr": {"le", "la", "les", "et", "des", "est", "un", "une", "que", "dans"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una"},
+    "it": {"il", "la", "di", "che", "e", "un", "una", "per", "non", "sono"},
+}
+
+_STOPWORDS_EN = _LANG_PROFILES["en"] | {"a", "an", "on", "at", "as", "by", "be", "are"}
+
+
+class TextQuality:
+    """Quality scoring: length, punctuation/digit/upper ratios, stopword
+    ratio, mean word length — the standard cheap quality heuristics."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[A-Za-z']+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].astype(str)
+        n_chars = s.str.len().to_numpy(np.int64)
+        words = s.str.findall(self.word_re)
+        n_words = words.map(len).to_numpy(np.int64)
+        df["q_n_chars"] = n_chars
+        df["q_n_words"] = n_words
+        df["q_punct_ratio"] = s.str.count(self.punct_re).to_numpy(float) / np.maximum(n_chars, 1)
+        df["q_digit_ratio"] = s.str.count(r"\d").to_numpy(float) / np.maximum(n_chars, 1)
+        df["q_upper_ratio"] = s.str.count(r"[A-Z]").to_numpy(float) / np.maximum(n_chars, 1)
+        df["q_mean_word_len"] = words.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0).to_numpy(float)
+        df["q_stopword_ratio"] = words.map(
+            lambda ws: sum(w.lower() in _STOPWORDS_EN for w in ws) / max(1, len(ws))
+        ).to_numpy(float)
+        return df
+
+
+class LangId:
+    """Stopword-profile language ID heuristic (n-gram-free but same spirit:
+    score = fraction of tokens hitting each language's top-word profile)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def classify(self, text: str) -> str:
+        toks = str(text).lower().split()
+        if not toks:
+            return "unk"
+        best, best_score = "unk", 0.0
+        for lang, words in self.profiles.items():
+            score = sum(t in words for t in toks) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "unk"
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[self.out_col] = [self.classify(t) for t in df[self.text_col]]
+        return df
+
+
+class TokenCounter:
+    """Token counting: whitespace tokens plus a BPE-ish regex token count
+    (GPT-2-style pretokenizer pattern, public)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.bpe_re = re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].astype(str)
+        df["n_ws_tokens"] = s.str.split().map(len).to_numpy(np.int64)
+        df["n_bpe_tokens"] = s.map(lambda t: len(self.bpe_re.findall(t))).to_numpy(np.int64)
+        return df
+
+
+class Fingerprinter:
+    """Document fingerprinting: 64-bit content hash + winnowed rolling-hash
+    k-gram fingerprint set hash (MOSS-style winnowing, public algorithm)."""
+
+    def __init__(self, text_col: str = "text", k: int = 7, window: int = 4):
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+
+    def fingerprint(self, text: str) -> tuple[int, int]:
+        t = " ".join(str(text).lower().split())
+        content = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 1
+        if len(t) < self.k:
+            return content, content
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t[i:i + self.k].encode(), digest_size=8).digest(), "big") >> 1
+             for i in range(len(t) - self.k + 1)), dtype=np.int64)
+        # winnowing: min hash per sliding window of k-gram hashes
+        w = min(self.window, len(hashes))
+        mins = pd.Series(hashes).rolling(w, min_periods=1).min().to_numpy(np.int64)[w - 1:]
+        selected = np.unique(mins)
+        combined = int.from_bytes(
+            hashlib.blake2b(selected.tobytes(), digest_size=8).digest(), "big") >> 1
+        return content, combined
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pairs = [self.fingerprint(t) for t in df[self.text_col]]
+        df["content_hash"] = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        df["winnow_hash"] = np.asarray([p[1] for p in pairs], dtype=np.int64)
+        return df
+
+
+def text_stats(ds: "ray.data.Dataset", text_col: str = "text",
+               concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    """Convenience: quality + token counts in one actor-pool pass."""
+    ds = ds.map_batches(TextQuality, batch_format="pandas", batch_size=batch_size,
+                        fn_constructor_kwargs=dict(text_col=text_col),
+                        concurrency=concurrency)
+    return ds.map_batches(TokenCounter, batch_format="pandas", batch_size=batch_size,
+                          fn_constructor_kwargs=dict(text_col=text_col),
+                          concurrency=concurrency)

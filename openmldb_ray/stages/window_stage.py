@@ -121,6 +121,7 @@ def window_agg_salted(
     *,
     bucket_ms: int,
     history_ms: int | None = None,
+    union: "ray.data.Dataset | None" = None,
     tiebreak: str | None = None,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
@@ -140,11 +141,17 @@ def window_agg_salted(
     """
     if frame.range_preceding is None:
         raise ValueError("salted path requires a ROWS_RANGE frame (time-bounded history)")
+    if frame.instance_not_in_window:
+        raise ValueError("INSTANCE_NOT_IN_WINDOW is not supported on the salted path "
+                         "(expanded primary replicas would be buffered); use window_agg")
     if history_ms is None:
         history_ms = frame.range_preceding
     if bucket_ms < history_ms:
         raise ValueError("bucket_ms must be >= history_ms to cover the frame")
     keys = _normalize_keys(partition_by)
+    if union is not None:
+        ds = ds.map_batches(_add_flag_true, batch_format="pandas")
+        ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas"))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         s = pd.to_numeric(df[order_by], errors="coerce")
@@ -162,12 +169,18 @@ def window_agg_salted(
 
     ds = ds.map_batches(explode, batch_format="pandas")
 
+    has_union = union is not None
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [order_by, EXPANDED_FLAG]  # expanded rows first on ties? they are history: same ts
-        if tiebreak:
-            sort_cols = [order_by, tiebreak, EXPANDED_FLAG]
+        # expanded (replicated-history) rows always have strictly smaller ts
+        # than the bucket's own rows, so ties only occur within a class;
+        # union rows sort before primary on ties as in the plain stage
+        sort_cols = [order_by] + ([UNION_FLAG] if has_union else []) + ([tiebreak] if tiebreak else [])
         g = g.sort_values(sort_cols, kind="stable")
-        g[UNION_FLAG] = ~g[EXPANDED_FLAG]
+        emit = ~g[EXPANDED_FLAG]
+        if has_union:
+            emit &= g[UNION_FLAG]
+        g = g.assign(**{UNION_FLAG: emit})
         out = compute_window_features(g, order_by, aggs, frame, is_primary_col=UNION_FLAG)
         return out.drop(columns=[c for c in (EXPANDED_FLAG, BUCKET_COL) if c in out.columns])
 

@@ -1,0 +1,110 @@
+"""Flagship-suite tests: deterministic generation, zero temporal leakage
+(independent O(n²) pandas oracle), token-array passthrough equality, and
+lineage-based resume."""
+
+import numpy as np
+import pandas as pd
+
+from openmldb_ray.pipelines import flagship as FS
+
+N_DOCS = 2000
+
+
+def gen_all_pandas(n=N_DOCS, seed=42) -> pd.DataFrame:
+    t = FS.gen_sequences_batch(np.arange(n, dtype=np.uint64), seed, n)
+    return t.to_pandas()
+
+
+def test_generation_deterministic_and_batch_independent():
+    whole = FS.gen_sequences_batch(np.arange(100, dtype=np.uint64), 42, 100).to_pandas()
+    parts = pd.concat([
+        FS.gen_sequences_batch(np.arange(0, 37, dtype=np.uint64), 42, 100).to_pandas(),
+        FS.gen_sequences_batch(np.arange(37, 100, dtype=np.uint64), 42, 100).to_pandas(),
+    ], ignore_index=True)
+    assert (whole["doc_id"] == parts["doc_id"]).all()
+    assert (whole["n_tok"] == parts["n_tok"]).all()
+    for a, b in zip(whole["tokens"], parts["tokens"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # hot-source skew present
+    frac_web = (whole["source"] == "web").mean()
+    assert 0.5 < frac_web < 0.9
+
+
+def oracle_features(df: pd.DataFrame, split_ts: int) -> pd.DataFrame:
+    """Independent point-in-time recomputation (brute force O(n²)):
+    window of row r = rows of same source with ts in [r.ts-6h, r.ts] that
+    arrived before r in the sorted stream (history rows included, primary
+    rows of the future excluded — zero leakage by construction)."""
+    frame_ms = 6 * 3600 * 1000
+    out_rows = []
+    for src, g in df.groupby("source"):
+        g = g.sort_values(["event_ts", "doc_id"], kind="stable").reset_index(drop=True)
+        ts = g["event_ts"].to_numpy()
+        prim = ts >= split_ts
+        for i in range(len(g)):
+            if not prim[i]:
+                continue
+            lo = ts[i] - frame_ms
+            win = [j for j in range(i + 1) if ts[j] >= lo]
+            sub = g.iloc[win]
+            lag1 = g["n_tok"].iloc[win[-2]] if len(win) >= 2 else None
+            counts = sub["lang_bucket"].value_counts()
+            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out_rows.append({
+                "doc_id": g["doc_id"].iloc[i],
+                "sum_tok_6h": float(sub["n_tok"].sum()),
+                "cnt_6h": len(sub),
+                "avg_tok_6h": float(sub["n_tok"].mean()),
+                "min_tok_6h": int(sub["n_tok"].min()),
+                "max_tok_6h": int(sub["n_tok"].max()),
+                "lag1_tok": lag1,
+                "dc_lang_6h": sub["lang_bucket"].nunique(),
+                "top_lang_6h": ",".join(k for k, _ in items[:3]),
+            })
+    return pd.DataFrame(out_rows)
+
+
+def test_flagship_features_match_oracle_and_tokens_roundtrip(ray_session, tmp_path):
+    out = FS.flagship(num_docs=N_DOCS).to_pandas()
+    raw = gen_all_pandas()
+    split_ts = FS.BASE_TS + (N_DOCS // 2) * FS.STEP_MS // 5
+
+    exp = oracle_features(raw, split_ts)
+    assert len(out) == len(exp)
+    m = out.merge(exp, on="doc_id", suffixes=("", "_exp"))
+    assert len(m) == len(exp)
+    for c in ["sum_tok_6h", "cnt_6h", "avg_tok_6h", "min_tok_6h", "max_tok_6h",
+              "lag1_tok", "dc_lang_6h"]:
+        a = pd.to_numeric(m[c], errors="coerce").astype(float)
+        b = pd.to_numeric(m[f"{c}_exp"], errors="coerce").astype(float)
+        assert np.allclose(a, b, equal_nan=True), f"{c} mismatch"
+    assert (m["top_lang_6h"].astype(str) == m["top_lang_6h_exp"].astype(str)).all()
+
+    # point-in-time LAST JOIN: prev-day stats must never cover the event's own day
+    j = out[out["prev_day_avail_ts"].notna()]
+    assert (j["prev_day_avail_ts"] <= j["event_ts"]).all()
+
+    # token passthrough: byte-identical to the generated input
+    tok_in = dict(zip(raw["doc_id"], raw["tokens"]))
+    for did, toks in zip(out["doc_id"], out["tokens"]):
+        assert np.array_equal(np.asarray(toks, dtype=np.int32),
+                              np.asarray(tok_in[did], dtype=np.int32)), did
+
+
+def test_lineage_resume(ray_session, tmp_path):
+    out_dir = str(tmp_path / "flag_out")
+    FS.flagship(num_docs=400, out_dir=out_dir)
+    from openmldb_ray.state.lineage import completed_partitions, write_partitioned_with_lineage
+
+    done = completed_partitions(out_dir)
+    assert len(done) >= 3  # most sources present
+    # a rerun skips everything
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(f for p in done for f in glob.glob(f"{out_dir}/part={p}/*.parquet"))
+    ds = rd.read_parquet(files)
+    summary = write_partitioned_with_lineage(ds, out_dir, "source", resume=True)
+    assert summary["written"] == []
+    assert set(summary["skipped"]) == done
