@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tokenized-sequence suite at sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names and
+types match between engine and oracle; floats that aggregate across
+nondeterministic block orders are rounded to 6 decimals on BOTH sides so
+sub-ulp summation-order differences cannot flip the value hash.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,697 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_R6 = 6  # float rounding applied identically in engine + oracle
+
+
+def _events_ms(sf_dir, cols=("event_id", "user_id", "ts_ms", "value")):
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+
+    ds = with_ts_ms(read_table(sf_dir, "events"), "ts")
+    return ds.select_columns(list(cols))
+
+
+def _round_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = pd.to_numeric(df[c], errors="coerce").astype(float).round(_R6)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each: sf_dir -> Dataset | DataFrame)
+
+
+def q_window_rows(sf_dir: str):
+    """WindowAggPlan: ROWS frame, the 5 core UDAFs (SURVEY §2.2/§2.3)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.sum("value", "sum_v"), Agg.count_star("cnt"), Agg.avg("value", "avg_v"),
+         Agg.min("value", "min_v"), Agg.max("value", "max_v")],
+        rows(2), tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["sum_v", "avg_v", "min_v", "max_v"])
+
+
+def q_window_range(sf_dir: str):
+    """WindowAggPlan: ROWS_RANGE 1h PRECEDING frame."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows_range
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.sum("value", "sum_v"), Agg.count_star("cnt"), Agg.max("value", "max_v")],
+        rows_range("1h"), tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["sum_v", "max_v"])
+
+
+def q_window_range_open(sf_dir: str):
+    """ROWS_RANGE 1h OPEN PRECEDING (strict start bound, exact kernel)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows_range
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.sum("value", "sum_v"), Agg.count_star("cnt")],
+        rows_range("1h", open_range=True), tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["sum_v"])
+
+
+def q_window_exclude_current_row(sf_dir: str):
+    """ROWS 3..1 PRECEDING via EXCLUDE CURRENT_ROW-style end bound."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import FrameSpec
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.sum("value", "sum_v"), Agg.count_star("cnt")],
+        FrameSpec(rows_preceding=3, exclude_current_row=True), tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["sum_v"])
+
+
+def q_lag_lead(sf_dir: str):
+    """lag (window_functions_def.cc:95-175) + lead (north-rule extension)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import unbounded
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.lag("value", 1, "lag1_v"), Agg.lag("value", 3, "lag3_v"),
+         Agg.lead("value", 2, "lead2_v")],
+        unbounded(), tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["lag1_v", "lag3_v", "lead2_v"])
+
+
+def q_last_join_asof(sf_dir: str):
+    """Sorted LAST JOIN with point-in-time bound (JoinPlan.scala:153-189)."""
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.join_stage import last_join
+
+    orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_ts_ms"])
+    out = last_join(
+        _events_ms(sf_dir), orders, ("user_id", "o_custkey"),
+        order_by="o_ts_ms", asof_left_ts="ts_ms", tiebreak="o_orderkey",
+        right_cols={"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"},
+        strategy="broadcast",
+    ).to_pandas()
+    out["o_orderkey"] = pd.to_numeric(out["o_orderkey"], errors="coerce").astype(float)
+    out["o_totalprice"] = pd.to_numeric(out["o_totalprice"], errors="coerce").astype(float)
+    return _round_cols(out, ["value", "o_totalprice"])
+
+
+def q_last_join_unsorted(sf_dir: str):
+    """Unsorted LAST JOIN: first right row in storage order (JoinPlan:190-196)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.join_stage import last_join
+
+    cust = read_table(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"])
+    orders = read_table(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = last_join(
+        cust, orders, ("c_custkey", "o_custkey"),
+        right_cols={"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"},
+        strategy="broadcast",
+    ).to_pandas()
+    out["o_orderkey"] = pd.to_numeric(out["o_orderkey"], errors="coerce").astype(float)
+    out["o_totalprice"] = pd.to_numeric(out["o_totalprice"], errors="coerce").astype(float)
+    return out
+
+
+def q_window_union(sf_dir: str):
+    """WINDOW UNION backfill (WindowAggPlanUtil.scala:50-117): non-click
+    events feed window state, only click rows emit."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows_range
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.window_stage import window_agg
+
+    ev = with_ts_ms(read_table(sf_dir, "events"), "ts").select_columns(
+        ["event_id", "user_id", "ts_ms", "value", "event_type"])
+    primary = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts_ms", "value"])
+    union = ev.filter(expr="event_type != 'click'").select_columns(
+        ["event_id", "user_id", "ts_ms", "value"])
+    out = window_agg(
+        primary, "user_id", "ts_ms",
+        [Agg.count_star("cnt_all"), Agg.sum("value", "sum_all")],
+        rows_range("2h"), union=union, tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["value", "sum_all"])
+
+
+def q_sessionize(sf_dir: str):
+    """Session gap windows (north-rule extension, SURVEY §7.6)."""
+    from openmldb_ray.stages.session_stage import sessionize
+
+    return sessionize(_events_ms(sf_dir, ("event_id", "user_id", "ts_ms")),
+                      "user_id", "ts_ms", gap=30 * 60 * 1000,
+                      tiebreak="event_id").to_pandas()
+
+
+def q_session_agg(sf_dir: str):
+    """One row per session: bounds + count + value sum."""
+    from openmldb_ray.stages.session_stage import session_aggregate
+
+    out = session_aggregate(_events_ms(sf_dir), "user_id", "ts_ms",
+                            gap=30 * 60 * 1000, value_col="value",
+                            tiebreak="event_id").to_pandas()
+    return _round_cols(out, ["sum_value"])
+
+
+def q_group_agg(sf_dir: str):
+    """GroupByAggregationPlan: TPC-H Q1-ish grouped aggregate."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"])
+    out = group_aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        [Agg.sum("l_quantity", "sum_qty"), Agg.sum("l_extendedprice", "sum_price"),
+         Agg.avg("l_quantity", "avg_qty"), Agg.count_star("n")],
+    ).to_pandas()
+    # big-magnitude money sum: 2dp rounding (6dp would sit below the ulp)
+    out["sum_price"] = pd.to_numeric(out["sum_price"]).astype(float).round(2)
+    return _round_cols(out, ["sum_qty", "avg_qty"])
+
+
+def q_group_agg_where(sf_dir: str):
+    """count_where / sum_where / avg_where (default_udf_library.cc InitUdaf)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def add_flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["big"] = df["value"] > 50
+        return df
+
+    out = group_aggregate(
+        ev.map_batches(add_flag, batch_format="pandas"), "event_type",
+        [Agg.sum_where("value", "big", "sum_big"),
+         Agg.count_where("value", "big", "cnt_big"),
+         Agg.avg_where("value", "big", "avg_big")],
+    ).to_pandas()
+    out["cnt_big"] = pd.to_numeric(out["cnt_big"]).astype("int64")
+    return _round_cols(out, ["sum_big", "avg_big"])
+
+
+def q_group_stats(sf_dir: str):
+    """distinct_count / median / top1_ratio / topn_frequency in GROUP BY."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    out = group_aggregate(
+        ev, "user_id",
+        [Agg.distinct_count("event_type", "dc_types"),
+         Agg.median("value", "med_v"),
+         Agg.top1_ratio("event_type", "top1r"),
+         Agg.topn_frequency("event_type", 2, "top2_types")],
+    ).to_pandas()
+    out["dc_types"] = pd.to_numeric(out["dc_types"]).astype("int64")
+    return _round_cols(out, ["med_v", "top1r"])
+
+
+def q_scalar_project(sf_dir: str):
+    """RowProjectPlan: scalar fn library over pyarrow.compute."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.functions.scalar import get, project
+    from openmldb_ray.sources.io import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_shipdate", "l_extendedprice", "l_discount"])
+    out = project(
+        li,
+        {
+            "ship_year": lambda t: get("year")(t["l_shipdate"]),
+            "ship_month": lambda t: get("month")(t["l_shipdate"]),
+            "flag_lower": lambda t: get("lower")(t["l_returnflag"]),
+            "rev": lambda t: pc.multiply(t["l_extendedprice"],
+                                         pc.subtract(1.0, t["l_discount"])),
+            "qty_null": lambda t: get("is_null")(t["l_discount"]),
+        },
+        keep=["l_orderkey", "l_linenumber"],
+    ).to_pandas()
+    return _round_cols(out, ["rev"])
+
+
+def q_filter(sf_dir: str):
+    """FilterPlan: vectorized predicate."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import filter_expr
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+    return filter_expr(
+        li, lambda t: pc.and_(pc.greater(t["l_quantity"], 45),
+                              pc.equal(t["l_returnflag"], "A"))).to_pandas()
+
+
+def q_simple_project(sf_dir: str):
+    """SimpleProjectPlan: select / rename / cast."""
+    import pyarrow as pa
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import simple_project
+
+    return simple_project(
+        read_table(sf_dir, "nation"),
+        {"n_nationkey": "nation_id", "n_name": "nation_name", "n_regionkey": "region_id"},
+        casts={"n_nationkey": pa.int64()},
+    ).to_pandas()
+
+
+def q_const_project(sf_dir: str):
+    """ConstProjectPlan: SELECT of constants."""
+    from openmldb_ray.stages.relational import const_project
+
+    return const_project([{"a": 1, "b": "x", "c": 2.5}]).to_pandas()
+
+
+def q_sort_limit(sf_dir: str):
+    """SortByPlan + LimitPlan: global top-10."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import limit_n, sort_by
+
+    o = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return limit_n(sort_by(o, ["o_totalprice", "o_orderkey"],
+                           descending=[True, False]), 10).to_pandas()
+
+
+def q_distinct(sf_dir: str):
+    """DISTINCT (extension; reference throws on offline Distinct)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import distinct
+
+    return distinct(read_table(sf_dir, "events", columns=["event_type"]),
+                    "event_type").to_pandas()
+
+
+def q_multi_window(sf_dir: str):
+    """Multi-window parallelism (ConcatJoin pattern, SparkPlanner:100-108):
+    two windows with different PARTITION BY over the same rows, fused."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.window_stage import window_agg
+
+    ev = with_ts_ms(read_table(sf_dir, "events"), "ts").select_columns(
+        ["event_id", "user_id", "event_type", "ts_ms", "value"])
+    w1 = window_agg(ev, "user_id", "ts_ms",
+                    [Agg.sum("value", "w1_sum")], rows(3), tiebreak="event_id")
+    out = window_agg(w1, "event_type", "ts_ms",
+                     [Agg.count_star("w2_cnt")], rows(5), tiebreak="event_id").to_pandas()
+    return _round_cols(out, ["value", "w1_sum"])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition + per-group first (SURVEY §7.4)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.dedup import exact_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    out = exact_dedup(docs, "text", keep_by="doc_id").to_pandas()
+    return out[["doc_id", "n_chars"]]
+
+
+def q_text_stats(sf_dir: str):
+    """Token counting + quality stats over documents."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import text_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_stats(docs).to_pandas()
+    out = out[["doc_id", "q_n_chars", "n_ws_tokens", "q_digit_ratio"]]
+    return _round_cols(out, ["q_digit_ratio"])
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vectors."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import knn_brute_force
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    out = knn_brute_force(
+        emb, np.stack([np.asarray(v, float) for v in qdf["embedding"]]),
+        qdf["vec_id"].to_numpy(), k=5).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN variant (approximate — rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import knn_lsh
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    out = knn_lsh(
+        emb, np.stack([np.asarray(v, float) for v in qdf["embedding"]]),
+        qdf["vec_id"].to_numpy(), k=5).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup (rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, "text", "doc_id").to_pandas()[["doc_id"]]
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup (rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.dedup import simhash_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs, "text", "doc_id").to_pandas()[["doc_id"]]
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup (rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import embedding_dedup
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dedup(emb).to_pandas()[["vec_id"]]
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import LangId
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pandas",
+                            concurrency=(1, 4)).to_pandas()[["doc_id", "lang_pred"]]
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowed document fingerprints (rows-only check)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import Fingerprinter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprinter, batch_format="pandas",
+                            concurrency=(1, 4)).to_pandas()[
+        ["doc_id", "content_hash", "winnow_hash"]]
+
+
+def q_multimodal(sf_dir: str):
+    """Multimodal plumbing: binary payload schema + actor-pool decode stub."""
+    from openmldb_ray.stages.multimodal import extract_image_features, make_multimodal_dataset
+
+    mm = make_multimodal_dataset(64)
+    out = extract_image_features(mm, fake_decode=True).to_pandas()
+    out["feat_dim"] = out["img_mean_rgb"].map(len)
+    return out[["mm_id", "mm_type", "feat_dim"]]
+
+
+def q_flagship(sf_dir: str):
+    """The full tokenized-sequence suite (rows-only check; semantics are
+    pytest-verified against an independent point-in-time oracle)."""
+    from openmldb_ray.pipelines.flagship import flagship
+
+    out = flagship(num_docs=2000).to_pandas()
+    out["n_tokens"] = out["tokens"].map(len)
+    return out.drop(columns=["tokens"])
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from openmldb_ray.pipelines.flagship import flagship
+
+    return flagship(SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "window_rows": q_window_rows,
+        "window_range": q_window_range,
+        "window_range_open": q_window_range_open,
+        "window_exclude_current_row": q_window_exclude_current_row,
+        "lag_lead": q_lag_lead,
+        "last_join_asof": q_last_join_asof,
+        "last_join_unsorted": q_last_join_unsorted,
+        "window_union": q_window_union,
+        "sessionize": q_sessionize,
+        "session_agg": q_session_agg,
+        "group_agg": q_group_agg,
+        "group_agg_where": q_group_agg_where,
+        "group_stats": q_group_stats,
+        "scalar_project": q_scalar_project,
+        "filter": q_filter,
+        "simple_project": q_simple_project,
+        "const_project": q_const_project,
+        "sort_limit": q_sort_limit,
+        "distinct": q_distinct,
+        "multi_window": q_multi_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "knn": q_knn,
+        "knn_lsh": q_knn_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "multimodal": q_multimodal,
+        "flagship": q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    TS = "CAST(epoch_ms(ts) AS BIGINT)"
+    return {
+        "window_rows": f"""
+            SELECT event_id, user_id, {TS} AS ts_ms,
+                   ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt,
+                   ROUND(AVG(value) OVER w, 6) AS avg_v,
+                   ROUND(MIN(value) OVER w, 6) AS min_v,
+                   ROUND(MAX(value) OVER w, 6) AS max_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "window_range": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt,
+                   ROUND(MAX(value) OVER w, 6) AS max_v
+            FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        """,
+        "window_range_open": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt
+            FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                         RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+        """,
+        "window_exclude_current_row": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt
+            FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        """,
+        "lag_lead": f"""
+            SELECT event_id, user_id, {TS} AS ts_ms, ROUND(value, 6) AS value,
+                   ROUND(LAG(value, 1) OVER w, 6) AS lag1_v,
+                   ROUND(LAG(value, 3) OVER w, 6) AS lag3_v,
+                   ROUND(LEAD(value, 2) OVER w, 6) AS lead2_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "last_join_asof": f"""
+            SELECT e.event_id, e.user_id, {TS.replace('ts', 'e.ts')} AS ts_ms,
+                   ROUND(e.value, 6) AS value,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   ROUND(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+            QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
+                PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "last_join_unsorted": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
+                PARTITION BY c.c_custkey ORDER BY o.o_orderkey) = 1
+        """,
+        "window_union": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   cnt_all, ROUND(sum_all, 6) AS sum_all FROM (
+              SELECT event_id, user_id, event_type, value, {TS} AS ts_ms,
+                     COUNT(*) OVER w AS cnt_all,
+                     SUM(value) OVER w AS sum_all
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY {TS}
+                           RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
+            ) WHERE event_type = 'click'
+        """,
+        "sessionize": f"""
+            SELECT event_id, user_id, ts_ms,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, {TS} AS ts_ms,
+                     CASE WHEN {TS} - LAG({TS}) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events) t
+        """,
+        "session_agg": f"""
+            SELECT user_id, session_id, MIN(ts_ms) AS session_start,
+                   MAX(ts_ms) AS session_end, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM (
+              SELECT user_id, value, ts_ms,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM (
+                SELECT event_id, user_id, value, {TS} AS ts_ms,
+                       CASE WHEN {TS} - LAG({TS}) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events) a) b
+            GROUP BY user_id, session_id
+        """,
+        "group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_agg_where": """
+            SELECT event_type,
+                   ROUND(SUM(CASE WHEN value > 50 THEN value END), 6) AS sum_big,
+                   COUNT(CASE WHEN value > 50 THEN value END) AS cnt_big,
+                   ROUND(AVG(CASE WHEN value > 50 THEN value END), 6) AS avg_big
+            FROM events GROUP BY event_type
+        """,
+        "group_stats": """
+            WITH tc AS (
+              SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+            ), agg AS (
+              SELECT user_id, COUNT(DISTINCT event_type) AS dc_types,
+                     MEDIAN(value) AS med_v, COUNT(*) AS n
+              FROM events GROUP BY 1
+            ), mx AS (
+              SELECT user_id, MAX(c) AS mx FROM tc GROUP BY 1
+            ), t2 AS (
+              SELECT user_id,
+                     string_agg(event_type, ',' ORDER BY c DESC, event_type) AS top2_types
+              FROM (SELECT user_id, event_type, c, ROW_NUMBER() OVER (
+                        PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+                    FROM tc) x
+              WHERE rn <= 2 GROUP BY user_id
+            )
+            SELECT a.user_id, a.dc_types, ROUND(a.med_v, 6) AS med_v,
+                   ROUND(CAST(m.mx AS DOUBLE) / a.n, 6) AS top1r, t.top2_types
+            FROM agg a JOIN mx m USING (user_id) JOIN t2 t USING (user_id)
+        """,
+        "scalar_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(year(l_shipdate) AS INT) AS ship_year,
+                   CAST(month(l_shipdate) AS INT) AS ship_month,
+                   lower(l_returnflag) AS flag_lower,
+                   ROUND(l_extendedprice * (1 - l_discount), 6) AS rev,
+                   l_discount IS NULL AS qty_null
+            FROM lineitem
+        """,
+        "filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'
+        """,
+        "simple_project": """
+            SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+                   n_name AS nation_name, n_regionkey AS region_id
+            FROM nation
+        """,
+        "const_project": "SELECT CAST(1 AS BIGINT) AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c",
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct": "SELECT DISTINCT event_type FROM events",
+        "multi_window": f"""
+            SELECT event_id, user_id, event_type, {TS} AS ts_ms,
+                   ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w1, 6) AS w1_sum,
+                   COUNT(*) OVER w2 AS w2_cnt
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "dedup_exact": """
+            SELECT doc_id, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS q_n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                       AS n_ws_tokens,
+                   ROUND(len(regexp_extract_all(text, '\d'))::DOUBLE /
+                         GREATEST(length(text), 1), 6) AS q_digit_ratio
+            FROM documents
+        """,
+        "knn": """
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                                 v.vec_id) AS BIGINT) AS rank
+            FROM embeddings q CROSS JOIN embeddings v
+            WHERE q.vec_id < 10
+            QUALIFY rank <= 5
+        """,
+    }

@@ -155,7 +155,7 @@ def minhash_lsh_dedup(
     dup_ids = (banded.groupby(["__band", "__bh"])
                      .map_groups(bucket_dups, batch_format="pandas")
                      .unique(id_col))
-    dup_set = set(dup_ids)
+    dup_set = set(dup_ids or [])
 
     # anti-join: broadcast the (small) duplicate-id set
     import ray as _ray
@@ -183,10 +183,12 @@ class SimHasher:
         words = str(text).lower().split()
         feats = [" ".join(words[i:i + 3]) for i in range(max(1, len(words) - 2))]
         acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for f in feats:
-            h = int.from_bytes(hashlib.blake2b(f.encode(), digest_size=8).digest(), "big")
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(f.encode(), digest_size=8).digest(), "big"))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == np.uint64(1), 1, -1)
         out = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
         return out - (1 << 64) if out >= (1 << 63) else out
 
@@ -235,7 +237,7 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
                      .groupby(["__seg", "__key"])
                      .map_groups(block_dups, batch_format="pandas")
                      .unique(id_col))
-    dup_set = set(dup_ids)
+    dup_set = set(dup_ids or [])
     import ray as _ray
     ref = _ray.put(dup_set)
 

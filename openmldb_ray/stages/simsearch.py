@@ -28,7 +28,7 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
 class _BruteForceScorer:
@@ -76,7 +76,7 @@ def knn_brute_force(
     """Global cosine top-k per query: per-batch local top-k (matmul) →
     small groupby('query_id') reduction to the global top-k. Output columns:
     query_id, neighbor_id, score, rank (1-based)."""
-    qref = ray.put({"mat": _normalize(np.asarray(queries, dtype=np.float32)),
+    qref = ray.put({"mat": _normalize(np.asarray(queries, dtype=np.float64)),
                     "ids": np.asarray(query_ids)})
     cands = ds.map_batches(
         _BruteForceScorer, batch_format="pandas", batch_size=batch_size,
@@ -96,7 +96,7 @@ def knn_brute_force(
 class _HyperplaneHasher:
     def __init__(self, dim: int, num_bits: int = 12, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.planes = rng.normal(size=(dim, num_bits)).astype(np.float32)
+        self.planes = rng.normal(size=(dim, num_bits)).astype(np.float64)
         self.pows = (1 << np.arange(num_bits)).astype(np.int64)
 
     def bucket(self, vecs: np.ndarray) -> np.ndarray:
@@ -121,7 +121,7 @@ def knn_lsh(
     ``num_tables`` buckets; queries are compared only against co-bucketed
     vectors. Recall grows with num_tables; cost with 2^-num_bits density.
     Same output schema as knn_brute_force (scores exact within candidates)."""
-    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
     dim = qm.shape[1]
     hashers = [_HyperplaneHasher(dim, num_bits, seed + t) for t in range(num_tables)]
     qbuckets = [h.bucket(qm) for h in hashers]  # per table: (nq,)
@@ -226,7 +226,7 @@ def embedding_dedup(
                  .groupby(["__t", "__b"])
                  .map_groups(bucket_dups, batch_format="pandas")
                  .unique(id_col))
-    dup_set = set(dup_ids)
+    dup_set = set(dup_ids or [])
     ref = ray.put(dup_set)
 
     class _Anti:
