@@ -1,0 +1,124 @@
+"""Headline benchmark: the flagship tokenized-sequence suite plus the
+operator queries, over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "feature_rows": R, "feature_rows_per_sec": T}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
+and prints both throughputs plus the scaling efficiency
+eff = (rows/s @ 32) / (4 x rows/s @ 8)  — the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# benchmark queries (subset of __ray_entry__.queries() that exercises every
+# wide operator class at sf scale)
+BENCH_QUERIES = [
+    "window_rows", "window_range", "last_join_asof", "window_union",
+    "sessionize", "group_agg", "multi_window", "dedup_exact", "text_stats",
+    "knn", "minhash_dedup",
+]
+
+
+def _consume(res) -> int:
+    """Materialize a query result far enough to count rows."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    try:
+        return res.count()
+    except AttributeError:
+        return res.num_rows
+
+
+def flagship_num_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return n_docs * 40  # sf0.1 → 200k sequences
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    from openmldb_ray.pipelines.flagship import flagship
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for t in ("events", "orders", "lineitem", "documents", "embeddings", "customer"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    timings: dict[str, float] = {}
+
+    n_docs = flagship_num_docs(SF_DIR)
+    t0 = time.time()
+    feat_rows = flagship(num_docs=n_docs).count()
+    headline = time.time() - t0
+    timings["flagship"] = round(headline, 3)
+
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "tokenized-sequence as-of-join + window suite wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "num_docs": n_docs,
+        "feature_rows": int(feat_rows),
+        "feature_rows_per_sec": round(feat_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["feature_rows_per_sec"]
+    thr_hi = hi["feature_rows_per_sec"]
+    eff = thr_hi / (4.0 * thr_lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, stand-in for N -> 4N nodes)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": thr_lo, "rows_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "feature_rows": lo["feature_rows"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    print(json.dumps(result))

@@ -158,6 +158,42 @@ def _doc_bucket(tbl: pa.Table, num_buckets: int) -> pa.Array:
     return pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int32())
 
 
+def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
+                   num_buckets: int = 64):
+    """Re-attach the token payload to the feature rows by doc_id.
+
+    Broadcast path (feature rows fit in the object store comfortably):
+    the canonicalized feature table is collected once, ``ray.put``, and the
+    payload STREAMS through a stateless arrow merge — tokens cross zero
+    shuffles, zero pandas conversions. Fallback: bucketed hash join.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    ftbl_ds = feats.map_batches(_canonicalize, batch_format="pyarrow").materialize()
+    if ftbl_ds.count() > broadcast_limit:
+        return _bucketed_attach_tokens(ftbl_ds, payload, num_buckets=num_buckets)
+    ftbl = pa.concat_tables(
+        ftbl_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    ref = ray.put(ftbl)
+
+    class _Attach:
+        def __init__(self):
+            self.f = ray.get(ref)
+            self.keys = self.f["doc_id"].combine_chunks()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["doc_id"], value_set=self.keys)
+            mask = pc.is_valid(idx)
+            t = t.filter(mask)
+            sel = self.f.take(idx.filter(mask))
+            out = sel.drop_columns(["doc_id"])
+            out = out.add_column(0, "doc_id", t["doc_id"].combine_chunks())
+            return out.append_column("tokens", t["tokens"].combine_chunks())
+
+    return payload.map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def _bucketed_attach_tokens(feats, payload, num_buckets: int = 64):
     """Partitioned hash join feats ⋈ payload on doc_id (list payload stays
     in Arrow end to end)."""
@@ -216,24 +252,28 @@ def flagship(
     seqs = make_sequences(num_docs, seed)
 
     # ---- payload split: tokens stay out of every shuffle -------------------
-    narrow = seqs.select_columns(["doc_id", "source", "event_ts", "n_tok", "lang_bucket"])
+    # narrow is consumed twice (daily stats + join) → materialize the small
+    # columns once; the token payload stays lazy and is re-generated/read
+    # only in the final attach stage
+    narrow = seqs.select_columns(
+        ["doc_id", "source", "event_ts", "n_tok", "lang_bucket"]).materialize()
     payload = seqs.select_columns(["doc_id", "tokens"])
 
     # ---- per-(source, day) stats table, point-in-time available only after
     # the day closes (avail_ts = day end) — the LAST JOIN right side --------
-    def add_day(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["avail_ts"] = (df["event_ts"] // DAY_MS) * DAY_MS + DAY_MS
-        return df
+    # partial-aggregate inside map_batches, combine the tiny partials on the
+    # driver — the result is ~(sources x days) rows, so a distributed
+    # groupby shuffle would be pure overhead (SURVEY §4 "pre-aggregate")
+    def partial_day(df: pd.DataFrame) -> pd.DataFrame:
+        avail = (df["event_ts"] // DAY_MS) * DAY_MS + DAY_MS
+        return (pd.DataFrame({"source": df["source"], "avail_ts": avail,
+                              "day_sum_tok": df["n_tok"], "day_cnt": 1})
+                .groupby(["source", "avail_ts"], as_index=False).sum())
 
-    from ..stages.relational import group_aggregate
-
-    daily = group_aggregate(
-        narrow.map_batches(add_day, batch_format="pandas")
-              .select_columns(["source", "avail_ts", "n_tok"]),
-        ["source", "avail_ts"],
-        [Agg.sum("n_tok", "day_sum_tok"), Agg.count_star("day_cnt")],
-    )
+    daily = (narrow.select_columns(["source", "event_ts", "n_tok"])
+             .map_batches(partial_day, batch_format="pandas")
+             .to_pandas()
+             .groupby(["source", "avail_ts"], as_index=False).sum())
 
     joined = last_join(
         narrow, daily, ("source", "source"),
@@ -244,22 +284,28 @@ def flagship(
     )
 
     # ---- WINDOW UNION backfill: warm-up history feeds state only ----------
+    # primary/union membership is a row-level predicate of ONE stream, so
+    # flag in a single pass instead of filter-splitting (which would run
+    # the upstream twice)
     split_ts = BASE_TS + (num_docs // 2) * STEP_MS // 5  # first ~20% = history
-    primary = joined.filter(expr=f"event_ts >= {split_ts}")
-    history = joined.filter(expr=f"event_ts < {split_ts}")
 
+    def flag_primary(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__is_primary"] = df["event_ts"] >= split_ts
+        return df
+
+    flagged = joined.map_batches(flag_primary, batch_format="pandas")
     feats = window_agg_salted(
-        primary, "source", "event_ts", FEATURE_AGGS, FRAME,
-        bucket_ms=BUCKET_MS, union=history, tiebreak="doc_id",
+        flagged, "source", "event_ts", FEATURE_AGGS, FRAME,
+        bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_id",
     )
 
-    # ---- re-attach the token payload (bucketed hash join by doc_id) ------
-    # Ray's native join rejects list<> payload columns, so this is an
-    # explicit partitioned hash join: both sides get bucket = doc_index % B,
-    # are unioned with typed null padding, hash-shuffled by bucket, and
-    # matched inside each bucket with vectorized Arrow take — the tokens
-    # move through exactly ONE shuffle, zero-copy, and never through pandas.
-    out = _bucketed_attach_tokens(feats, payload, num_buckets=64)
+    # ---- re-attach the token payload ---------------------------------------
+    # The narrow feature rows are orders of magnitude smaller than the token
+    # payload: broadcast them and stream the payload through a stateless
+    # arrow merge (tokens move through ZERO shuffles). Above the broadcast
+    # limit, fall back to the explicit bucketed hash join (one shuffle).
+    out = attach_payload(feats, payload, broadcast_limit=2_000_000)
 
     if out_dir is not None:
         from ..state.lineage import write_partitioned_with_lineage

@@ -44,17 +44,20 @@ def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__h"] = _stable_hash64(df[on]).astype("int64")
+        # shuffle on a COARSE bucket of the content hash (1024 groups), not
+        # the raw hash: one map_groups call per mostly-singleton group would
+        # pay a Python call per row; per-bucket pandas groupby is vectorized
+        df["__b"] = (_stable_hash64(df[on]) & np.uint64(1023)).astype("int64")
         return df
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        # a 64-bit hash collision would merge distinct texts; group by the
-        # actual value within the (tiny) hash group to stay exact
+        # group by the actual value within the bucket — exact, no
+        # hash-collision risk
         return (g.sort_values(keep_by, kind="stable")
-                 .groupby(on, sort=False).head(1).drop(columns="__h"))
+                 .groupby(on, sort=False).head(1).drop(columns="__b"))
 
     return (ds.map_batches(add_hash, batch_format="pandas")
-              .groupby("__h", num_partitions=num_partitions)
+              .groupby("__b", num_partitions=num_partitions)
               .map_groups(pick, batch_format="pandas"))
 
 
@@ -63,6 +66,35 @@ def _shingles(text: str, k: int) -> set:
     if len(t) < k:
         return {t}
     return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+_ROLL_B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
+_ROLL_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit rolling polynomial hashes of all k-byte shingles, fully
+    vectorized (wraparound uint64 arithmetic): h_i = (S_{i+k} - S_i)·B^{-i}
+    where S is the prefix sum of c_j·B^j. Returns unique hashes."""
+    t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
+    if len(t) <= k:
+        return np.asarray(
+            [int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big")],
+            dtype=np.uint64)
+    c = np.frombuffer(t, np.uint8).astype(np.uint64) + np.uint64(1)
+    n = c.shape[0]
+    with np.errstate(over="ignore"):
+        powB = np.empty(n, np.uint64)
+        powB[0] = 1
+        np.cumprod(np.full(n - 1, _ROLL_B, np.uint64), out=powB[1:])
+        S = np.zeros(n + 1, np.uint64)
+        np.cumsum(c * powB, out=S[1:])
+        powBinv = np.empty(n - k + 1, np.uint64)
+        powBinv[0] = 1
+        if n - k > 0:
+            np.cumprod(np.full(n - k, _ROLL_BINV, np.uint64), out=powBinv[1:])
+        h = (S[k:] - S[:-k]) * powBinv
+    return np.unique(h)
 
 
 class MinHasher:
@@ -78,12 +110,10 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        hv = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-             for s in sh), dtype=np.uint64, count=len(sh))
+        hv = _shingle_hashes(text, self.k)
         # (a*h + b) mod p, rowwise min  — classic minhash
-        m = (np.outer(hv % _MERSENNE, self.a) + self.b) % _MERSENNE
+        with np.errstate(over="ignore"):
+            m = (np.outer(hv % _MERSENNE, self.a) + self.b) % _MERSENNE
         return m.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -122,37 +152,49 @@ def minhash_lsh_dedup(
     )
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for _, row in df.iterrows():
-            sig = np.asarray(row["__minhash"], dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(row[id_col]); band_ids.append(b)
-                band_hashes.append(h); sigs.append(sig.astype("int64"))
-        return pd.DataFrame({id_col: ids, "__band": band_ids, "__bh": band_hashes,
-                             "__sig": sigs})
+        sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)  # (n, perm)
+        n = sigs.shape[0]
+        r = sigs.reshape(n, bands, rows_per_band)
+        # vectorized band hash: wraparound polynomial over the band slice
+        B = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, bands), np.uint64)
+            for j in range(rows_per_band):
+                h = h * B + r[:, :, j]
+        ids = np.repeat(df[id_col].to_numpy(), bands)
+        return pd.DataFrame({
+            id_col: ids,
+            "__band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "__bh": h.reshape(-1).astype(np.int64),
+            "__sig": [s for s in sigs.astype(np.int64) for _ in range(bands)],
+            # coarse shuffle key: ~256 groups instead of one per (band, hash)
+            "__cb": (h.reshape(-1) & np.uint64(255)).astype(np.int64),
+        })
 
     banded = sig_ds.select_columns([id_col, "__minhash"]).map_batches(
         explode_bands, batch_format="pandas")
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
-        g = g.sort_values(id_col, kind="stable")
-        sigs = np.stack(g["__sig"].to_numpy())
-        ids = g[id_col].to_numpy()
-        kept = [0]
+        # one coarse bucket holds many (band, band_hash) groups; only
+        # multi-member groups can yield duplicates
+        sizes = g.groupby(["__band", "__bh"])[id_col].transform("size")
+        g = g[sizes > 1]
         dups = []
-        for i in range(1, len(ids)):
-            # estimated Jaccard = fraction of agreeing minhash components
-            if any(float((sigs[i] == sigs[j]).mean()) >= jaccard_threshold for j in kept):
-                dups.append(ids[i])
-            else:
-                kept.append(i)
-        return pd.DataFrame({id_col: np.asarray(dups, dtype=ids.dtype)})
+        for _, sub in g.groupby(["__band", "__bh"], sort=False):
+            sub = sub.sort_values(id_col, kind="stable")
+            sigs = np.stack(sub["__sig"].to_numpy())
+            ids = sub[id_col].to_numpy()
+            kept = [0]
+            for i in range(1, len(ids)):
+                # estimated Jaccard = fraction of agreeing minhash components
+                if any(float((sigs[i] == sigs[j]).mean()) >= jaccard_threshold
+                       for j in kept):
+                    dups.append(ids[i])
+                else:
+                    kept.append(i)
+        return pd.DataFrame({id_col: np.asarray(sorted(set(dups)), dtype=np.int64)})
 
-    dup_ids = (banded.groupby(["__band", "__bh"])
+    dup_ids = (banded.groupby("__cb")
                      .map_groups(bucket_dups, batch_format="pandas")
                      .unique(id_col))
     dup_set = set(dup_ids or [])
@@ -214,27 +256,30 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
             part = ((h >> np.uint64(16 * seg)) & np.uint64(0xFFFF)).astype(np.int64)
             out.append(pd.DataFrame({id_col: df[id_col].to_numpy(),
                                      "__seg": seg, "__key": part,
-                                     "__h": h.astype(np.int64)}))
+                                     "__h": h.astype(np.int64),
+                                     "__cb": part & 255}))
         return pd.concat(out, ignore_index=True)
 
     def block_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-        h = g["__h"].to_numpy(np.int64).astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        kept = [0]
+        sizes = g.groupby(["__seg", "__key"])[id_col].transform("size")
+        g = g[sizes > 1]
         dups = []
-        for i in range(1, len(ids)):
-            if any(bin(int(h[j] ^ h[i])).count("1") <= hamming_threshold for j in kept):
-                dups.append(ids[i])
-            else:
-                kept.append(i)
-        return pd.DataFrame({id_col: np.asarray(dups, dtype=ids.dtype)})
+        for _, sub in g.groupby(["__seg", "__key"], sort=False):
+            sub = sub.sort_values(id_col, kind="stable").drop_duplicates(id_col)
+            h = sub["__h"].to_numpy(np.int64).astype(np.uint64)
+            ids = sub[id_col].to_numpy()
+            kept = [0]
+            for i in range(1, len(ids)):
+                if any(bin(int(h[j] ^ h[i])).count("1") <= hamming_threshold
+                       for j in kept):
+                    dups.append(ids[i])
+                else:
+                    kept.append(i)
+        return pd.DataFrame({id_col: np.asarray(sorted(set(dups)), dtype=np.int64)})
 
     dup_ids = (hashed.select_columns([id_col, "simhash"])
                      .map_batches(explode_segments, batch_format="pandas")
-                     .groupby(["__seg", "__key"])
+                     .groupby("__cb")
                      .map_groups(block_dups, batch_format="pandas")
                      .unique(id_col))
     dup_set = set(dup_ids or [])

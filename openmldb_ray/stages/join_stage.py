@@ -149,7 +149,9 @@ def last_join(
     if asof_left_ts is not None and order_by is None:
         raise ValueError("asof_left_ts requires order_by (the right ts column)")
 
-    if strategy == "auto":
+    if isinstance(right, pd.DataFrame):
+        strategy = "broadcast"  # an already-small driver-side table
+    elif strategy == "auto":
         strategy = "broadcast" if right.count() <= broadcast_limit else "shuffle"
 
     mapped_key = right_cols.get(right_key, right_key) if right_cols else right_key
@@ -157,7 +159,8 @@ def last_join(
     out_cols = list(right_cols.values()) if right_cols else None
 
     if strategy == "broadcast":
-        rdf = _prep_right(right.to_pandas(), right_key, order_by, tiebreak, right_cols)
+        rpdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
+        rdf = _prep_right(rpdf, right_key, order_by, tiebreak, right_cols)
         if asof_left_ts is not None:
             sort_cols = [mapped_order] + ([right_cols.get(tiebreak, tiebreak)] if (right_cols and tiebreak) else ([tiebreak] if tiebreak else [RID_COL]))
             rdf = rdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)

@@ -138,6 +138,11 @@ def window_agg_salted(
     must pick ``bucket_ms >= history_ms``. The shuffle key becomes
     (partition_by…, bucket), multiplying parallelism for hot keys by the
     number of occupied buckets.
+
+    ``union`` may be a Dataset (flagged + concatenated here) or the string
+    ``"preflagged"`` meaning ``ds`` already carries a bool ``__is_primary``
+    column — the single-pass path when primary/union membership is a
+    row-level predicate of one stream (avoids consuming the input twice).
     """
     if frame.range_preceding is None:
         raise ValueError("salted path requires a ROWS_RANGE frame (time-bounded history)")
@@ -149,7 +154,8 @@ def window_agg_salted(
     if bucket_ms < history_ms:
         raise ValueError("bucket_ms must be >= history_ms to cover the frame")
     keys = _normalize_keys(partition_by)
-    if union is not None:
+    preflagged = isinstance(union, str) and union == "preflagged"
+    if union is not None and not preflagged:
         ds = ds.map_batches(_add_flag_true, batch_format="pandas")
         ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas"))
 
