@@ -225,7 +225,7 @@ def q_group_agg_where(sf_dir: str):
         return df
 
     out = group_aggregate(
-        ev.map_batches(add_flag, batch_format="pandas"), "event_type",
+        ev.map_batches(add_flag, batch_format="pandas", batch_size=None), "event_type",
         [Agg.sum_where("value", "big", "sum_big"),
          Agg.count_where("value", "big", "cnt_big"),
          Agg.avg_where("value", "big", "avg_big")],
@@ -429,7 +429,7 @@ def q_langid(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(LangId, batch_format="pandas",
-                            concurrency=(1, 4)).to_pandas()[["doc_id", "lang_pred"]]
+                            concurrency=(1, 4), batch_size=None).to_pandas()[["doc_id", "lang_pred"]]
 
 
 def q_fingerprint(sf_dir: str):
@@ -439,7 +439,7 @@ def q_fingerprint(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(Fingerprinter, batch_format="pandas",
-                            concurrency=(1, 4)).to_pandas()[
+                            concurrency=(1, 4), batch_size=None).to_pandas()[
         ["doc_id", "content_hash", "winnow_hash"]]
 
 

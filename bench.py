@@ -45,6 +45,8 @@ def _consume(res) -> int:
 
 
 def flagship_num_docs(sf_dir: str) -> int:
+    if "GRAFT_BENCH_DOCS" in os.environ:
+        return int(os.environ["GRAFT_BENCH_DOCS"])
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows

@@ -181,4 +181,4 @@ def project(ds, exprs: dict[str, Callable], keep: list[str] | None = None):
             names.append(name)
         return pa.Table.from_arrays(arrays, names=names)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

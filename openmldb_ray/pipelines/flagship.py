@@ -55,9 +55,31 @@ def _u01(x: np.ndarray, stream: int) -> np.ndarray:
     return _h64(x, stream).astype(np.float64) / float(2**64)
 
 
+def _hashed_ids(ids: np.ndarray, seed: int) -> np.ndarray:
+    return ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x100000001B3)
+
+
+def gen_tokens(raw_ids: np.ndarray, seed: int):
+    """Token arrays for the given raw doc indices — tokens are a pure
+    function of (doc index, seed), so any task can (re)produce its shard of
+    the payload without a shuffle (the partition-aligned attach relies on
+    this; for stored corpora the analog is re-reading the payload column of
+    the feature row's source shard)."""
+    ids = _hashed_ids(raw_ids, seed)
+    u_len = _u01(ids, 1)
+    n_tok = (8 + np.floor(504 * u_len**3)).astype(np.int32)
+    total = int(n_tok.sum())
+    doc_rep = np.repeat(ids * np.uint64(2654435761), n_tok)
+    offs = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
+    j = np.arange(total, dtype=np.uint64) - np.repeat(offs[:-1], n_tok).astype(np.uint64)
+    flat = (_h64(doc_rep + j, 7) % np.uint64(VOCAB)).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat))
+
+
 def gen_sequences_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
     """Generate the F5 sequence rows for the given doc indices (vectorized)."""
-    ids = ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x100000001B3)
+    raw_in = ids.astype(np.uint64)
+    ids = _hashed_ids(raw_in, seed)
     n = ids.shape[0]
     u_len = _u01(ids, 1)
     n_tok = (8 + np.floor(504 * u_len**3)).astype(np.int32)  # zipf-ish [8,512]
@@ -71,19 +93,15 @@ def gen_sequences_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
     event_ts = BASE_TS + slots * STEP_MS
     lang_bucket = np.char.add("lb", (_h64(ids, 5) % np.uint64(8)).astype(np.int64).astype(str))
     # tokens: token j of doc i = h64(i*PRIME + j) % VOCAB — flat-vectorized
-    total = int(n_tok.sum())
-    doc_rep = np.repeat(ids * np.uint64(2654435761), n_tok)
-    offs = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
-    j = np.arange(total, dtype=np.uint64) - np.repeat(offs[:-1], n_tok).astype(np.uint64)
-    flat = (_h64(doc_rep + j, 7) % np.uint64(VOCAB)).astype(np.int32)
-    tokens = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat))
-    raw = (ids - np.uint64(seed) * np.uint64(0x100000001B3)).astype(np.int64)
+    tokens = gen_tokens(raw_in, seed)
+    raw = raw_in.astype(np.int64)
     doc_id = np.char.add("doc_", np.char.zfill(raw.astype(str), 12))
     return pa.Table.from_arrays(
-        [pa.array(doc_id.astype(object), type=pa.string()), tokens,
+        [pa.array(doc_id.astype(object), type=pa.string()),
+         pa.array(raw), tokens,
          pa.array(n_tok), pa.array(source, type=pa.string()),
          pa.array(event_ts), pa.array(lang_bucket.astype(object), type=pa.string())],
-        names=["doc_id", "tokens", "n_tok", "source", "event_ts", "lang_bucket"],
+        names=["doc_id", "doc_num", "tokens", "n_tok", "source", "event_ts", "lang_bucket"],
     )
 
 
@@ -96,7 +114,7 @@ def make_sequences(num_docs: int, seed: int = 42, override_blocks: int | None = 
     def fn(b: pa.Table) -> pa.Table:
         return gen_sequences_batch(b["id"].to_numpy(), seed, num_docs)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def default_num_docs(sf_dir: str | None) -> int:
@@ -122,7 +140,7 @@ BUCKET_MS = DAY_MS  # >= frame extent; ~870 (entity, day) groups at bench scale
 #: canonical feature-row schema (before the token payload is re-attached);
 #: declared once so the bucketed payload join can pad statically
 FEATURE_SCHEMA: dict[str, pa.DataType] = {
-    "doc_id": pa.string(),
+    "doc_num": pa.int64(),
     "source": pa.string(),
     "event_ts": pa.int64(),
     "n_tok": pa.int32(),
@@ -148,19 +166,41 @@ def _canonicalize(t: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=list(FEATURE_SCHEMA))
 
 
+def _doc_id_strings(nums: np.ndarray) -> pa.Array:
+    s = np.char.add("doc_", np.char.zfill(nums.astype(np.int64).astype(str), 12))
+    return pa.array(s.astype(object), type=pa.string())
+
+
 def _doc_bucket(tbl: pa.Table, num_buckets: int) -> pa.Array:
-    """Stable bucket from the numeric doc_id suffix (doc_%012d) — avoids
-    process-dependent Python string hashing."""
+    """Stable bucket from the numeric doc index — avoids process-dependent
+    Python string hashing."""
     import pyarrow.compute as pc
 
-    nums = pc.cast(pc.utf8_slice_codeunits(tbl["doc_id"], start=4), pa.int64())
-    h = pc.multiply(nums, pa.scalar(2654435761, pa.int64()))
+    h = pc.multiply(tbl["doc_num"], pa.scalar(2654435761, pa.int64()))
     return pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int32())
+
+
+def attach_payload_regen(feats, seed: int = 42):
+    """Partition-aligned payload attach (the 100 TB path, ZERO shuffle):
+    each feature batch regenerates/re-reads exactly its own rows' token
+    arrays by doc index — possible because the payload is a pure function
+    of the key (synthetic corpus) or, for stored corpora, resides in the
+    same source shard the feature row's lineage points at. Also emits the
+    doc_id string. Fully elastic stateless tasks."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _canonicalize(t)
+        nums = t["doc_num"].to_numpy()
+        toks = gen_tokens(nums.astype(np.uint64), seed)
+        t = t.append_column("doc_id", _doc_id_strings(nums))
+        return t.append_column("tokens", toks)
+
+    return feats.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
                    num_buckets: int = 64):
-    """Re-attach the token payload to the feature rows by doc_id.
+    """Re-attach a STORED token payload to the feature rows by doc_num.
 
     Broadcast path (feature rows fit in the object store comfortably):
     the canonicalized feature table is collected once, ``ray.put``, and the
@@ -168,9 +208,9 @@ def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
     shuffles, zero pandas conversions. Fallback: bucketed hash join.
     """
     import ray
-    import pyarrow.compute as pc
 
-    ftbl_ds = feats.map_batches(_canonicalize, batch_format="pyarrow").materialize()
+    ftbl_ds = feats.map_batches(_canonicalize, batch_format="pyarrow",
+                                batch_size=None).materialize()
     if ftbl_ds.count() > broadcast_limit:
         return _bucketed_attach_tokens(ftbl_ds, payload, num_buckets=num_buckets)
     ftbl = pa.concat_tables(
@@ -180,37 +220,40 @@ def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
     class _Attach:
         def __init__(self):
             self.f = ray.get(ref)
-            self.keys = self.f["doc_id"].combine_chunks()
+            # build the doc_num hash index ONCE per actor (pc.index_in would
+            # rebuild it for every batch — the dominant cost at 1M+ rows)
+            self.idx = pd.Index(self.f["doc_num"].to_pandas())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["doc_id"], value_set=self.keys)
-            mask = pc.is_valid(idx)
-            t = t.filter(mask)
-            sel = self.f.take(idx.filter(mask))
-            out = sel.drop_columns(["doc_id"])
-            out = out.add_column(0, "doc_id", t["doc_id"].combine_chunks())
+            pos = self.idx.get_indexer(t["doc_num"].to_pandas())
+            mask = pos >= 0
+            t = t.filter(pa.array(mask))
+            sel = self.f.take(pa.array(pos[mask], type=pa.int64()))
+            out = sel.append_column("doc_id", t["doc_id"].combine_chunks())
             return out.append_column("tokens", t["tokens"].combine_chunks())
 
-    return payload.map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 8))
+    return payload.map_batches(_Attach, batch_format="pyarrow",
+                               concurrency=(1, 16), batch_size=None)
 
 
 def _bucketed_attach_tokens(feats, payload, num_buckets: int = 64):
-    """Partitioned hash join feats ⋈ payload on doc_id (list payload stays
-    in Arrow end to end)."""
+    """Partitioned hash join feats ⋈ payload on doc_num (list payload stays
+    in Arrow end to end; payload must carry doc_id, doc_num, tokens)."""
     import pyarrow.compute as pc
 
     tok_type = pa.list_(pa.int32())
 
     def tag_feats(t: pa.Table) -> pa.Table:
         t = t.append_column("__bucket", _doc_bucket(t, num_buckets))
+        t = t.append_column("doc_id", pa.nulls(t.num_rows, type=pa.string()))
         t = t.append_column("tokens", pa.nulls(t.num_rows, type=tok_type))
         return t.append_column("__is_feat", pa.array(np.ones(t.num_rows, bool)))
 
-    ft = feats.map_batches(_canonicalize, batch_format="pyarrow").map_batches(
-        tag_feats, batch_format="pyarrow")
+    ft = feats.map_batches(_canonicalize, batch_format="pyarrow", batch_size=None).map_batches(
+        tag_feats, batch_format="pyarrow", batch_size=None)
     feat_types = dict(FEATURE_SCHEMA)
-    feat_names = [n for n in FEATURE_SCHEMA if n not in ("doc_id", "tokens")]
-    col_order = list(FEATURE_SCHEMA) + ["__bucket", "tokens", "__is_feat"]
+    feat_names = [n for n in FEATURE_SCHEMA if n not in ("doc_num",)]
+    col_order = list(FEATURE_SCHEMA) + ["__bucket", "doc_id", "tokens", "__is_feat"]
 
     def tag_payload(t: pa.Table) -> pa.Table:
         t = t.append_column("__bucket", _doc_bucket(t, num_buckets))
@@ -219,17 +262,17 @@ def _bucketed_attach_tokens(feats, payload, num_buckets: int = 64):
         t = t.append_column("__is_feat", pa.array(np.zeros(t.num_rows, bool)))
         return t.select(col_order)
 
-    pl = payload.map_batches(tag_payload, batch_format="pyarrow")
+    pl = payload.map_batches(tag_payload, batch_format="pyarrow", batch_size=None)
     both = ft.union(pl)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         mask = t["__is_feat"].combine_chunks()
         f = t.filter(mask)
         p = t.filter(pc.invert(mask))
-        idx = pc.index_in(f["doc_id"], value_set=p["doc_id"].combine_chunks())
-        toks = p["tokens"].combine_chunks().take(idx)
-        f = f.drop_columns(["tokens", "__bucket", "__is_feat"])
-        return f.append_column("tokens", toks)
+        idx = pc.index_in(f["doc_num"], value_set=p["doc_num"].combine_chunks())
+        f = f.drop_columns(["doc_id", "tokens", "__bucket", "__is_feat"])
+        f = f.append_column("doc_id", p["doc_id"].combine_chunks().take(idx))
+        return f.append_column("tokens", p["tokens"].combine_chunks().take(idx))
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -241,9 +284,12 @@ def flagship(
     seed: int = 42,
     out_dir: str | None = None,
     resume: bool = True,
+    attach: str = "regen",
 ):
     """Run the full suite; returns the feature Dataset (tokens re-attached).
 
+    ``attach``: "regen" (partition-aligned regeneration — zero-shuffle 100 TB
+    path), "broadcast" or "bucketed" (general stored-payload joins).
     When ``out_dir`` is given, also writes partitioned parquet with
     per-partition lineage and returns the written dataset.
     """
@@ -253,11 +299,11 @@ def flagship(
 
     # ---- payload split: tokens stay out of every shuffle -------------------
     # narrow is consumed twice (daily stats + join) → materialize the small
-    # columns once; the token payload stays lazy and is re-generated/read
-    # only in the final attach stage
+    # columns once (ints only — strings would triple the shuffle bytes);
+    # the token payload never leaves its producing task on the regen path
     narrow = seqs.select_columns(
-        ["doc_id", "source", "event_ts", "n_tok", "lang_bucket"]).materialize()
-    payload = seqs.select_columns(["doc_id", "tokens"])
+        ["doc_num", "source", "event_ts", "n_tok", "lang_bucket"]).materialize()
+    payload = seqs.select_columns(["doc_id", "doc_num", "tokens"])
 
     # ---- per-(source, day) stats table, point-in-time available only after
     # the day closes (avail_ts = day end) — the LAST JOIN right side --------
@@ -271,7 +317,7 @@ def flagship(
                 .groupby(["source", "avail_ts"], as_index=False).sum())
 
     daily = (narrow.select_columns(["source", "event_ts", "n_tok"])
-             .map_batches(partial_day, batch_format="pandas")
+             .map_batches(partial_day, batch_format="pandas", batch_size=None)
              .to_pandas()
              .groupby(["source", "avail_ts"], as_index=False).sum())
 
@@ -294,18 +340,19 @@ def flagship(
         df["__is_primary"] = df["event_ts"] >= split_ts
         return df
 
-    flagged = joined.map_batches(flag_primary, batch_format="pandas")
+    flagged = joined.map_batches(flag_primary, batch_format="pandas", batch_size=None)
     feats = window_agg_salted(
         flagged, "source", "event_ts", FEATURE_AGGS, FRAME,
-        bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_id",
+        bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_num",
     )
 
     # ---- re-attach the token payload ---------------------------------------
-    # The narrow feature rows are orders of magnitude smaller than the token
-    # payload: broadcast them and stream the payload through a stateless
-    # arrow merge (tokens move through ZERO shuffles). Above the broadcast
-    # limit, fall back to the explicit bucketed hash join (one shuffle).
-    out = attach_payload(feats, payload, broadcast_limit=2_000_000)
+    if attach == "regen":
+        out = attach_payload_regen(feats, seed)
+    elif attach == "broadcast":
+        out = attach_payload(feats, payload, broadcast_limit=2_000_000_000)
+    else:
+        out = attach_payload(feats, payload, broadcast_limit=0)
 
     if out_dir is not None:
         from ..state.lineage import write_partitioned_with_lineage

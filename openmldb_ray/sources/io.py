@@ -42,7 +42,7 @@ def with_ts_ms(ds: rd.Dataset, ts_col: str, out_col: str = "ts_ms") -> rd.Datase
             ms = pc.divide(raw, div)
         return t.append_column(out_col, ms)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def load_data(path: str, fmt: str = "parquet", *, columns=None,

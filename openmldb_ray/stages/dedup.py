@@ -56,7 +56,7 @@ def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
         return (g.sort_values(keep_by, kind="stable")
                  .groupby(on, sort=False).head(1).drop(columns="__b"))
 
-    return (ds.map_batches(add_hash, batch_format="pandas")
+    return (ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
               .groupby("__b", num_partitions=num_partitions)
               .map_groups(pick, batch_format="pandas"))
 
@@ -148,8 +148,7 @@ def minhash_lsh_dedup(
         MinHasher, batch_format="pandas",
         fn_constructor_kwargs=dict(text_col=text_col, num_perm=num_perm,
                                    shingle_k=shingle_k, seed=seed),
-        concurrency=concurrency,
-    )
+        concurrency=concurrency, batch_size=None)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)  # (n, perm)
@@ -172,7 +171,7 @@ def minhash_lsh_dedup(
         })
 
     banded = sig_ds.select_columns([id_col, "__minhash"]).map_batches(
-        explode_bands, batch_format="pandas")
+        explode_bands, batch_format="pandas", batch_size=None)
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
         # one coarse bucket holds many (band, band_hash) groups; only
@@ -210,7 +209,7 @@ def minhash_lsh_dedup(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df[~df[id_col].isin(self.dups)]
 
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)
 
 
 class SimHasher:
@@ -247,7 +246,7 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
     segment), verify hamming distance within blocks, drop non-minimal ids."""
     hashed = ds.map_batches(SimHasher, batch_format="pandas",
                             fn_constructor_kwargs=dict(text_col=text_col),
-                            concurrency=concurrency)
+                            concurrency=concurrency, batch_size=None)
 
     def explode_segments(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy(np.int64).astype(np.uint64)
@@ -278,7 +277,7 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
         return pd.DataFrame({id_col: np.asarray(sorted(set(dups)), dtype=np.int64)})
 
     dup_ids = (hashed.select_columns([id_col, "simhash"])
-                     .map_batches(explode_segments, batch_format="pandas")
+                     .map_batches(explode_segments, batch_format="pandas", batch_size=None)
                      .groupby("__cb")
                      .map_groups(block_dups, batch_format="pandas")
                      .unique(id_col))
@@ -293,7 +292,7 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df[~df[id_col].isin(self.dups)]
 
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)
 
 
 def ngram_jaccard_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,

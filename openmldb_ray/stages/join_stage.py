@@ -178,8 +178,7 @@ def last_join(
                 left_ts=asof_left_ts, right_order=mapped_order,
                 out_cols=out_cols, single_ref=single_ref,
             ),
-            concurrency=concurrency or (1, 4),
-        )
+            concurrency=concurrency or (1, 4), batch_size=None)
 
     # ---- shuffle strategy: co-partition both sides by the join key ----
     lcols = list(left.schema().names)
@@ -212,8 +211,8 @@ def last_join(
         df["__jk"] = df[mapped_key]
         return df
 
-    lt = left.map_batches(tag_left, batch_format="pandas")
-    rt = right.map_batches(tag_right, batch_format="pandas")
+    lt = left.map_batches(tag_left, batch_format="pandas", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pandas", batch_size=None)
     # harmonize schemas for union: fill each side's missing columns with nulls
     # (derived statically so no eager execution is triggered)
     lsch = set(lcols) | {SIDE_COL, "__jk"}
@@ -235,8 +234,8 @@ def last_join(
 
         return fn
 
-    both = lt.map_batches(pad(lsch), batch_format="pandas").union(
-        rt.map_batches(pad(rsch), batch_format="pandas")
+    both = lt.map_batches(pad(lsch), batch_format="pandas", batch_size=None).union(
+        rt.map_batches(pad(rsch), batch_format="pandas", batch_size=None)
     )
 
     rt_tb = (right_cols.get(tiebreak, tiebreak) if (right_cols and tiebreak) else tiebreak)
@@ -300,4 +299,4 @@ def left_join(
                     if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
             return out.drop(columns=drop)
 
-    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 4))
+    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 4), batch_size=None)

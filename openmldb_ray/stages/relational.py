@@ -40,7 +40,7 @@ def simple_project(ds: "ray.data.Dataset", columns: dict[str, str] | list[str],
             names.append(dst)
         return pa.Table.from_arrays([a.combine_chunks() for a in arrays], names=names)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def const_project(rows: list[dict]) -> "ray.data.Dataset":
@@ -58,7 +58,7 @@ def filter_expr(ds: "ray.data.Dataset", predicate) -> "ray.data.Dataset":
         mask = predicate(t)
         return t.filter(mask)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def group_aggregate(

@@ -166,7 +166,7 @@ def knn_lsh(
             arr = pd.DataFrame(frames, columns=["query_id", "neighbor_id", "score"])
             return arr
 
-    cands = ds.map_batches(_Scorer, batch_format="pandas", concurrency=concurrency)
+    cands = ds.map_batches(_Scorer, batch_format="pandas", concurrency=concurrency, batch_size=None)
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
@@ -222,7 +222,7 @@ def embedding_dedup(
         return pd.DataFrame({id_col: np.asarray(dups, dtype=ids.dtype)})
 
     dup_ids = (ds.select_columns([id_col, vec_col])
-                 .map_batches(explode, batch_format="pandas")
+                 .map_batches(explode, batch_format="pandas", batch_size=None)
                  .groupby(["__t", "__b"])
                  .map_groups(bucket_dups, batch_format="pandas")
                  .unique(id_col))
@@ -236,4 +236,4 @@ def embedding_dedup(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df[~df[id_col].isin(self.dups)]
 
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)

@@ -89,8 +89,8 @@ def window_agg(
     keys = _normalize_keys(partition_by)
     has_union = union is not None
     if has_union:
-        ds = ds.map_batches(_add_flag_true, batch_format="pandas")
-        union_flagged = union.map_batches(_add_flag_false, batch_format="pandas")
+        ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
+        union_flagged = union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None)
         ds = ds.union(union_flagged)
     fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[])
     return ds.groupby(keys, num_partitions=num_partitions).map_groups(
@@ -156,8 +156,8 @@ def window_agg_salted(
     keys = _normalize_keys(partition_by)
     preflagged = isinstance(union, str) and union == "preflagged"
     if union is not None and not preflagged:
-        ds = ds.map_batches(_add_flag_true, batch_format="pandas")
-        ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas"))
+        ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
+        ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         s = pd.to_numeric(df[order_by], errors="coerce")
@@ -173,7 +173,7 @@ def window_agg_salted(
         rep[EXPANDED_FLAG] = True
         return pd.concat([own, rep], ignore_index=True)
 
-    ds = ds.map_batches(explode, batch_format="pandas")
+    ds = ds.map_batches(explode, batch_format="pandas", batch_size=None)
 
     has_union = union is not None
 

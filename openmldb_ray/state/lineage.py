@@ -68,7 +68,17 @@ def write_partitioned_with_lineage(
     """
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir) if resume else set()
-    values = sorted(str(v) for v in ds.unique(partition_col))
+    import pandas as pd
+
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        if partition_col not in df.columns:
+            return pd.DataFrame({partition_col: []})
+        return df[[partition_col]].drop_duplicates()
+
+    partials = (ds.select_columns([partition_col])
+                  .map_batches(_dedupe, batch_format="pandas", batch_size=None)
+                  .to_pandas())
+    values = sorted(set(partials[partition_col].astype(str)))
     summary = {"written": [], "skipped": []}
     for v in values:
         if v in done:
@@ -108,4 +118,4 @@ def filter_completed(ds: "ray.data.Dataset", out_dir: str,
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return df[~df[partition_col].astype(str).isin(done)]
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
