@@ -76,31 +76,43 @@ def gen_tokens(raw_ids: np.ndarray, seed: int):
     return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat))
 
 
-def gen_sequences_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
-    """Generate the F5 sequence rows for the given doc indices (vectorized)."""
+def gen_narrow_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
+    """Generate ONLY the narrow feature columns (no token payload) — what
+    the shuffle stages consume. Columns: doc_num, n_tok, source, event_ts,
+    lang_bucket."""
     raw_in = ids.astype(np.uint64)
-    ids = _hashed_ids(raw_in, seed)
-    n = ids.shape[0]
-    u_len = _u01(ids, 1)
+    hids = _hashed_ids(raw_in, seed)
+    u_len = _u01(hids, 1)
     n_tok = (8 + np.floor(504 * u_len**3)).astype(np.int32)  # zipf-ish [8,512]
-    u_src = _u01(ids, 2)
+    u_src = _u01(hids, 2)
     src_idx = np.searchsorted(np.asarray(SOURCE_CUM), u_src, side="left")
     src_idx = np.minimum(src_idx, len(SOURCES) - 1)
     source = np.asarray(SOURCES, dtype=object)[src_idx]
     # event_ts: hashed slot with deliberate ties (~2 docs/slot) — arrival
     # order is NOT ts order, the temporal shuffle must sort
-    slots = (_h64(ids, 4) % np.uint64(max(1, num_docs // 2))).astype(np.int64)
+    slots = (_h64(hids, 4) % np.uint64(max(1, num_docs // 2))).astype(np.int64)
     event_ts = BASE_TS + slots * STEP_MS
-    lang_bucket = np.char.add("lb", (_h64(ids, 5) % np.uint64(8)).astype(np.int64).astype(str))
-    # tokens: token j of doc i = h64(i*PRIME + j) % VOCAB — flat-vectorized
-    tokens = gen_tokens(raw_in, seed)
-    raw = raw_in.astype(np.int64)
-    doc_id = np.char.add("doc_", np.char.zfill(raw.astype(str), 12))
+    import pyarrow.compute as pc
+
+    lang_ids = pa.array((_h64(hids, 5) % np.uint64(8)).astype(np.int64))
+    lang_bucket = pc.binary_join_element_wise("lb", pc.cast(lang_ids, pa.string()), "")
     return pa.Table.from_arrays(
-        [pa.array(doc_id.astype(object), type=pa.string()),
-         pa.array(raw), tokens,
-         pa.array(n_tok), pa.array(source, type=pa.string()),
-         pa.array(event_ts), pa.array(lang_bucket.astype(object), type=pa.string())],
+        [pa.array(raw_in.astype(np.int64)), pa.array(n_tok),
+         pa.array(source, type=pa.string()), pa.array(event_ts), lang_bucket],
+        names=["doc_num", "n_tok", "source", "event_ts", "lang_bucket"],
+    )
+
+
+def gen_sequences_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:
+    """Generate the full F5 sequence rows for the given doc indices."""
+    narrow = gen_narrow_batch(ids, seed, num_docs)
+    raw = narrow["doc_num"].to_numpy()
+    tokens = gen_tokens(raw.astype(np.uint64), seed)
+    doc_id = _doc_id_strings(raw)
+    return pa.Table.from_arrays(
+        [doc_id, narrow["doc_num"].combine_chunks(), tokens,
+         narrow["n_tok"].combine_chunks(), narrow["source"].combine_chunks(),
+         narrow["event_ts"].combine_chunks(), narrow["lang_bucket"].combine_chunks()],
         names=["doc_id", "doc_num", "tokens", "n_tok", "source", "event_ts", "lang_bucket"],
     )
 
@@ -113,6 +125,18 @@ def make_sequences(num_docs: int, seed: int = 42, override_blocks: int | None = 
 
     def fn(b: pa.Table) -> pa.Table:
         return gen_sequences_batch(b["id"].to_numpy(), seed, num_docs)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def make_narrow(num_docs: int, seed: int = 42, override_blocks: int | None = None):
+    """Distributed generation of only the narrow feature columns."""
+    import ray.data as rd
+
+    ds = rd.range(num_docs, override_num_blocks=override_blocks)
+
+    def fn(b: pa.Table) -> pa.Table:
+        return gen_narrow_batch(b["id"].to_numpy(), seed, num_docs)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -166,9 +190,14 @@ def _canonicalize(t: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=list(FEATURE_SCHEMA))
 
 
-def _doc_id_strings(nums: np.ndarray) -> pa.Array:
-    s = np.char.add("doc_", np.char.zfill(nums.astype(np.int64).astype(str), 12))
-    return pa.array(s.astype(object), type=pa.string())
+def _doc_id_strings(nums) -> pa.Array:
+    import pyarrow.compute as pc
+
+    arr = nums if isinstance(nums, (pa.Array, pa.ChunkedArray)) else pa.array(
+        np.asarray(nums, dtype=np.int64))
+    padded = pc.utf8_lpad(pc.cast(arr, pa.string()), width=12, padding="0")
+    out = pc.binary_join_element_wise("doc_", padded, "")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
 def _doc_bucket(tbl: pa.Table, num_buckets: int) -> pa.Array:
@@ -295,21 +324,38 @@ def flagship(
     """
     if num_docs is None:
         num_docs = default_num_docs(sf_dir)
-    seqs = make_sequences(num_docs, seed)
 
     # ---- payload split: tokens stay out of every shuffle -------------------
-    # narrow is consumed twice (daily stats + join) → materialize the small
-    # columns once (ints only — strings would triple the shuffle bytes);
-    # the token payload never leaves its producing task on the regen path
-    narrow = seqs.select_columns(
-        ["doc_num", "source", "event_ts", "n_tok", "lang_bucket"]).materialize()
-    payload = seqs.select_columns(["doc_id", "doc_num", "tokens"])
+    # ONLY the narrow feature columns are generated/read for the shuffle
+    # stages; the token payload is produced exactly once, in the final
+    # partition-aligned attach (SURVEY §7.5 "wide token rows")
+    narrow = make_narrow(num_docs, seed).materialize()
+
+    # ---- WINDOW UNION backfill: warm-up history feeds state only ----------
+    # primary/union membership is a row-level predicate of ONE stream, so
+    # flag in a single pass instead of filter-splitting (which would run
+    # the upstream twice)
+    split_ts = BASE_TS + (num_docs // 2) * STEP_MS // 5  # first ~20% = history
+
+    def flag_primary(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("__is_primary",
+                               pc.greater_equal(t["event_ts"], split_ts))
+
+    flagged = narrow.map_batches(flag_primary, batch_format="pyarrow", batch_size=None)
+    feats = window_agg_salted(
+        flagged, "source", "event_ts", FEATURE_AGGS, FRAME,
+        bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_num",
+    )
 
     # ---- per-(source, day) stats table, point-in-time available only after
     # the day closes (avail_ts = day end) — the LAST JOIN right side --------
     # partial-aggregate inside map_batches, combine the tiny partials on the
     # driver — the result is ~(sources x days) rows, so a distributed
-    # groupby shuffle would be pure overhead (SURVEY §4 "pre-aggregate")
+    # groupby shuffle would be pure overhead (SURVEY §4 "pre-aggregate").
+    # Joining AFTER the window keeps the prev_day_* columns out of the
+    # window shuffle entirely.
     def partial_day(df: pd.DataFrame) -> pd.DataFrame:
         avail = (df["event_ts"] // DAY_MS) * DAY_MS + DAY_MS
         return (pd.DataFrame({"source": df["source"], "avail_ts": avail,
@@ -322,37 +368,21 @@ def flagship(
              .groupby(["source", "avail_ts"], as_index=False).sum())
 
     joined = last_join(
-        narrow, daily, ("source", "source"),
+        feats, daily, ("source", "source"),
         order_by="avail_ts", asof_left_ts="event_ts", tiebreak="avail_ts",
         right_cols={"day_sum_tok": "prev_day_sum_tok", "day_cnt": "prev_day_cnt",
                     "avail_ts": "prev_day_avail_ts"},
         strategy="broadcast",
     )
 
-    # ---- WINDOW UNION backfill: warm-up history feeds state only ----------
-    # primary/union membership is a row-level predicate of ONE stream, so
-    # flag in a single pass instead of filter-splitting (which would run
-    # the upstream twice)
-    split_ts = BASE_TS + (num_docs // 2) * STEP_MS // 5  # first ~20% = history
-
-    def flag_primary(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__is_primary"] = df["event_ts"] >= split_ts
-        return df
-
-    flagged = joined.map_batches(flag_primary, batch_format="pandas", batch_size=None)
-    feats = window_agg_salted(
-        flagged, "source", "event_ts", FEATURE_AGGS, FRAME,
-        bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_num",
-    )
-
     # ---- re-attach the token payload ---------------------------------------
     if attach == "regen":
-        out = attach_payload_regen(feats, seed)
-    elif attach == "broadcast":
-        out = attach_payload(feats, payload, broadcast_limit=2_000_000_000)
+        out = attach_payload_regen(joined, seed)
     else:
-        out = attach_payload(feats, payload, broadcast_limit=0)
+        payload = make_sequences(num_docs, seed).select_columns(
+            ["doc_id", "doc_num", "tokens"])
+        limit = 2_000_000_000 if attach == "broadcast" else 0
+        out = attach_payload(joined, payload, broadcast_limit=limit)
 
     if out_dir is not None:
         from ..state.lineage import write_partitioned_with_lineage

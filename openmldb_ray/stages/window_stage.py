@@ -46,9 +46,18 @@ def _normalize_keys(partition_by) -> list[str]:
     return [partition_by] if isinstance(partition_by, str) else list(partition_by)
 
 
+def _to_arrow(out: pd.DataFrame):
+    """Emit Arrow blocks with a stable column order — pandas blocks with
+    object columns defeat Ray's size estimation and can surface
+    inconsistent empty-block schemas downstream."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
                    has_union: bool, tiebreak: str | None, drop_cols: list[str]):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fn(g: pd.DataFrame):
         sort_cols = [order_by]
         if has_union:
             # ts ties: union rows (False) before primary rows (True),
@@ -63,7 +72,7 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
         )
         if drop_cols:
             out = out.drop(columns=[c for c in drop_cols if c in out.columns])
-        return out
+        return _to_arrow(out)
 
     return fn
 
@@ -159,25 +168,33 @@ def window_agg_salted(
         ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
         ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None))
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        s = pd.to_numeric(df[order_by], errors="coerce")
-        valid = (s.notna() & (s >= 0)).to_numpy()
-        tsv = s.fillna(0).to_numpy(np.int64)
-        bucket = tsv // bucket_ms
-        own = df.copy()
-        own[BUCKET_COL] = bucket
-        own[EXPANDED_FLAG] = False
-        near_end = valid & (tsv >= (bucket + 1) * bucket_ms - history_ms)
-        rep = df[near_end].copy()
-        rep[BUCKET_COL] = bucket[near_end] + 1
-        rep[EXPANDED_FLAG] = True
-        return pd.concat([own, rep], ignore_index=True)
+    def explode(t: "pa.Table") -> "pa.Table":
+        # Arrow-native so the downstream sort shuffle runs on Arrow blocks
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(explode, batch_format="pandas", batch_size=None)
+        ts = pc.cast(t[order_by], pa.int64())
+        valid = pc.and_kleene(pc.is_valid(ts), pc.greater_equal(ts, 0))
+        ts0 = pc.if_else(valid, ts, pa.scalar(0, pa.int64()))
+        bucket = pc.divide(ts0, bucket_ms)
+        own = t.append_column(BUCKET_COL, pc.cast(bucket, pa.int64()))
+        own = own.append_column(EXPANDED_FLAG, pa.array(np.zeros(t.num_rows, bool)))
+        near_end = pc.and_(
+            pc.fill_null(valid, False),
+            pc.greater_equal(ts0, pc.subtract(
+                pc.multiply(pc.add(bucket, 1), bucket_ms), history_ms)))
+        rep_base = t.filter(near_end)
+        rep_bucket = pc.add(pc.cast(bucket, pa.int64()).filter(near_end), 1)
+        rep = rep_base.append_column(BUCKET_COL, rep_bucket)
+        rep = rep.append_column(EXPANDED_FLAG, pa.array(np.ones(rep.num_rows, bool)))
+        return pa.concat_tables([own, rep])
+
+    ds = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
     has_union = union is not None
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fn(t) -> pd.DataFrame:
+        g = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
         # expanded (replicated-history) rows always have strictly smaller ts
         # than the bucket's own rows, so ties only occur within a class;
         # union rows sort before primary on ties as in the plain stage
@@ -188,7 +205,8 @@ def window_agg_salted(
             emit &= g[UNION_FLAG]
         g = g.assign(**{UNION_FLAG: emit})
         out = compute_window_features(g, order_by, aggs, frame, is_primary_col=UNION_FLAG)
-        return out.drop(columns=[c for c in (EXPANDED_FLAG, BUCKET_COL) if c in out.columns])
+        out = out.drop(columns=[c for c in (EXPANDED_FLAG, BUCKET_COL) if c in out.columns])
+        return _to_arrow(out)
 
     return ds.groupby([*keys, BUCKET_COL], num_partitions=num_partitions).map_groups(
         fn, batch_format="pandas"
