@@ -59,21 +59,64 @@ def _hashed_ids(ids: np.ndarray, seed: int) -> np.ndarray:
     return ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x100000001B3)
 
 
+def _h64_inplace(z: np.ndarray, stream: int) -> np.ndarray:
+    """splitmix64 finalizer computed with in-place ops (z is consumed) —
+    minimizes DRAM traffic; the concurrent map tasks on one node are
+    memory-bandwidth-bound, not ALU-bound."""
+    np.add(z, np.uint64((stream * 0x9E3779B97F4A7C15) % (1 << 64)), out=z)
+    t = z >> np.uint64(30)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, np.uint64(0xBF58476D1CE4E5B9), out=z)
+    np.right_shift(z, np.uint64(27), out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, np.uint64(0x94D049BB133111EB), out=z)
+    np.right_shift(z, np.uint64(31), out=t)
+    np.bitwise_xor(z, t, out=z)
+    return z
+
+
+_GEN_CHUNK_TOKENS = 1 << 18  # ~256k tokens ≈ a few MB of temporaries → cache-resident
+
+
 def gen_tokens(raw_ids: np.ndarray, seed: int):
     """Token arrays for the given raw doc indices — tokens are a pure
     function of (doc index, seed), so any task can (re)produce its shard of
     the payload without a shuffle (the partition-aligned attach relies on
     this; for stored corpora the analog is re-reading the payload column of
-    the feature row's source shard)."""
+    the feature row's source shard).
+
+    Computed in cache-sized chunks with in-place uint64 arithmetic: the
+    naive whole-batch version streams ~100 B of temporaries per 4 B token
+    through DRAM, which saturates node memory bandwidth long before the
+    cores are busy (measured: task time inflates ~7x at 32 concurrent
+    workers). Chunking keeps temporaries L2-resident."""
     ids = _hashed_ids(raw_ids, seed)
     u_len = _u01(ids, 1)
     n_tok = (8 + np.floor(504 * u_len**3)).astype(np.int32)
     total = int(n_tok.sum())
-    doc_rep = np.repeat(ids * np.uint64(2654435761), n_tok)
-    offs = np.concatenate([[0], np.cumsum(n_tok)]).astype(np.int64)
-    j = np.arange(total, dtype=np.uint64) - np.repeat(offs[:-1], n_tok).astype(np.uint64)
-    flat = (_h64(doc_rep + j, 7) % np.uint64(VOCAB)).astype(np.int32)
-    return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat))
+    offs = np.empty(len(ids) + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(n_tok, out=offs[1:])
+    doc_keys = ids * np.uint64(2654435761)
+    flat = np.empty(total, dtype=np.int32)
+    # walk docs in chunks of ~_GEN_CHUNK_TOKENS tokens
+    doc_starts = np.searchsorted(offs[1:], np.arange(0, total, _GEN_CHUNK_TOKENS), side="left")
+    doc_bounds = list(doc_starts) + [len(ids)]
+    with np.errstate(over="ignore"):
+        for bi in range(len(doc_bounds) - 1):
+            d0, d1 = doc_bounds[bi], doc_bounds[bi + 1]
+            if d0 >= d1:
+                continue
+            lo, hi = offs[d0], offs[d1]
+            z = np.repeat(doc_keys[d0:d1], n_tok[d0:d1])
+            j = np.arange(lo, hi, dtype=np.uint64)
+            j -= np.repeat(offs[d0:d1].astype(np.uint64), n_tok[d0:d1])
+            np.add(z, j, out=z)
+            _h64_inplace(z, 7)
+            np.mod(z, np.uint64(VOCAB), out=z)
+            flat[lo:hi] = z.astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32)), pa.array(flat))
 
 
 def gen_narrow_batch(ids: np.ndarray, seed: int, num_docs: int) -> pa.Table:

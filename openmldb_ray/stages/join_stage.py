@@ -178,7 +178,7 @@ def last_join(
                 left_ts=asof_left_ts, right_order=mapped_order,
                 out_cols=out_cols, single_ref=single_ref,
             ),
-            concurrency=concurrency or (1, 4), batch_size=None)
+            concurrency=concurrency or (1, 16), batch_size=None)
 
     # ---- shuffle strategy: co-partition both sides by the join key ----
     lcols = list(left.schema().names)
@@ -299,4 +299,4 @@ def left_join(
                     if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
             return out.drop(columns=drop)
 
-    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 4), batch_size=None)
+    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 16), batch_size=None)
