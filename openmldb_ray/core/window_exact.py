@@ -62,6 +62,11 @@ def window_project_exact(
     merged = frame.is_merged
     unbounded = frame.is_unbounded
 
+    # ROWS n OPEN PRECEDING keeps n rows, not n+1
+    # (test_window_exclude_current_time.yaml:744-760 case 19 w2: ROWS 3 OPEN
+    # PRECEDING caps the window at 3 rows)
+    rows_cap = None if rows_p is None else (rows_p if open_r else rows_p + 1)
+
     def slide(cur_ts: int) -> None:
         if range_p is not None:
             lo = cur_ts - range_p
@@ -70,11 +75,11 @@ def window_project_exact(
                 in_range = (bt > lo) if open_r else (bt >= lo)
                 if in_range:
                     break
-                if merged and len(buf) <= rows_p + 1:
+                if merged and len(buf) <= rows_cap:
                     break  # still covered by the ROWS bound
                 buf.pop()
         elif rows_p is not None:
-            while len(buf) > rows_p + 1:
+            while len(buf) > rows_cap:
                 buf.pop()
         if max_size > 0:
             while len(buf) > max_size:
@@ -90,7 +95,7 @@ def window_project_exact(
             cur = ts[i]
             for pos, j in enumerate(cand):
                 ok = unbounded
-                if rows_p is not None and pos <= rows_p:
+                if rows_p is not None and pos < rows_cap:
                     ok = True
                 if range_p is not None and not ok:
                     lo = cur - range_p
@@ -109,27 +114,52 @@ def window_project_exact(
             cand = [j for j in cand if ts[j] <= hi or j == i]
         # exclusions (view-level)
         if frame.exclude_current_time:
+            # with staging, buf never holds same-ts rows; kept as a guard
             cand = [j for j in cand if j == i or ts[j] != ts[i]]
         if frame.exclude_current_row:
             cand = [j for j in cand if j != i]
         return np.asarray(cand, dtype=np.int64)
 
+    # EXCLUDE CURRENT_TIME staging (mem_catalog.h:413-455
+    # current_history_buffer_): rows do NOT enter the main buffer until the
+    # order key advances past their ts, so same-ts rows are invisible to each
+    # other AND the frame's ROWS/MAXSIZE caps apply over current + older-ts
+    # rows only (verified against test_window_exclude_current_time.yaml:59-90
+    # case 1: MAXSIZE with EXCLUDE CURRENT_TIME).
+    exclude_ct = frame.exclude_current_time
+    staged_rows: list[int] = []
+    staged_ts: int | None = None
+
+    def flush_staged() -> None:
+        for j in staged_rows:
+            buf.appendleft(j)
+            slide(int(ts[j]))
+        staged_rows.clear()
+
+    def compute(i: int, staged: bool) -> None:
+        idx = view(i, staged=staged)
+        emit.append(i)
+        for name, ev in evals:
+            outputs[name].append(ev(cols, idx))
+
     for i in range(n):
         if not ts_valid[i] or ts[i] < 0:
             continue
+        if exclude_ct and staged_rows and ts[i] > staged_ts:
+            flush_staged()
         prim = True if is_primary is None else bool(is_primary[i])
         if prim and frame.instance_not_in_window:
-            idx = view(i, staged=True)
-            emit.append(i)
-            for name, ev in evals:
-                outputs[name].append(ev(cols, idx))
+            compute(i, staged=True)
             continue  # never buffered
-        buf.appendleft(i)
-        slide(int(ts[i]))
-        if prim:
-            idx = view(i, staged=False)
-            emit.append(i)
-            for name, ev in evals:
-                outputs[name].append(ev(cols, idx))
+        if exclude_ct:
+            if prim:
+                compute(i, staged=True)
+            staged_rows.append(i)
+            staged_ts = int(ts[i])
+        else:
+            buf.appendleft(i)
+            slide(int(ts[i]))
+            if prim:
+                compute(i, staged=False)
 
     return np.asarray(emit, dtype=np.int64), outputs
