@@ -348,6 +348,72 @@ def q_multi_window(sf_dir: str):
     return _round_cols(out, ["value", "w1_sum"])
 
 
+def q_left_join(sf_dir: str):
+    """Plain LEFT JOIN (JoinPlan.scala:39-151), broadcast strategy."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.join_stage import left_join
+
+    cust = read_table(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_nationkey"])
+    nation = read_table(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
+    return left_join(cust, nation, ("c_nationkey", "n_nationkey"),
+                     right_cols={"n_name": "nation_name"}).to_pandas()
+
+
+def q_cate_agg(sf_dir: str):
+    """sum_cate / count_cate (default_defs/*_by_category_def.cc):
+    'cat1:agg,cat2:agg' strings, categories ascending."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def intify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["qty"] = df["l_quantity"].astype("int64")
+        return df
+
+    out = group_aggregate(
+        li.map_batches(intify, batch_format="pandas", batch_size=None),
+        "l_returnflag",
+        [Agg.cate("sum", "qty", "l_linestatus", "sum_cate_qty"),
+         Agg.cate("count", "qty", "l_linestatus", "cnt_cate_qty")],
+    ).to_pandas()
+    return out
+
+
+def q_scalar_string_date(sf_dir: str):
+    """Scalar library breadth: string + date + math + conditional kernels."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.functions.scalar import get, project
+    from openmldb_ray.sources.io import read_table
+
+    o = read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_orderdate",
+                            "o_totalprice", "o_orderstatus"])
+    out = project(
+        o,
+        {
+            "prio_upper": lambda t: get("upper")(t["o_orderpriority"]),
+            "prio_sub": lambda t: get("substr")(t["o_orderpriority"], 1, 3),
+            "prio_rev": lambda t: get("reverse")(t["o_orderpriority"]),
+            "od_day": lambda t: get("day")(t["o_orderdate"]),
+            "od_dow": lambda t: get("dayofweek")(t["o_orderdate"]),
+            "od_doy": lambda t: get("dayofyear")(t["o_orderdate"]),
+            "price_abs_floor": lambda t: get("floor")(t["o_totalprice"]),
+            "price_sqrt": lambda t: get("sqrt")(t["o_totalprice"]),
+            "is_open": lambda t: get("int64")(
+                get("if")(pc.equal(t["o_orderstatus"], "O"), 1, 0)),
+            "status_or_x": lambda t: get("if_null")(t["o_orderstatus"], "x"),
+        },
+        keep=["o_orderkey"],
+    ).to_pandas()
+    return _round_cols(out, ["price_sqrt"])
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition + per-group first (SURVEY §7.4)."""
     from openmldb_ray.sources.io import read_table
@@ -495,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": q_sort_limit,
         "distinct": q_distinct,
         "multi_window": q_multi_window,
+        "left_join": q_left_join,
+        "cate_agg": q_cate_agg,
+        "scalar_string_date": q_scalar_string_date,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "knn": q_knn,
@@ -686,6 +755,38 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
                    w2 AS (PARTITION BY event_type ORDER BY ts, event_id
                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "left_join": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, n.n_name AS nation_name
+            FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
+        "cate_agg": """
+            WITH per AS (
+              SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(l_quantity AS BIGINT)) AS s,
+                     COUNT(CAST(l_quantity AS BIGINT)) AS c
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag,
+                   string_agg(l_linestatus || ':' || CAST(s AS VARCHAR), ','
+                              ORDER BY l_linestatus) AS sum_cate_qty,
+                   string_agg(l_linestatus || ':' || CAST(c AS VARCHAR), ','
+                              ORDER BY l_linestatus) AS cnt_cate_qty
+            FROM per GROUP BY l_returnflag
+        """,
+        "scalar_string_date": """
+            SELECT o_orderkey,
+                   upper(o_orderpriority) AS prio_upper,
+                   substr(o_orderpriority, 1, 3) AS prio_sub,
+                   reverse(o_orderpriority) AS prio_rev,
+                   CAST(day(o_orderdate) AS INT) AS od_day,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS od_dow,
+                   CAST(dayofyear(o_orderdate) AS INT) AS od_doy,
+                   floor(o_totalprice) AS price_abs_floor,
+                   ROUND(sqrt(o_totalprice), 6) AS price_sqrt,
+                   CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS is_open,
+                   COALESCE(o_orderstatus, 'x') AS status_or_x
+            FROM orders
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM documents

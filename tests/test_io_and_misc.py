@@ -1,0 +1,99 @@
+"""Sources/sinks (LoadDataPlan / SelectIntoPlan), ConcatJoin zip,
+scalar-function registry (user-extension surface), lineage resume filter."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_data_soft_and_deep_copy(ray_session, tmp_path):
+    from openmldb_ray.sources.io import load_data
+
+    ds = load_data(f"{SF}/nation.parquet", "parquet", columns=["n_nationkey", "n_name"])
+    assert ds.count() == 25
+    deep = str(tmp_path / "deep")
+    ds2 = load_data(f"{SF}/nation.parquet", "parquet", deep_copy_to=deep)
+    assert ds2.count() == 25
+    assert os.path.isdir(deep) and os.listdir(deep)
+
+
+def test_select_into_write_modes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from openmldb_ray.sources.io import select_into
+
+    ds = rd.from_items([{"a": i} for i in range(10)])
+    out = str(tmp_path / "out")
+    select_into(ds, out, "parquet", mode="overwrite")
+    assert rd.read_parquet(out).count() == 10
+    with pytest.raises(FileExistsError):
+        select_into(ds, out, "parquet", mode="errorifexists")
+    select_into(ds, out, "parquet", mode="append")
+    assert rd.read_parquet(out).count() == 20
+    select_into(ds, out, "parquet", mode="overwrite")
+    assert rd.read_parquet(out).count() == 10
+    csv_out = str(tmp_path / "csv")
+    select_into(ds, csv_out, "csv")
+    assert rd.read_csv(csv_out).count() == 10
+
+
+def test_concat_zip(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.relational import concat_zip
+
+    a = rd.from_items([{"x": i} for i in range(5)])
+    b = rd.from_items([{"y": i * 10} for i in range(5)])
+    out = concat_zip(a, b).to_pandas()
+    assert (out["y"] == out["x"] * 10).all()
+
+
+def test_scalar_registry_and_user_extension(ray_session):
+    import pyarrow.compute as pc
+
+    from openmldb_ray.functions.scalar import REGISTRY, get, register
+
+    arr = pa.array([1.5, -2.5, None])
+    assert get("abs")(arr).to_pylist() == [1.5, 2.5, None]
+    assert get("ceil")(arr).to_pylist() == [2.0, -2.0, None]
+    s = pa.array(["Hello World", None])
+    assert get("lower")(s).to_pylist() == ["hello world", None]
+    assert get("char_length")(s).to_pylist() == [11, None]
+    assert get("substr")(s, 7, 5).to_pylist() == ["World", None]
+    assert get("concat")(s, s).to_pylist() == ["Hello WorldHello World", None]
+    assert get("like_match")(s, "Hello%").to_pylist() == [True, None]
+    assert get("strcmp")(pa.array(["a", "b", "c"]), pa.array(["b", "b", "a"])).to_pylist() == [-1, 0, 1]
+    ts = pa.array([1590738990000], type=pa.int64())  # 2020-05-29 UTC
+    assert get("year")(ts).to_pylist() == [2020]
+    assert get("month")(ts).to_pylist() == [5]
+    assert get("day")(ts).to_pylist() == [29]
+    assert get("is_null")(arr).to_pylist() == [False, False, True]
+    assert get("if_null")(arr, 0.0).to_pylist() == [1.5, -2.5, 0.0]
+    # user extension (reference analog: external .so UDF registration,
+    # SparkPlanner.scala:349-378)
+    register("plus_one", lambda x: pc.add(x, 1))
+    assert get("plus_one")(pa.array([1, 2])).to_pylist() == [2, 3]
+    assert "farm_fingerprint" in REGISTRY and "ifnull" in REGISTRY
+
+
+def test_lineage_filter_completed(ray_session, tmp_path):
+    import ray.data as rd
+
+    from openmldb_ray.state.lineage import (
+        filter_completed,
+        write_partitioned_with_lineage,
+    )
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5, "v": range(10)})
+    out_dir = str(tmp_path / "o")
+    write_partitioned_with_lineage(rd.from_pandas(df), out_dir, "k")
+    # simulate a restart: partition 'a' complete → its rows are dropped
+    os.remove(os.path.join(out_dir, "lineage", "b.json"))
+    remaining = filter_completed(rd.from_pandas(df), out_dir, "k").to_pandas()
+    assert set(remaining["k"]) == {"b"}
+    assert len(remaining) == 5
