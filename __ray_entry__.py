@@ -114,6 +114,31 @@ def q_lag_lead(sf_dir: str):
     return _round_cols(out, ["lag1_v", "lag3_v", "lead2_v"])
 
 
+def q_window_where(sf_dir: str):
+    """count_where/sum_where/avg_where over a window (exact kernel path)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows_range
+    from openmldb_ray.stages.window_stage import window_agg
+
+    ev = _events_ms(sf_dir)
+
+    def add_flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["big"] = df["value"] > 50
+        return df
+
+    out = window_agg(
+        ev.map_batches(add_flag, batch_format="pandas", batch_size=None),
+        "user_id", "ts_ms",
+        [Agg.sum_where("value", "big", "sum_big"),
+         Agg.count_where("value", "big", "cnt_big"),
+         Agg.avg_where("value", "big", "avg_big")],
+        rows_range("3h"), tiebreak="event_id",
+    ).to_pandas().drop(columns=["big"])
+    out["cnt_big"] = pd.to_numeric(out["cnt_big"]).fillna(0).astype("int64")
+    return _round_cols(out, ["value", "sum_big", "avg_big"])
+
+
 def q_last_join_asof(sf_dir: str):
     """Sorted LAST JOIN with point-in-time bound (JoinPlan.scala:153-189)."""
     from openmldb_ray.sources.io import read_table, with_ts_ms
@@ -546,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_range_open": q_window_range_open,
         "window_exclude_current_row": q_window_exclude_current_row,
         "lag_lead": q_lag_lead,
+        "window_where": q_window_where,
         "last_join_asof": q_last_join_asof,
         "last_join_unsorted": q_last_join_unsorted,
         "window_union": q_window_union,
@@ -625,6 +651,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAD(value, 2) OVER w, 6) AS lead2_v
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_where": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(SUM(CASE WHEN value > 50 THEN value END) OVER w, 6) AS sum_big,
+                   COUNT(CASE WHEN value > 50 THEN value END) OVER w AS cnt_big,
+                   ROUND(AVG(CASE WHEN value > 50 THEN value END) OVER w, 6) AS avg_big
+            FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                         RANGE BETWEEN 10800000 PRECEDING AND CURRENT ROW)
         """,
         "last_join_asof": f"""
             SELECT e.event_id, e.user_id, {TS.replace('ts', 'e.ts')} AS ts_ms,
