@@ -56,7 +56,8 @@ def _to_arrow(out: pd.DataFrame):
 
 
 def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
-                   has_union: bool, tiebreak: str | None, drop_cols: list[str]):
+                   has_union: bool, tiebreak: str | None, drop_cols: list[str],
+                   hook=None):
     def fn(g: pd.DataFrame):
         sort_cols = [order_by]
         if has_union:
@@ -66,12 +67,16 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
         if tiebreak:
             sort_cols.append(tiebreak)
         g = g.sort_values(sort_cols, kind="stable")
+        if hook is not None:
+            hook("pre", g)
         out = compute_window_features(
             g, order_by, aggs, frame,
             is_primary_col=UNION_FLAG if has_union else None,
         )
         if drop_cols:
             out = out.drop(columns=[c for c in drop_cols if c in out.columns])
+        if hook is not None:
+            hook("post", out)
         return _to_arrow(out)
 
     return fn
@@ -87,13 +92,19 @@ def window_agg(
     union: "ray.data.Dataset | None" = None,
     tiebreak: str | None = None,
     num_partitions: int | None = None,
+    hook=None,
 ) -> "ray.data.Dataset":
     """OpenMLDB ``SELECT agg(..) OVER w`` with optional ``WINDOW w AS (UNION ...)``.
 
     ``union`` rows feed window state but are never emitted
     (WindowAggPlanUtil.scala:50-117). ``tiebreak`` makes ts-tie ordering
     deterministic (the reference uses arrival order; distributed reads have
-    no stable arrival order, so callers pass an id column).
+    no stable arrival order, so callers pass an id column). ``hook`` is the
+    WindowHook analog (reference: window/WindowHook.scala,
+    WindowSampleSupport.scala) — ``hook(phase, df)`` called per partition
+    with phase "pre" (sorted input) and "post" (computed output), for
+    sampling/metrics/lineage; it runs inside workers, so side effects must
+    be worker-local (e.g. write to files/queues, not driver state).
     """
     keys = _normalize_keys(partition_by)
     has_union = union is not None
@@ -101,7 +112,8 @@ def window_agg(
         ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
         union_flagged = union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None)
         ds = ds.union(union_flagged)
-    fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[])
+    fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[],
+                        hook=hook)
     return ds.groupby(keys, num_partitions=num_partitions).map_groups(
         fn, batch_format="pandas"
     )

@@ -257,3 +257,47 @@ def test_group_aggregate_exotic(ray_session):
     """)
     out["dc"] = out["dc"].astype(float)
     assert_frames_match(out, oracle, ["l_returnflag"])
+
+
+def test_instance_not_in_window_through_stage(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows_range
+
+    from openmldb_ray.stages.window_stage import window_agg
+
+    primary = rd.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3], "k": ["a"] * 3, "ts": [2000, 3000, 4000], "v": [2.0, 3.0, 4.0]}))
+    union = rd.from_pandas(pd.DataFrame(
+        {"id": [0], "k": ["a"], "ts": [1000], "v": [1.0]}))
+    out = window_agg(
+        primary, "k", "ts", [Agg.sum("v", "s")],
+        rows_range("10s", instance_not_in_window=True),
+        union=union, tiebreak="id",
+    ).to_pandas().sort_values("id")
+    # each primary row sees only itself + the union row (other primaries invisible)
+    assert out["s"].tolist() == [3.0, 4.0, 5.0]
+
+
+def test_window_hook(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows
+    from openmldb_ray.stages.window_stage import window_agg
+
+    import tempfile, os, glob
+    d = tempfile.mkdtemp()
+
+    def hook(phase, df):
+        with open(os.path.join(d, f"{phase}_{len(df)}.marker"), "w") as f:
+            f.write(str(len(df)))
+
+    df = pd.DataFrame({"id": range(6), "k": ["a"] * 3 + ["b"] * 3,
+                       "ts": [1, 2, 3, 1, 2, 3], "v": [1.0] * 6})
+    out = window_agg(rd.from_pandas(df), "k", "ts", [Agg.count_star("c")],
+                     rows(2), tiebreak="id", hook=hook).to_pandas()
+    assert len(out) == 6
+    markers = glob.glob(os.path.join(d, "*.marker"))
+    assert any("pre_" in m for m in markers) and any("post_" in m for m in markers)
