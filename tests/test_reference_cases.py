@@ -138,3 +138,82 @@ def test_window_stage_golden_through_ray(ray_session):
         FrameSpec(range_preceding=6, max_size=3), tiebreak="id",
     ).to_pandas().sort_values("id")
     assert out["w1_c4_sum"].tolist() == [30, 61, 93, 96, 99]
+
+
+# --- cases/function/window/test_window_union.yaml ---------------------------
+
+UNION_COLS = ["id", "c1", "c3", "c4", "c7"]
+
+
+def _mk_union_df(rows):
+    return pd.DataFrame(rows, columns=UNION_COLS)
+
+
+def test_window_union_yaml_case0(ray_session):
+    # yaml :19-42 正常union: ROWS 2 PRECEDING over c3 partitions
+    import ray.data as rd
+
+    from openmldb_ray.stages.window_stage import window_agg
+
+    primary = _mk_union_df([
+        [1, "aa", 20, 30, 1590738990000],
+        [4, "dd", 20, 33, 1590738993000],
+        [5, "ee", 21, 34, 1590738994000],
+    ])
+    union = _mk_union_df([
+        [2, "bb", 20, 31, 1590738991000],
+        [3, "cc", 20, 32, 1590738992000],
+    ])
+    out = window_agg(
+        rd.from_pandas(primary), "c3", "c7",
+        [Agg.sum("c4", "w1_c4_sum")], FrameSpec(rows_preceding=2),
+        union=rd.from_pandas(union), tiebreak="id",
+    ).to_pandas().sort_values("id")
+    assert out["id"].tolist() == [1, 4, 5]
+    assert out["w1_c4_sum"].tolist() == [30, 96, 34]
+
+
+def test_window_union_yaml_case8_multi_table(ray_session):
+    # yaml :193-219 union多表: UNION {1},{2} ROWS 3 PRECEDING
+    import ray.data as rd
+
+    from openmldb_ray.stages.window_stage import window_agg
+
+    primary = _mk_union_df([
+        [1, "aa", 20, 30, 1590738990000],
+        [4, "dd", 20, 33, 1590738993000],
+        [5, "dd", 20, 33, 1590738994000],
+        [6, "ee", 21, 34, 1590738995000],
+    ])
+    u1 = _mk_union_df([[3, "cc", 20, 32, 1590738992000]])
+    u2 = _mk_union_df([[2, "bb", 20, 31, 1590738991000]])
+    out = window_agg(
+        rd.from_pandas(primary), "c3", "c7",
+        [Agg.sum("c4", "w1_c4_sum")], FrameSpec(rows_preceding=3),
+        union=rd.from_pandas(u1).union(rd.from_pandas(u2)), tiebreak="id",
+    ).to_pandas().sort_values("id")
+    assert out["w1_c4_sum"].tolist() == [30, 126, 129, 34]
+
+
+def test_window_union_yaml_case10_two_pks(ray_session):
+    # yaml :245-269 两个pk: PARTITION BY c1, c3
+    import ray.data as rd
+
+    from openmldb_ray.stages.window_stage import window_agg
+
+    primary = _mk_union_df([
+        [1, "aa", 20, 30, 1590738990000],
+        [4, "aa", 20, 33, 1590738993000],
+        [5, "ee", 21, 34, 1590738994000],
+        [6, "ee", 21, 33, 1590738995000],
+    ])
+    union = _mk_union_df([
+        [2, "aa", 20, 31, 1590738991000],
+        [3, "aa", 20, 32, 1590738992000],
+    ])
+    out = window_agg(
+        rd.from_pandas(primary), ["c1", "c3"], "c7",
+        [Agg.sum("c4", "w1_c4_sum")], FrameSpec(rows_preceding=2),
+        union=rd.from_pandas(union), tiebreak="id",
+    ).to_pandas().sort_values("id")
+    assert out["w1_c4_sum"].tolist() == [30, 96, 34, 67]
