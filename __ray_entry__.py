@@ -544,6 +544,17 @@ def q_multimodal(sf_dir: str):
     return out[["mm_id", "mm_type", "feat_dim"]]
 
 
+def q_taxi(sf_dir: str):
+    """The reference's taxi-trip demo feature vector (taxi.sql:9-23) over a
+    deterministic synthetic trips table (rows-only; DuckDB-verified in
+    tests/test_taxi.py)."""
+    from openmldb_ray.pipelines.taxi import taxi_features
+
+    out = taxi_features(2000).to_pandas()
+    return out[["id", "trip_duration", "passenger_count", "vendor_sum_pl",
+                "vendor_cnt", "pc_sum_pl", "pc_cnt"]]
+
+
 def q_flagship(sf_dir: str):
     """The full tokenized-sequence suite (rows-only check; semantics are
     pytest-verified against an independent point-in-time oracle)."""
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal": q_multimodal,
+        "taxi_demo": q_taxi,
         "flagship": q_flagship,
     }
 

@@ -108,3 +108,25 @@ def test_lineage_resume(ray_session, tmp_path):
     summary = write_partitioned_with_lineage(ds, out_dir, "source", resume=True)
     assert summary["written"] == []
     assert set(summary["skipped"]) == done
+
+
+def test_attach_paths_equivalent(ray_session):
+    """regen (zero-shuffle), broadcast, and bucketed payload attach must
+    produce identical feature rows and token arrays."""
+    outs = {}
+    for mode in ("regen", "broadcast", "bucketed"):
+        df = FS.flagship(num_docs=600, attach=mode).to_pandas()
+        df["tok_hash"] = df["tokens"].map(
+            lambda t: hash(np.asarray(t, dtype=np.int32).tobytes()))
+        outs[mode] = df.drop(columns=["tokens"]).sort_values("doc_id").reset_index(drop=True)
+    base = outs["regen"]
+    for mode in ("broadcast", "bucketed"):
+        other = outs[mode]
+        assert len(other) == len(base), mode
+        m = base.merge(other, on="doc_id", suffixes=("", "_o"))
+        for c in ["sum_tok_6h", "cnt_6h", "lag1_tok", "top_lang_6h", "tok_hash"]:
+            a, b = m[c], m[f"{c}_o"]
+            if a.dtype.kind in "fc":
+                assert np.allclose(a.astype(float), b.astype(float), equal_nan=True), (mode, c)
+            else:
+                assert (a.fillna("<n>").astype(str) == b.fillna("<n>").astype(str)).all(), (mode, c)
