@@ -121,12 +121,53 @@ def _frame_starts(ts: np.ndarray, frame: FrameSpec) -> np.ndarray:
     return np.zeros(n, dtype=np.int64)
 
 
+_CARD_LIMIT = 64  # ≤ this many distinct values → fully vectorized matrix path
+
+
+def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
+                         aggs_for_col: list[AggSpec]) -> dict[str, np.ndarray]:
+    """Vectorized frequency windows for a small-cardinality column:
+    C[i, v] = #occurrences of value v in window [lo_i, i] via per-value
+    prefix sums — no Python row loop."""
+    from .aggregates import _fmt_num
+
+    n = vals.shape[0]
+    uniq, codes = np.unique(vals[valid], return_inverse=True)
+    k = uniq.shape[0]
+    onehot = np.zeros((n + 1, k), dtype=np.int32)
+    onehot[np.nonzero(valid)[0] + 1, codes] = 1
+    cum = np.cumsum(onehot, axis=0)  # (n+1, k)
+    C = cum[np.arange(1, n + 1)] - cum[lo]  # counts per value per row
+    out: dict[str, np.ndarray] = {}
+    labels = np.asarray([_fmt_num(u) for u in uniq], dtype=object)
+    present = C > 0
+    totals = C.sum(axis=1)
+    for a in aggs_for_col:
+        if a.kind == "distinct_count":
+            out[a.name] = present.sum(axis=1).astype(object)
+        elif a.kind == "top1_ratio":
+            r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), np.nan)
+            out[a.name] = np.asarray([None if np.isnan(x) else float(x) for x in r],
+                                     dtype=object)
+        else:  # topn_frequency: count desc, value asc — stable argsort on -C
+            order = np.argsort(-C, axis=1, kind="stable")  # ties → lower value index first
+            res = np.empty(n, dtype=object)
+            kk = a.k
+            for i in range(n):  # string assembly only; O(n·k) tiny
+                sel = order[i][: min(kk, int(present[i].sum()))]
+                res[i] = ",".join(labels[j] for j in sel) if sel.size else None
+            out[a.name] = res
+    return out
+
+
 def window_project_sliding(
     g: pd.DataFrame, order_col: str, aggs: list[AggSpec], frame: FrameSpec
 ) -> dict[str, np.ndarray]:
     """O(n) frequency-state computation of distinct_count / topn_frequency /
-    top1_ratio: one add per row, one evict per row leaving the frame.
-    Matches the exact kernel (parity-tested); requires fast-path frames."""
+    top1_ratio. Small-cardinality columns (≤64 distinct) take a fully
+    vectorized prefix-sum matrix path; otherwise a two-pointer Counter
+    (one add + one evict per row). Matches the exact kernel
+    (parity-tested); requires fast-path frames."""
     from collections import Counter
 
     from .aggregates import _fmt_num
@@ -134,6 +175,25 @@ def window_project_sliding(
     ts = g[order_col].to_numpy(np.int64)
     n = ts.shape[0]
     lo = _frame_starts(ts, frame)
+
+    # try the matrix path per column
+    by_col: dict[str, list[AggSpec]] = {}
+    for a in aggs:
+        by_col.setdefault(a.col, []).append(a)
+    out_fast: dict[str, np.ndarray] = {}
+    remaining: list[AggSpec] = []
+    for col, col_aggs in by_col.items():
+        s = g[col]
+        valid = s.notna().to_numpy()
+        vals = s.to_numpy(object)
+        nuniq = pd.unique(s.dropna()).shape[0]
+        if nuniq <= _CARD_LIMIT:
+            out_fast.update(_sliding_matrix_path(vals, valid, lo, col_aggs))
+        else:
+            remaining.extend(col_aggs)
+    if not remaining:
+        return out_fast
+    aggs = remaining
     out: dict[str, list] = {a.name: [] for a in aggs}
     cols = {}
     for a in aggs:
@@ -170,7 +230,9 @@ def window_project_sliding(
                 else:
                     items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
                     out[a.name].append(",".join(_fmt_num(k) for k, _ in items[: a.k]))
-    return {k: np.asarray(v, dtype=object) for k, v in out.items()}
+    merged = {k: np.asarray(v, dtype=object) for k, v in out.items()}
+    merged.update(out_fast)
+    return merged
 
 
 def compute_window_features(

@@ -224,3 +224,24 @@ def test_fast_matches_exact(seed, frame):
         f = pd.to_numeric(fast[a.name], errors="coerce").to_numpy(np.float64)
         e = pd.to_numeric(exact[a.name], errors="coerce").to_numpy(np.float64)
         assert np.allclose(f, e, equal_nan=True), f"{a.name} mismatch (frame={frame})"
+
+
+@pytest.mark.parametrize("card", [8, 200], ids=["matrix-path", "counter-path"])
+def test_sliding_kernel_matches_exact(card):
+    """distinct_count/topn_frequency/top1_ratio: vectorized & two-pointer
+    sliding paths vs the exact kernel, incl. nulls and ties."""
+    rng = np.random.default_rng(card)
+    n = 300
+    ts = np.sort(rng.integers(0, 3000, n))
+    vals = rng.integers(0, card, n).astype(object)
+    vals[rng.random(n) < 0.1] = None
+    df = pd.DataFrame({"ts": ts, "c": vals, "v": rng.normal(size=n)})
+    aggs = [Agg.distinct_count("c", "dc"), Agg.topn_frequency("c", 3, "tf"),
+            Agg.top1_ratio("c", "t1")]
+    fast = compute_window_features(df, "ts", aggs, rows_range(500))
+    exact = compute_window_features(df, "ts", aggs + [Agg.median("v", "_f")], rows_range(500))
+    assert fast["dc"].tolist() == exact["dc"].tolist()
+    assert [str(x) for x in fast["tf"]] == [str(x) for x in exact["tf"]]
+    a = pd.to_numeric(fast["t1"], errors="coerce").astype(float)
+    b = pd.to_numeric(exact["t1"], errors="coerce").astype(float)
+    assert np.allclose(a, b, equal_nan=True)
