@@ -176,6 +176,32 @@ def q_last_join_unsorted(sf_dir: str):
     return out
 
 
+def q_lastjoin_window(sf_dir: str):
+    """LAST JOIN feeding a WINDOW over the joined column — the combined
+    case of cases/query/last_join_window_query.yaml:20-52."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import rows
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.join_stage import last_join
+    from openmldb_ray.stages.window_stage import window_agg
+
+    orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_ts_ms"])
+    joined = last_join(
+        _events_ms(sf_dir), orders, ("user_id", "o_custkey"),
+        order_by="o_ts_ms", asof_left_ts="ts_ms", tiebreak="o_orderkey",
+        right_cols={"o_totalprice": "last_price"},
+        strategy="broadcast",
+    )
+    out = window_agg(
+        joined, "user_id", "ts_ms",
+        [Agg.sum("last_price", "w_price_sum"), Agg.count("last_price", "w_price_cnt")],
+        rows(2), tiebreak="event_id",
+    ).to_pandas()
+    out["w_price_cnt"] = pd.to_numeric(out["w_price_cnt"]).astype("int64")
+    return _round_cols(out, ["value", "last_price", "w_price_sum"])
+
+
 def q_window_union(sf_dir: str):
     """WINDOW UNION backfill (WindowAggPlanUtil.scala:50-117): non-click
     events feed window state, only click rows emit."""
@@ -586,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_join_asof": q_last_join_asof,
         "last_join_unsorted": q_last_join_unsorted,
         "window_union": q_window_union,
+        "lastjoin_window": q_lastjoin_window,
         "sessionize": q_sessionize,
         "session_agg": q_session_agg,
         "group_agg": q_group_agg,
@@ -691,6 +718,24 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
                 PARTITION BY c.c_custkey ORDER BY o.o_orderkey) = 1
+        """,
+        "lastjoin_window": f"""
+            WITH j AS (
+              SELECT e.event_id, e.user_id, {TS.replace('ts', 'e.ts')} AS ts_ms,
+                     e.value, CAST(o.o_totalprice AS DOUBLE) AS last_price
+              FROM events e
+              LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+              QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
+                  PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+            )
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(last_price, 6) AS last_price,
+                   ROUND(SUM(last_price) OVER w, 6) AS w_price_sum,
+                   COUNT(last_price) OVER w AS w_price_cnt
+            FROM j
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "window_union": f"""
             SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,

@@ -217,3 +217,36 @@ def test_window_union_yaml_case10_two_pks(ray_session):
         union=rd.from_pandas(union), tiebreak="id",
     ).to_pandas().sort_values("id")
     assert out["w1_c4_sum"].tolist() == [30, 96, 34, 67]
+
+
+def test_lastjoin_then_window_yaml_complex_case0(ray_session):
+    # cases/function/join/test_lastjoin_complex.yaml:19-59 — LAST JOIN
+    # feeding a window over the joined column (ROWS 1 PRECEDING)
+    import ray.data as rd
+
+    from openmldb_ray.stages.join_stage import last_join
+    from openmldb_ray.stages.window_stage import window_agg
+
+    left = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "c1": ["aa", "aa", "aa", "bb", "bb"],
+        "c3": [20, 21, 22, 23, 24],
+        "c7": [1590738990000, 1590738990001, 1590738990002,
+               1590738990003, 1590738990004],
+    })
+    right = pd.DataFrame({
+        "c1": ["aa", "aa", "aa", "bb", "bb"],
+        "rc4": [30, 31, 32, 33, 34],
+        "rc7": [1590738990000, 1590738990001, 1590738990002,
+                1590738990003, 1590738990004],
+    })
+    joined = last_join(
+        rd.from_pandas(left), rd.from_pandas(right), ("c1", "c1"),
+        order_by="rc7", right_cols={"rc4": "c4"}, strategy="broadcast",
+    )
+    out = window_agg(
+        joined, "c1", "c7", [Agg.sum("c4", "w1_c4_sum")],
+        FrameSpec(rows_preceding=1), tiebreak="id",
+    ).to_pandas().sort_values("id")
+    assert out["c4"].tolist() == [32, 32, 32, 34, 34]
+    assert out["w1_c4_sum"].tolist() == [32, 64, 64, 34, 68]
