@@ -303,6 +303,28 @@ def q_group_stats(sf_dir: str):
     return _round_cols(out, ["med_v", "top1r"])
 
 
+def q_top_agg(sf_dir: str):
+    """top(col, k): k largest values comma-joined desc (default_udf_library
+    InitUdaf 'top')."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def intify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["qty"] = df["l_quantity"].astype("int64")
+        return df
+
+    return group_aggregate(
+        li.map_batches(intify, batch_format="pandas", batch_size=None)
+          .select_columns(["l_returnflag", "qty"]),
+        "l_returnflag",
+        [Agg.top("qty", 3, "top3_qty")],
+    ).to_pandas()
+
+
 def q_scalar_project(sf_dir: str):
     """RowProjectPlan: scalar fn library over pyarrow.compute."""
     import pyarrow.compute as pc
@@ -618,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_agg": q_group_agg,
         "group_agg_where": q_group_agg_where,
         "group_stats": q_group_stats,
+        "top_agg": q_top_agg,
         "scalar_project": q_scalar_project,
         "filter": q_filter,
         "simple_project": q_simple_project,
@@ -812,6 +835,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.user_id, a.dc_types, ROUND(a.med_v, 6) AS med_v,
                    ROUND(CAST(m.mx AS DOUBLE) / a.n, 6) AS top1r, t.top2_types
             FROM agg a JOIN mx m USING (user_id) JOIN t2 t USING (user_id)
+        """,
+        "top_agg": """
+            SELECT l_returnflag,
+                   string_agg(CAST(q AS VARCHAR), ',' ORDER BY q DESC, rn) AS top3_qty
+            FROM (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                        ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rn
+              FROM lineitem) x
+            WHERE rn <= 3 GROUP BY l_returnflag
         """,
         "scalar_project": """
             SELECT l_orderkey, l_linenumber,
