@@ -112,7 +112,7 @@ def run_scaling() -> dict:
     the N→4N node-count criterion; the 8→32 pair is reported for
     transparency.
     """
-    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "4000000"))
+    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "8000000"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
