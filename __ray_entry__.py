@@ -99,6 +99,21 @@ def q_window_exclude_current_row(sf_dir: str):
     return _round_cols(out, ["sum_v"])
 
 
+def q_window_range_end(sf_dir: str):
+    """ROWS_RANGE BETWEEN 2h PRECEDING AND 30m PRECEDING (end offset)."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.core.frames import FrameSpec
+    from openmldb_ray.stages.window_stage import window_agg
+
+    out = window_agg(
+        _events_ms(sf_dir), "user_id", "ts_ms",
+        [Agg.sum("value", "sum_v"), Agg.count_star("cnt")],
+        FrameSpec(range_preceding=7_200_000, range_end=-1_800_000),
+        tiebreak="event_id",
+    ).to_pandas()
+    return _round_cols(out, ["value", "sum_v"])
+
+
 def q_lag_lead(sf_dir: str):
     """lag (window_functions_def.cc:95-175) + lead (north-rule extension)."""
     from openmldb_ray.core.aggregates import Agg
@@ -629,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_range": q_window_range,
         "window_range_open": q_window_range_open,
         "window_exclude_current_row": q_window_exclude_current_row,
+        "window_range_end": q_window_range_end,
         "lag_lead": q_lag_lead,
         "window_where": q_window_where,
         "last_join_asof": q_last_join_asof,
@@ -705,6 +721,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        """,
+        "window_range_end": f"""
+            SELECT event_id, user_id, ts_ms, ROUND(value, 6) AS value,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt
+            FROM (SELECT event_id, user_id, value, {TS} AS ts_ms FROM events) t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                         RANGE BETWEEN 7200000 PRECEDING AND 1800000 PRECEDING)
         """,
         "lag_lead": f"""
             SELECT event_id, user_id, {TS} AS ts_ms, ROUND(value, 6) AS value,

@@ -106,12 +106,13 @@ def window_project_exact(
             if max_size > 0:
                 out = out[:max_size]
             cand = out
-        # end bounds (AND x PRECEDING)
+        # end bounds (AND x PRECEDING) — exclude the newest rows, current
+        # row included (FOLLOWING is unsupported, so end offsets only shrink)
         if frame.rows_end:
-            cand = [j for pos, j in enumerate(cand) if pos >= frame.rows_end or j == i]
+            cand = cand[frame.rows_end:]
         if frame.range_end:
             hi = ts[i] + frame.range_end
-            cand = [j for j in cand if ts[j] <= hi or j == i]
+            cand = [j for j in cand if ts[j] <= hi]
         # exclusions (view-level)
         if frame.exclude_current_time:
             # with staging, buf never holds same-ts rows; kept as a guard

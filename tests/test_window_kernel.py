@@ -245,3 +245,22 @@ def test_sliding_kernel_matches_exact(card):
     a = pd.to_numeric(fast["t1"], errors="coerce").astype(float)
     b = pd.to_numeric(exact["t1"], errors="coerce").astype(float)
     assert np.allclose(a, b, equal_nan=True)
+
+
+def test_range_end_bound():
+    # ROWS_RANGE BETWEEN 3s PRECEDING AND 1s PRECEDING: rows with
+    # ts in [cur-3000, cur-1000]; current row excluded by the end bound
+    df = mk([1000, 2000, 3000, 4000, 5000], [1.0, 2.0, 3.0, 4.0, 5.0])
+    r = feats(df, [Agg.sum("v", "s"), Agg.count_star("c")],
+              FrameSpec(range_preceding=3000, range_end=-1000))
+    assert r["c"].tolist() == [0, 1, 2, 3, 3]
+    assert r["s"].tolist()[1:] == [1.0, 3.0, 6.0, 9.0]
+
+
+def test_rows_end_bound():
+    # ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING (positional end bound)
+    df = mk([1000, 2000, 3000, 4000, 5000], [1.0, 2.0, 3.0, 4.0, 5.0])
+    r = feats(df, [Agg.sum("v", "s"), Agg.count_star("c")],
+              FrameSpec(rows_preceding=3, rows_end=1))
+    assert r["c"].tolist() == [0, 1, 2, 3, 3]
+    assert r["s"].tolist()[1:] == [1.0, 3.0, 6.0, 9.0]
