@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import TYPE_CHECKING
 
@@ -87,6 +88,10 @@ def write_partitioned_with_lineage(
         t0 = time.time()
         part = ds.filter(expr=f"{partition_col} == {v!r}")
         pdir = os.path.join(out_dir, f"part={_safe(v)}")
+        # a partition without a lineage record is incomplete (e.g. the job
+        # died mid-write): clear it first — write_parquet appends part files,
+        # which would silently duplicate rows on resume
+        shutil.rmtree(pdir, ignore_errors=True)
         part.write_parquet(pdir)
         n = part.count()
         checksum = None

@@ -23,6 +23,8 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (omit on a real cluster)")
     args = ap.parse_args()
+    if args.num_docs <= 0:
+        ap.error(f"--num-docs must be positive (got {args.num_docs})")
 
     import ray
 
