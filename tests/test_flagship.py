@@ -130,3 +130,22 @@ def test_attach_paths_equivalent(ray_session):
                 assert np.allclose(a.astype(float), b.astype(float), equal_nan=True), (mode, c)
             else:
                 assert (a.fillna("<n>").astype(str) == b.fillna("<n>").astype(str)).all(), (mode, c)
+
+
+def test_resume_does_not_duplicate_rows(ray_session, tmp_path):
+    """Regression (found by e2e verification): a resumed run must REPLACE an
+    incomplete partition's files, not append alongside them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "o")
+    FS.flagship(num_docs=400, out_dir=out_dir)
+    # simulate a crash after 'web' wrote data but before its lineage commit
+    import os
+
+    os.remove(os.path.join(out_dir, "lineage", "web.json"))
+    FS.flagship(num_docs=400, out_dir=out_dir)  # resume
+    files = sorted(glob.glob(f"{out_dir}/part=*/**/*.parquet", recursive=True))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert len(df) == df["doc_id"].nunique()

@@ -250,3 +250,42 @@ def test_lastjoin_then_window_yaml_complex_case0(ray_session):
     ).to_pandas().sort_values("id")
     assert out["c4"].tolist() == [32, 32, 32, 34, 34]
     assert out["w1_c4_sum"].tolist() == [32, 64, 64, 34, 68]
+
+
+# --- cases/function/window/test_current_row.yaml:19-109 ---------------------
+
+CR_ROWS = [
+    [20, 1590738990000, 30], [21, 1590738991000, 31],
+    [22, 1590738992000, 32], [23, 1590738993000, 33],
+]
+CR_ROWS_TIE = [
+    [20, 1590738990000, 30], [21, 1590738990000, 31],
+    [22, 1590738992000, 32], [23, 1590738993000, 33],
+]
+
+
+def _sums(rows, frame):
+    df = pd.DataFrame(rows, columns=["id", "ts", "v"])
+    out = compute_window_features(df, "ts", [Agg.sum("v", "s")], frame)
+    return [None if pd.isna(x) else int(x) for x in out.sort_values("id")["s"]]
+
+
+def test_current_row_case0_rows():
+    got = _sums(CR_ROWS, FrameSpec(rows_preceding=2, exclude_current_row=True))
+    assert got == [None, 30, 61, 63]
+
+
+def test_current_row_case1_rows_range():
+    got = _sums(CR_ROWS, FrameSpec(range_preceding=2000, exclude_current_row=True))
+    assert got == [None, 30, 61, 63]
+
+
+def test_current_row_case2_rows_with_tie():
+    # same-ts earlier arrivals ARE visible with EXCLUDE CURRENT_ROW alone
+    got = _sums(CR_ROWS_TIE, FrameSpec(rows_preceding=2, exclude_current_row=True))
+    assert got == [None, 30, 61, 63]
+
+
+def test_current_row_case3_rows_range_with_tie():
+    got = _sums(CR_ROWS_TIE, FrameSpec(range_preceding=2000, exclude_current_row=True))
+    assert got == [None, 30, 61, 32]
