@@ -92,28 +92,48 @@ def group_aggregate(
     import numpy as np
 
     from ..core.aggregates import make_evaluator
+    from ..stages.dedup import _stable_hash64
 
     evals = [(a, make_evaluator(a)) for a in aggs]
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        idx = np.arange(len(g), dtype=np.int64)
-        cols = {}
-        for a, _ in evals:
-            for c in (a.col, a.cond, a.cat):
-                if c and c not in cols:
-                    s = g[c]
-                    valid = s.notna().to_numpy()
-                    if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
-                        vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(float)
-                    else:
-                        vals = s.to_numpy(object)
-                    cols[c] = (vals, valid)
-        row = {k: [g[k].iloc[0]] for k in keys}
-        for a, ev in evals:
-            row[a.name] = [ev(cols, idx)]
-        return pd.DataFrame(row)
+    # shuffle on a COARSE bucket of the group keys (256 partitions), then
+    # evaluate every real group inside the bucket with one pandas groupby —
+    # one Ray dispatch per bucket instead of per group (matters when key
+    # cardinality is large; same trick as stages/dedup.py)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key_str = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "\x1f" + df[k].astype(str)
+        df["__gb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
+        return df
 
-    return ds.groupby(keys, num_partitions=num_partitions).map_groups(fn, batch_format="pandas")
+    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, g in bucket.groupby(keys, sort=False, dropna=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            idx = np.arange(len(g), dtype=np.int64)
+            cols = {}
+            for a, _ in evals:
+                for c in (a.col, a.cond, a.cat):
+                    if c and c not in cols:
+                        s = g[c]
+                        valid = s.notna().to_numpy()
+                        if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
+                            vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(float)
+                        else:
+                            vals = s.to_numpy(object)
+                        cols[c] = (vals, valid)
+            row = dict(zip(keys, key_vals))
+            for a, ev in evals:
+                row[a.name] = ev(cols, idx)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+              .groupby("__gb", num_partitions=num_partitions)
+              .map_groups(fn, batch_format="pandas"))
 
 
 def sort_by(ds: "ray.data.Dataset", keys, descending=False) -> "ray.data.Dataset":
