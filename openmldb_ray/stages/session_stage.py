@@ -33,20 +33,49 @@ def sessionize(
     a new session starts when ts - prev_ts > gap (same units as order_by)."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
-        g = g.sort_values(sort_cols, kind="stable").copy()
+    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one Ray dispatch per coarse bucket; sessionize every key inside
+        # with vectorized groupby ops (scales to high key cardinality)
+        sort_cols = keys + [order_by] + ([tiebreak] if tiebreak else [])
+        g = bucket.sort_values(sort_cols, kind="stable").copy()
         ts = pd.to_numeric(g[order_by]).to_numpy(np.int64)
+        if len(g) == 0:
+            g[session_col] = np.array([], dtype=np.int64)
+            return g.drop(columns="__sb", errors="ignore")
+        key_frame = g[keys].astype(str).agg("\x1f".join, axis=1).to_numpy()
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = key_frame[1:] != key_frame[:-1]
         new = np.empty(len(g), dtype=np.int64)
-        if len(g):
-            new[0] = 0
-            new[1:] = (np.diff(ts) > gap).astype(np.int64)
-        g[session_col] = np.cumsum(new)
-        return g
+        new[0] = 0
+        new[1:] = (np.diff(ts) > gap).astype(np.int64)
+        new[new_key] = 0
+        sid = np.cumsum(new)
+        # reset the running id at each key boundary
+        base = np.zeros(len(g), dtype=np.int64)
+        starts = np.nonzero(new_key)[0]
+        base[starts] = sid[starts]
+        np.maximum.accumulate(base, out=base)
+        g[session_col] = sid - base
+        return g.drop(columns="__sb", errors="ignore")
 
-    return ds.groupby(keys, num_partitions=num_partitions).map_groups(
-        fn, batch_format="pandas"
-    )
+    return _coarse_grouped(ds, keys, fn, num_partitions)
+
+
+def _coarse_grouped(ds, keys, fn, num_partitions):
+    from .dedup import _stable_hash64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key_str = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "\x1f" + df[k].astype(str)
+        df["__sb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
+        return df
+
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+              .groupby("__sb", num_partitions=num_partitions)
+              .map_groups(fn, batch_format="pandas"))
 
 
 def session_aggregate(
@@ -62,30 +91,19 @@ def session_aggregate(
     """Sessionize then emit one row per session: key cols, session_id,
     session_start, session_end, n_events, and sum_value when value_col."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    rows = sessionize(ds, keys, order_by, gap=gap, tiebreak=tiebreak,
+                      num_partitions=num_partitions)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
-        g = g.sort_values(sort_cols, kind="stable")
-        ts = pd.to_numeric(g[order_by]).to_numpy(np.int64)
-        new = np.empty(len(g), dtype=np.int64)
-        if len(g):
-            new[0] = 0
-            new[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(new)
-        out = pd.DataFrame({k: np.repeat(g[k].iloc[:1].to_numpy(), sid[-1] + 1 if len(g) else 0) for k in keys})
-        grp = pd.DataFrame({"sid": sid, "ts": ts})
-        agg = grp.groupby("sid").agg(session_start=("ts", "min"),
-                                     session_end=("ts", "max"),
-                                     n_events=("ts", "size")).reset_index()
-        out["session_id"] = agg["sid"].to_numpy()
-        out["session_start"] = agg["session_start"].to_numpy()
-        out["session_end"] = agg["session_end"].to_numpy()
-        out["n_events"] = agg["n_events"].to_numpy(np.int64)
+    def agg_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        spec = dict(session_start=(order_by, "min"), session_end=(order_by, "max"),
+                    n_events=(order_by, "size"))
         if value_col is not None:
-            sums = pd.DataFrame({"sid": sid, "v": g[value_col].to_numpy()}).groupby("sid")["v"].sum()
-            out["sum_value"] = sums.to_numpy()
-        return out
+            spec["sum_value"] = (value_col, "sum")
+        out = (bucket.groupby([*keys, "session_id"], sort=False, as_index=False)
+                     .agg(**spec))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out.drop(columns="__sb", errors="ignore")
 
-    return ds.groupby(keys, num_partitions=num_partitions).map_groups(
-        fn, batch_format="pandas"
-    )
+    # sessions are whole within a coarse key bucket, so one more pass over
+    # the already-bucketed rows aggregates them without another shuffle
+    return _coarse_grouped(rows, keys, agg_fn, num_partitions)
