@@ -289,3 +289,30 @@ def test_current_row_case2_rows_with_tie():
 def test_current_row_case3_rows_range_with_tie():
     got = _sums(CR_ROWS_TIE, FrameSpec(range_preceding=2000, exclude_current_row=True))
     assert got == [None, 30, 61, 32]
+
+
+# --- cases/function/window/test_window_row.yaml:19-120 ----------------------
+
+
+@pytest.mark.parametrize("pk_vals,ids,expect", [
+    # case 0: string partition key
+    (["aa", "aa", "aa", "aa", "bb"], [20, 21, 22, 23, 24], [30, 61, 93, 96, 34]),
+    # case 1: int partition key
+    ([20, 20, 20, 20, 21], [1, 2, 3, 4, 5], [30, 61, 93, 96, 34]),
+    # case 2/3: float/double partition key (offline supports it)
+    ([1.1, 1.1, 1.1, 1.1, 1.2], [1, 2, 3, 4, 5], [30, 61, 93, 96, 34]),
+], ids=["string-pk", "int-pk", "float-pk"])
+def test_window_row_yaml_partition_key_types(ray_session, pk_vals, ids, expect):
+    import ray.data as rd
+
+    from openmldb_ray.stages.window_stage import window_agg
+
+    df = pd.DataFrame({
+        "id": ids, "pk": pk_vals,
+        "c7": [1590738990000 + i * 1000 for i in range(5)],
+        "c4": [30, 31, 32, 33, 34],
+    })
+    out = window_agg(rd.from_pandas(df), "pk", "c7",
+                     [Agg.sum("c4", "w1_c4_sum")], FrameSpec(rows_preceding=2),
+                     tiebreak="id").to_pandas().sort_values("id")
+    assert out["w1_c4_sum"].tolist() == expect
