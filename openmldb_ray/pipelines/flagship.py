@@ -387,9 +387,13 @@ def flagship(
                                pc.greater_equal(t["event_ts"], split_ts))
 
     flagged = narrow.map_batches(flag_primary, batch_format="pyarrow", batch_size=None)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     feats = window_agg_salted(
         flagged, "source", "event_ts", FEATURE_AGGS, FRAME,
         bucket_ms=BUCKET_MS, union="preflagged", tiebreak="doc_num",
+        num_partitions=max(32, ncpu * 4),
     )
 
     # ---- per-(source, day) stats table, point-in-time available only after
