@@ -26,9 +26,10 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # benchmark queries (subset of __ray_entry__.queries() that exercises every
 # wide operator class at sf scale)
 BENCH_QUERIES = [
-    "window_rows", "window_range", "last_join_asof", "window_union",
-    "sessionize", "group_agg", "multi_window", "dedup_exact", "text_stats",
-    "knn", "minhash_dedup",
+    "window_rows", "window_range", "window_where", "last_join_asof",
+    "lastjoin_window", "window_union", "sessionize", "session_agg",
+    "group_agg", "group_stats", "multi_window", "scalar_project",
+    "dedup_exact", "text_stats", "knn", "minhash_dedup", "taxi_demo",
 ]
 
 
