@@ -117,6 +117,10 @@ class MinHasher:
         return m.min(axis=0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["__minhash"] = []
+            return out
         sigs = np.stack([self.signature(t) for t in df[self.text_col]])
         out = df.copy()
         out["__minhash"] = list(sigs.astype("int64"))
@@ -151,6 +155,9 @@ def minhash_lsh_dedup(
         concurrency=concurrency, batch_size=None)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "__band": [], "__bh": [],
+                                 "__sig": [], "__cb": []})
         sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)  # (n, perm)
         n = sigs.shape[0]
         r = sigs.reshape(n, bands, rows_per_band)

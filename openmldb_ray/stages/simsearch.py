@@ -196,6 +196,8 @@ def embedding_dedup(
     href = ray.put(hashers)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "__t": [], "__b": [], "__v": []})
         hs = ray.get(href)
         v = _normalize(_stack(df[vec_col]))
         out = []
