@@ -549,6 +549,19 @@ def q_knn_lsh(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN variant (coarse k-means quantizer + inverted-list probe)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import knn_ivf
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas()
+    out = knn_ivf(
+        emb, np.stack([np.asarray(v, float) for v in qdf["embedding"]]),
+        qdf["vec_id"].to_numpy(), k=5).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup (rows-only check)."""
     from openmldb_ray.sources.io import read_table
@@ -671,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q_text_stats,
         "knn": q_knn,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,

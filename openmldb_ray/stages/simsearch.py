@@ -177,6 +177,87 @@ def knn_lsh(
     return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded numpy k-means on a driver-side sample (coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return _normalize(centroids)
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_centroids: int = 32,
+    nprobe: int = 8,
+    sample_size: int = 2048,
+    seed: int = 42,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: a coarse k-means quantizer (trained once on a
+    driver-side sample) partitions vectors into inverted lists; each query
+    scores only vectors whose centroid is among its ``nprobe`` nearest.
+    Cost scales with nprobe/num_centroids; recall grows with nprobe.
+    Same output schema as knn_brute_force."""
+    sample = _stack(ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col])
+    centroids = _kmeans_lite(_normalize(sample), num_centroids, seed=seed)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qc = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(row) for row in qc]
+    ref = ray.put({"centroids": centroids, "q": qm,
+                   "qids": np.asarray(query_ids), "probe": probe_sets})
+
+    class _Scorer:
+        def __init__(self):
+            st = ray.get(ref)
+            self.c, self.q, self.qids, self.probe = (
+                st["centroids"], st["q"], st["qids"], st["probe"])
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+            v = _normalize(_stack(df[vec_col]))
+            ids = df[id_col].to_numpy()
+            vc = (v @ self.c.T).argmax(axis=1)  # inverted-list assignment
+            frames = []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(vc, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                cand = np.nonzero(mask)[0]
+                scores = self.q[qi] @ v[cand].T
+                kk = min(k, cand.size)
+                top = np.argpartition(-scores, kth=kk - 1)[:kk]
+                frames.append(pd.DataFrame({
+                    "query_id": self.qids[qi], "neighbor_id": ids[cand[top]],
+                    "score": scores[top].astype(np.float64)}))
+            if not frames:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+            return pd.concat(frames, ignore_index=True)
+
+    cands = ds.map_batches(_Scorer, batch_format="pandas", batch_size=None,
+                           concurrency=concurrency)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
 def embedding_dedup(
     ds: "ray.data.Dataset",
     *,

@@ -171,3 +171,22 @@ def test_exact_dedup_collision_safety(ray_session):
     rows = [{"doc_id": i, "text": f"t{i % 10}"} for i in range(100)]
     out = exact_dedup(rd.from_items(rows), "text", keep_by="doc_id").to_pandas()
     assert sorted(out["doc_id"]) == list(range(10))  # min id per distinct text
+
+
+def test_knn_ivf_recall(ray_session):
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import knn_brute_force, knn_ivf
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    mat = np.stack([np.asarray(v, float) for v in pdf["embedding"]])
+    q = mat[:5]
+    ids = pdf["vec_id"].to_numpy()[:5]
+    exact = knn_brute_force(emb, q, ids, k=5).to_pandas()
+    approx = knn_ivf(emb, q, ids, k=5, num_centroids=16, nprobe=6).to_pandas()
+    recalls = []
+    for qi in ids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
