@@ -57,8 +57,13 @@ def _to_arrow(out: pd.DataFrame):
 
 def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
                    has_union: bool, tiebreak: str | None, drop_cols: list[str],
-                   hook=None):
-    def fn(g: pd.DataFrame):
+                   hook=None, keys: list[str] | None = None):
+    """Group fn. When ``keys`` is given the incoming frame is a COARSE
+    bucket holding many partition keys (one Ray dispatch per bucket, not
+    per key — high-cardinality scale path); each key is windowed
+    independently inside."""
+
+    def one_key(g: pd.DataFrame):
         sort_cols = [order_by]
         if has_union:
             # ts ties: union rows (False) before primary rows (True),
@@ -77,9 +82,18 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
             out = out.drop(columns=[c for c in drop_cols if c in out.columns])
         if hook is not None:
             hook("post", out)
+        return out
+
+    if keys is None:
+        return lambda g: _to_arrow(one_key(g))
+
+    def bucket_fn(bucket: pd.DataFrame):
+        bucket = bucket.drop(columns="__wb", errors="ignore")
+        parts = [one_key(g) for _, g in bucket.groupby(keys, sort=False, dropna=False)]
+        out = pd.concat(parts, ignore_index=True) if parts else one_key(bucket)
         return _to_arrow(out)
 
-    return fn
+    return bucket_fn
 
 
 def window_agg(
@@ -112,11 +126,25 @@ def window_agg(
         ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
         union_flagged = union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None)
         ds = ds.union(union_flagged)
+    # shuffle on a coarse hash bucket of the partition keys: whole keys stay
+    # together (the window contract) but Ray dispatches once per bucket, not
+    # once per key — the difference between 256 and millions of group tasks
+    # at high entity cardinality
+    from .dedup import _stable_hash64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key_str = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "\x1f" + df[k].astype(str)
+        df["__wb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
+        return df
+
     fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[],
-                        hook=hook)
-    return ds.groupby(keys, num_partitions=num_partitions).map_groups(
-        fn, batch_format="pandas"
-    )
+                        hook=hook, keys=keys)
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+              .groupby("__wb", num_partitions=num_partitions)
+              .map_groups(fn, batch_format="pandas"))
 
 
 def _add_flag_true(df: pd.DataFrame) -> pd.DataFrame:
