@@ -150,6 +150,41 @@ register("float", lambda x: pc.cast(x, pa.float32()))
 register("double", lambda x: pc.cast(x, pa.float64()))
 register("string", lambda x: pc.cast(x, pa.string()))
 
+# ---- feature-zero string-feature family -----------------------------------
+# (reference: hybridse/src/udf/default_defs/feature_zero_def.cc:558-676 —
+# split / split_by_key / split_by_value / join, fz_* aliases)
+register("split", lambda s, delim: pc.split_pattern(s, pattern=delim), "fz_split")
+
+
+def _split_kv(s, delim: str, kv_delim: str, want: int) -> pa.Array:
+    vals = s.to_pylist() if hasattr(s, "to_pylist") else list(s)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        parts = []
+        for item in str(v).split(delim):
+            kv = item.split(kv_delim, 1)
+            if len(kv) == 2:
+                parts.append(kv[want])
+        out.append(parts)
+    return pa.array(out, type=pa.list_(pa.string()))
+
+
+register("split_by_key", lambda s, d, kd: _split_kv(s, d, kd, 0), "fz_split_by_key")
+register("split_by_value", lambda s, d, kd: _split_kv(s, d, kd, 1), "fz_split_by_value")
+
+
+def _join_list(lst, delim: str) -> pa.Array:
+    vals = lst.to_pylist() if hasattr(lst, "to_pylist") else list(lst)
+    return pa.array(
+        [None if v is None else delim.join("" if x is None else str(x) for x in v)
+         for v in vals], type=pa.string())
+
+
+register("join", _join_list, "fz_join")
+
 # ---- array / list ---------------------------------------------------------
 register("size", lambda x: pc.cast(pc.list_value_length(x), pa.int32()))
 

@@ -97,3 +97,20 @@ def test_lineage_filter_completed(ray_session, tmp_path):
     remaining = filter_completed(rd.from_pandas(df), out_dir, "k").to_pandas()
     assert set(remaining["k"]) == {"b"}
     assert len(remaining) == 5
+
+
+def test_feature_zero_string_family():
+    """split / split_by_key / split_by_value / join
+    (feature_zero_def.cc:558-676)."""
+    from openmldb_ray.functions.scalar import get
+
+    s = pa.array(["a,b,c", "x", None])
+    assert get("split")(s, ",").to_pylist() == [["a", "b", "c"], ["x"], None]
+    kv = pa.array(["k1:1,k2:2", "k3:3", None])
+    assert get("split_by_key")(kv, ",", ":").to_pylist() == [["k1", "k2"], ["k3"], None]
+    assert get("split_by_value")(kv, ",", ":").to_pylist() == [["1", "2"], ["3"], None]
+    lst = get("split")(s, ",")
+    assert get("join")(lst, "-").to_pylist() == ["a-b-c", "x", None]
+    assert get("fz_join")(lst, "|").to_pylist() == ["a|b|c", "x", None]
+    # round-trip through a projection stage shape
+    assert get("size")(lst).to_pylist() == [3, 1, None]
