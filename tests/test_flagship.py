@@ -149,3 +149,19 @@ def test_resume_does_not_duplicate_rows(ray_session, tmp_path):
     files = sorted(glob.glob(f"{out_dir}/part=*/**/*.parquet", recursive=True))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files])
     assert len(df) == df["doc_id"].nunique()
+
+
+def test_flagship_seed_independence(ray_session):
+    """Different seeds → different data, same invariants (PIT bound, token
+    roundtrip); same seed → identical output (full determinism)."""
+    a1 = FS.flagship(num_docs=500, seed=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    a2 = FS.flagship(num_docs=500, seed=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a1["doc_id"] == a2["doc_id"]).all()
+    assert np.allclose(a1["sum_tok_6h"], a2["sum_tok_6h"], equal_nan=True)
+    for t1, t2 in zip(a1["tokens"], a2["tokens"]):
+        assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    b = FS.flagship(num_docs=500, seed=8).to_pandas()
+    assert not np.array_equal(
+        np.sort(a1["n_tok"].to_numpy()), np.sort(b["n_tok"].to_numpy()))
+    j = b[b["prev_day_avail_ts"].notna()]
+    assert (j["prev_day_avail_ts"] <= j["event_ts"]).all()
