@@ -43,6 +43,8 @@ class AggSpec:
     cond: str | None = None   # bool condition column for *_where
     cat: str | None = None    # category column for *_cate
     k: int | None = None      # k for top/topn_frequency, offset for lag/at/lead
+    delim: str | None = None     # delimiter for window_split*
+    kv_delim: str | None = None  # kv delimiter for window_split_by_key/value
 
 
 KINDS = {
@@ -53,6 +55,7 @@ KINDS = {
     "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
     "sum_cate_where", "count_cate_where", "avg_cate_where",
     "min_cate_where", "max_cate_where",
+    "window_split", "window_split_by_key", "window_split_by_value",
 }
 
 #: aggregates the vectorized kernel (window_fast) implements
@@ -148,6 +151,18 @@ class Agg:
     @classmethod
     def lead(cls, col, n, name=None):
         return cls._mk("lead", col, name or f"lead{n}_{col}", k=n)
+
+    @classmethod
+    def window_split(cls, col, delim, name=None):
+        return cls._mk("window_split", col, name, delim=delim)
+
+    @classmethod
+    def window_split_by_key(cls, col, delim, kv_delim, name=None):
+        return cls._mk("window_split_by_key", col, name, delim=delim, kv_delim=kv_delim)
+
+    @classmethod
+    def window_split_by_value(cls, col, delim, kv_delim, name=None):
+        return cls._mk("window_split_by_value", col, name, delim=delim, kv_delim=kv_delim)
 
     @classmethod
     def cate(cls, kind, col, cat, name=None, cond=None):
@@ -285,6 +300,28 @@ def make_evaluator(spec: AggSpec):
 
     if kind == "lead":
         raise ValueError("lead is partition-level (forward shift), not a window-buffer aggregate")
+
+    if kind in ("window_split", "window_split_by_key", "window_split_by_value"):
+        # feature_zero_def.cc window_split*: split every window row's string
+        # and concatenate the pieces in window order (newest first)
+        delim, kvd = spec.delim, spec.kv_delim
+        want = 0 if kind.endswith("_by_key") else 1
+
+        def ev(cols, idx):
+            v, ok = cols[col]
+            out = []
+            for j in idx:
+                if not ok[j]:
+                    continue
+                for item in str(v[j]).split(delim):
+                    if kind == "window_split":
+                        out.append(item)
+                    else:
+                        kv = item.split(kvd, 1)
+                        if len(kv) == 2:
+                            out.append(kv[want])
+            return out
+        return ev
 
     if kind.endswith("_cate") or kind.endswith("_cate_where"):
         base = kind.split("_cate")[0]

@@ -264,3 +264,18 @@ def test_rows_end_bound():
               FrameSpec(rows_preceding=3, rows_end=1))
     assert r["c"].tolist() == [0, 1, 2, 3, 3]
     assert r["s"].tolist()[1:] == [1.0, 3.0, 6.0, 9.0]
+
+
+def test_window_split_family():
+    # feature_zero_def.cc window_split*: concatenated splits in window
+    # order (newest first, index 0 = current row)
+    df = mk([1000, 2000, 3000], ["k1:1,k2:2", "k3:3", "k4:4,k5:5"])
+    r = feats(df, [
+        Agg.window_split("v", ",", "ws"),
+        Agg.window_split_by_key("v", ",", ":", "wk"),
+        Agg.window_split_by_value("v", ",", ":", "wv"),
+    ], rows(1))
+    assert r["ws"].tolist() == [
+        ["k1:1", "k2:2"], ["k3:3", "k1:1", "k2:2"], ["k4:4", "k5:5", "k3:3"]]
+    assert r["wk"].tolist() == [["k1", "k2"], ["k3", "k1", "k2"], ["k4", "k5", "k3"]]
+    assert r["wv"].tolist() == [["1", "2"], ["3", "1", "2"], ["4", "5", "3"]]
