@@ -249,6 +249,14 @@ def compute_window_features(
     Rows with NULL/negative order key are dropped (no output, no buffering).
     Returns the emitted rows (primary only) with feature columns appended.
     """
+    if pd.api.types.is_datetime64_any_dtype(g[order_col]) or \
+            pd.api.types.is_object_dtype(g[order_col]):
+        # the reference rejects date/string order keys for windows
+        # (test_window_row_range.yaml:284-330 cases 9-11 expect failure);
+        # callers must derive an int64 ms key first (sources/io.with_ts_ms)
+        raise TypeError(
+            f"window order column {order_col!r} must be an integer epoch key "
+            f"(got {g[order_col].dtype}); derive int64 ms first")
     ok = g[order_col].notna() & (g[order_col] >= 0)
     if not ok.all():
         g = g[ok]

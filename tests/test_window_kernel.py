@@ -279,3 +279,14 @@ def test_window_split_family():
         ["k1:1", "k2:2"], ["k3:3", "k1:1", "k2:2"], ["k4:4", "k5:5", "k3:3"]]
     assert r["wk"].tolist() == [["k1", "k2"], ["k3", "k1", "k2"], ["k4", "k5", "k3"]]
     assert r["wv"].tolist() == [["1", "2"], ["3", "1", "2"], ["4", "5", "3"]]
+
+
+def test_rejects_non_integer_order_key():
+    # test_window_row_range.yaml cases 9-11: date/string ORDER BY → error
+    df = pd.DataFrame({"ts": pd.to_datetime(["2020-05-01", "2020-05-02"]),
+                       "v": [1.0, 2.0]})
+    with pytest.raises(TypeError, match="integer epoch"):
+        feats(df, [Agg.sum("v", "s")], rows(2))
+    df2 = pd.DataFrame({"ts": ["a", "b"], "v": [1.0, 2.0]})
+    with pytest.raises(TypeError):
+        feats(df2, [Agg.sum("v", "s")], rows(2))
