@@ -50,7 +50,19 @@ register("floor", pc.floor)
 register("round", lambda x, nd=0: pc.round(x, ndigits=nd))
 register("truncate", lambda x: pc.trunc(x))
 register("exp", pc.exp)
-register("ln", pc.ln, "log")
+register("ln", pc.ln)
+
+
+def _log(a, b=None):
+    """log(expr) = natural log; log(base, expr) = ln(expr)/ln(base)
+    (reference default_udf_library.cc:1234-1281 — note base-first arg order)."""
+    if b is None:
+        return pc.ln(pc.cast(a, pa.float64()))
+    return pc.divide(pc.ln(pc.cast(b, pa.float64())),
+                     pc.ln(pc.cast(a, pa.float64())))
+
+
+register("log", _log)
 register("log2", pc.log2)
 register("log10", pc.log10)
 register("pow", pc.power, "power")
@@ -103,7 +115,46 @@ register("reverse", pc.utf8_reverse)
 register("like_match", lambda s, pat: pc.match_like(s, pat))
 register("ilike_match", lambda s, pat: pc.match_like(s, pat, ignore_case=True))
 register("regexp_like", lambda s, pat: pc.match_substring_regex(s, pat))
-register("char", lambda code: pc.cast(code, pa.string()))  # simplified
+
+
+def _char(code) -> pa.Array:
+    """char(n) → the character with code n % 256 (udf.cc:258 int_to_char)."""
+    vals = code.to_pylist() if hasattr(code, "to_pylist") else [code]
+    return pa.array([None if v is None else chr(int(v) % 256) for v in vals],
+                    type=pa.string())
+
+
+register("char", _char)
+
+_HEXCHARS = set("0123456789abcdefABCDEF")
+
+
+def _hex(s) -> pa.Array:
+    """hex(str): per-character uppercase hex of the string's bytes, no
+    zero-padding below 0x10 (udf.cc:60-69)."""
+    vals = s.to_pylist() if hasattr(s, "to_pylist") else [s]
+    return pa.array(
+        [None if v is None else
+         "".join(format(b, "X") for b in str(v).encode("utf-8"))
+         for v in vals], type=pa.string())
+
+
+def _unhex_one(v: str):
+    if any(c not in _HEXCHARS for c in v):
+        return None  # any non-hex character → NULL (udf.cc:71-82)
+    if len(v) % 2:  # odd length: first char is a lone low nibble (udf.cc:96)
+        return (bytes([int(v[0], 16)]) + bytes.fromhex(v[1:])).decode("latin-1")
+    return bytes.fromhex(v).decode("latin-1")
+
+
+def _unhex(s) -> pa.Array:
+    vals = s.to_pylist() if hasattr(s, "to_pylist") else [s]
+    return pa.array([None if v is None else _unhex_one(str(v)) for v in vals],
+                    type=pa.string())
+
+
+register("hex", _hex)
+register("unhex", _unhex)
 
 # ---- date / time (inputs: timestamp or int64 epoch-ms) --------------------
 

@@ -22,19 +22,65 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 
+from ..core.hashing import stable_hash64 as _stable_hash64  # noqa: F401 (re-export)
+
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 _MERSENNE = (1 << 61) - 1
 
 
-def _stable_hash64(values: pd.Series) -> np.ndarray:
-    """Deterministic 64-bit content hash (blake2b), independent of PYTHONHASHSEED."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
-         for v in values),
-        dtype=np.uint64, count=len(values),
-    )
+def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
+                  id_col: str, *, num_buckets: int = 256,
+                  num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Distributed hash ANTI-JOIN: rows of ``ds`` whose ``id_col`` appears in
+    ``dup_ids`` (a one-column Dataset) are dropped.
+
+    Both sides are bucketed by a hash of the id and co-grouped — one
+    shuffle, no driver-side materialization of the duplicate-id set
+    (at 100 TB duplicate ids are billions of rows; a broadcast set dies on
+    the driver heap). Duplicate ids may repeat on the dup side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..core.hashing import add_bucket_column
+
+    schema = ds.schema()
+    names, types = list(schema.names), list(schema.types)
+    id_type = types[names.index(id_col)]
+
+    def pad_dups(t: pa.Table) -> pa.Table:
+        arrays = []
+        for name, typ in zip(names, types):
+            if name == id_col:
+                arrays.append(pc.cast(t[id_col], typ).combine_chunks())
+            else:
+                arrays.append(pa.nulls(t.num_rows, typ))
+        out = pa.Table.from_arrays(arrays, names=names)
+        return out.append_column("__isdup", pa.array(np.ones(t.num_rows, bool)))
+
+    def mark_rows(t: pa.Table) -> pa.Table:
+        t = t.select(names)
+        return t.append_column("__isdup", pa.array(np.zeros(t.num_rows, bool)))
+
+    add_b = add_bucket_column([id_col], "__ab", num_buckets)
+    left = ds.map_batches(mark_rows, batch_format="pyarrow", batch_size=None) \
+             .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+    right = dup_ids.map_batches(pad_dups, batch_format="pyarrow", batch_size=None) \
+                   .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+
+    def drop_dups(t: pa.Table) -> pa.Table:
+        isdup = pc.fill_null(t["__isdup"], False)
+        dup_vals = pc.cast(t[id_col].filter(isdup), id_type).combine_chunks()
+        rows = t.filter(pc.invert(isdup))
+        if len(dup_vals):
+            keep = pc.invert(pc.is_in(rows[id_col], value_set=dup_vals))
+            rows = rows.filter(pc.fill_null(keep, True))
+        return rows.drop_columns(["__isdup", "__ab"])
+
+    return (left.union(right)
+                .groupby("__ab", num_partitions=num_partitions)
+                .map_groups(drop_dups, batch_format="pyarrow"))
 
 
 def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
@@ -42,13 +88,13 @@ def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
     """Exact dedup on column ``on``; survivor = min ``keep_by`` per value.
     Hash-partition by content hash + per-group first (SURVEY §7.4)."""
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        # shuffle on a COARSE bucket of the content hash (1024 groups), not
-        # the raw hash: one map_groups call per mostly-singleton group would
-        # pay a Python call per row; per-bucket pandas groupby is vectorized
-        df["__b"] = (_stable_hash64(df[on]) & np.uint64(1023)).astype("int64")
-        return df
+    from ..core.hashing import add_bucket_column
+
+    # shuffle on a COARSE bucket of the content hash (1024 groups), not the
+    # raw hash: one map_groups call per mostly-singleton group would pay a
+    # Python call per row; per-bucket pandas groupby is vectorized. The
+    # bucket column is appended Arrow-native so shuffle blocks stay Arrow.
+    add_b = add_bucket_column([on], "__b", 1024)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         # group by the actual value within the bucket — exact, no
@@ -56,7 +102,7 @@ def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
         return (g.sort_values(keep_by, kind="stable")
                  .groupby(on, sort=False).head(1).drop(columns="__b"))
 
-    return (ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
+    return (ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
               .groupby("__b", num_partitions=num_partitions)
               .map_groups(pick, batch_format="pandas"))
 
@@ -144,8 +190,10 @@ def minhash_lsh_dedup(
     shingle → minhash (actor pool) → explode to (band, band_hash, id, sig)
     → groupby band bucket → within-bucket pairwise sig-Jaccard → duplicate
     ids (keep min id per cluster by union toward the smallest id seen) →
-    anti-join back. Returns the surviving rows of ``ds``.
+    distributed hash anti-join back. Returns the surviving rows of ``ds``.
     """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
 
     sig_ds = ds.map_batches(
@@ -198,51 +246,60 @@ def minhash_lsh_dedup(
                     dups.append(ids[i])
                 else:
                     kept.append(i)
-        return pd.DataFrame({id_col: np.asarray(sorted(set(dups)), dtype=np.int64)})
+        # keep the id column's NATIVE dtype (string doc ids work too)
+        return pd.DataFrame(
+            {id_col: pd.Series(sorted(set(dups)), dtype=g[id_col].dtype)})
 
-    dup_ids = (banded.groupby("__cb")
-                     .map_groups(bucket_dups, batch_format="pandas")
-                     .unique(id_col))
-    dup_set = set(dup_ids or [])
-
-    # anti-join: broadcast the (small) duplicate-id set
-    import ray as _ray
-    ref = _ray.put(dup_set)
-
-    class _Anti:
-        def __init__(self):
-            self.dups = _ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df[id_col].isin(self.dups)]
-
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)
+    dup_ids = banded.groupby("__cb").map_groups(bucket_dups, batch_format="pandas")
+    return anti_join_ids(ds, dup_ids, id_col)
 
 
 class SimHasher:
-    """64-bit SimHash over word 3-gram features (actor pool stage)."""
+    """64-bit SimHash over word 3-gram features (actor pool stage).
+
+    Feature hashing is one vectorized SipHash call over ALL features of the
+    batch (pandas hash_array); the ±1 bit accumulation per document is a
+    single reduceat — no per-feature Python hashing in the hot path."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _POWS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def __init__(self, text_col: str, out_col: str = "simhash"):
         self.text_col = text_col
         self.out_col = out_col
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        words = str(text).lower().split()
-        feats = [" ".join(words[i:i + 3]) for i in range(max(1, len(words) - 2))]
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for f in feats:
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(f.encode(), digest_size=8).digest(), "big"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == np.uint64(1), 1, -1)
-        out = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-        return out - (1 << 64) if out >= (1 << 63) else out
+    @classmethod
+    def simhash64(cls, text: str) -> int:
+        return int(cls._simhash_many([str(text)])[0])
+
+    @classmethod
+    def _simhash_many(cls, texts, chunk: int = 4096) -> np.ndarray:
+        # chunk the (features × 64) expansion so peak memory stays bounded
+        # regardless of block size
+        if len(texts) > chunk:
+            return np.concatenate([cls._simhash_many(texts[i:i + chunk])
+                                   for i in range(0, len(texts), chunk)])
+        feats: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = str(t).lower().split()
+            n = max(1, len(words) - 2)
+            feats.extend(" ".join(words[j:j + 3]) for j in range(n))
+            counts[i] = n
+        h = _stable_hash64(np.array(feats, dtype=object))
+        pm = ((h[:, None] >> cls._SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        acc = np.add.reduceat(pm, offsets, axis=0)
+        out = ((acc > 0).astype(np.uint64) @ cls._POWS)
+        return out.astype(np.int64)  # two's-complement view
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df[self.out_col] = [self.simhash64(t) for t in df[self.text_col]]
+        if len(df) == 0:
+            df[self.out_col] = np.array([], dtype=np.int64)
+            return df
+        df[self.out_col] = self._simhash_many(df[self.text_col].to_numpy())
         return df
 
 
@@ -281,25 +338,14 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
                     dups.append(ids[i])
                 else:
                     kept.append(i)
-        return pd.DataFrame({id_col: np.asarray(sorted(set(dups)), dtype=np.int64)})
+        return pd.DataFrame(
+            {id_col: pd.Series(sorted(set(dups)), dtype=g[id_col].dtype)})
 
     dup_ids = (hashed.select_columns([id_col, "simhash"])
                      .map_batches(explode_segments, batch_format="pandas", batch_size=None)
                      .groupby("__cb")
-                     .map_groups(block_dups, batch_format="pandas")
-                     .unique(id_col))
-    dup_set = set(dup_ids or [])
-    import ray as _ray
-    ref = _ray.put(dup_set)
-
-    class _Anti:
-        def __init__(self):
-            self.dups = _ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df[id_col].isin(self.dups)]
-
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)
+                     .map_groups(block_dups, batch_format="pandas"))
+    return anti_join_ids(ds, dup_ids, id_col)
 
 
 def ngram_jaccard_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,

@@ -85,6 +85,10 @@ def group_aggregate(
         for a in aggs:
             if a.kind == "count_star":
                 fns.append(Count(alias_name=a.name))
+            elif a.kind == "count":
+                # count(col) counts NON-NULL values (reference semantics;
+                # Ray's Count default ignore_nulls=False would count rows)
+                fns.append(Count(a.col, ignore_nulls=True, alias_name=a.name))
             else:
                 fns.append(native[a.kind](a.col, alias_name=a.name))
         return ds.groupby(keys, num_partitions=num_partitions).aggregate(*fns)
@@ -92,23 +96,19 @@ def group_aggregate(
     import numpy as np
 
     from ..core.aggregates import make_evaluator
-    from ..stages.dedup import _stable_hash64
+    from ..core.hashing import add_bucket_column, default_num_buckets
 
     evals = [(a, make_evaluator(a)) for a in aggs]
 
-    # shuffle on a COARSE bucket of the group keys (256 partitions), then
-    # evaluate every real group inside the bucket with one pandas groupby —
-    # one Ray dispatch per bucket instead of per group (matters when key
-    # cardinality is large; same trick as stages/dedup.py)
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        key_str = df[keys[0]].astype(str)
-        for k in keys[1:]:
-            key_str = key_str + "\x1f" + df[k].astype(str)
-        df["__gb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
-        return df
+    # shuffle on a COARSE bucket of the group keys, then evaluate every real
+    # group inside the bucket with one pandas groupby — one Ray dispatch per
+    # bucket instead of per group (matters when key cardinality is large;
+    # same trick as stages/dedup.py). Bucket column appended Arrow-native so
+    # the exchange moves Arrow blocks.
+    add_bucket = add_bucket_column(keys, "__gb", default_num_buckets())
 
     def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.drop(columns="__gb", errors="ignore")
         rows = []
         for key_vals, g in bucket.groupby(keys, sort=False, dropna=False):
             if not isinstance(key_vals, tuple):
@@ -131,7 +131,7 @@ def group_aggregate(
             rows.append(row)
         return pd.DataFrame(rows)
 
-    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
               .groupby("__gb", num_partitions=num_partitions)
               .map_groups(fn, batch_format="pandas"))
 
@@ -151,13 +151,29 @@ def distinct(ds: "ray.data.Dataset", keys=None) -> "ray.data.Dataset":
 
     The reference has no offline Distinct implementation
     (SparkPlanner.scala:274-275 throws); provided here because a
-    training-data engine needs it. Hash shuffle + first-row-per-group.
+    training-data engine needs it. Per-block local dedup (combiner) →
+    coarse-bucket hash shuffle → per-bucket drop_duplicates: one Ray
+    dispatch per bucket, not one per distinct value (a high-cardinality
+    key would otherwise spawn millions of group tasks).
     """
+    from ..core.hashing import add_bucket_column, default_num_buckets
+
     if keys is None:
         keys = list(ds.schema().names)
     keys = [keys] if isinstance(keys, str) else list(keys)
     sel = ds.select_columns(keys)
-    return sel.groupby(keys).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(keys)
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(keys).drop(columns="__db")
+
+    return (sel.map_batches(local_dedup, batch_format="pandas", batch_size=None)
+               .map_batches(add_bucket_column(keys, "__db", default_num_buckets()),
+                            batch_format="pyarrow", batch_size=None)
+               .groupby("__db")
+               .map_groups(bucket_dedup, batch_format="pandas"))
 
 
 def concat_zip(a: "ray.data.Dataset", b: "ray.data.Dataset") -> "ray.data.Dataset":

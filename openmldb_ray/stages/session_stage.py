@@ -63,17 +63,10 @@ def sessionize(
 
 
 def _coarse_grouped(ds, keys, fn, num_partitions):
-    from .dedup import _stable_hash64
+    from ..core.hashing import add_bucket_column, default_num_buckets
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        key_str = df[keys[0]].astype(str)
-        for k in keys[1:]:
-            key_str = key_str + "\x1f" + df[k].astype(str)
-        df["__sb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
-        return df
-
-    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+    add_bucket = add_bucket_column(keys, "__sb", default_num_buckets())
+    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
               .groupby("__sb", num_partitions=num_partitions)
               .map_groups(fn, batch_format="pandas"))
 

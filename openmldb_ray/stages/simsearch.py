@@ -144,27 +144,38 @@ def knn_lsh(
                 return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
             v = _normalize(_stack(df[vec_col]))
             ids = df[id_col].to_numpy()
-            frames = []
-            seen_pairs = set()
+            # fully array-form emission: per (table, bucket) one matmul,
+            # (query, candidate) index pairs via repeat/tile, cross-table
+            # pair dedup via np.unique on a combined int key — no per-pair
+            # Python loop (VERDICT r1 fix #3)
+            qparts, cparts, sparts = [], [], []
             for t, h in enumerate(self.hashers):
                 vb = h.bucket(v)
-                for bi in np.unique(vb):
-                    qis = self.probe.get((t, int(bi)))
+                order = np.argsort(vb, kind="stable")
+                sb = vb[order]
+                cuts = np.nonzero(np.diff(sb))[0] + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(order)]))
+                for s, e in zip(starts, ends):
+                    qis = self.probe.get((t, int(sb[s])))
                     if not qis:
                         continue
-                    cand = np.nonzero(vb == bi)[0]
-                    scores = self.q[qis] @ v[cand].T
-                    for row, qi in enumerate(qis):
-                        for col, ci in enumerate(cand):
-                            key = (qi, ids[ci])
-                            if key in seen_pairs:
-                                continue
-                            seen_pairs.add(key)
-                            frames.append((self.qids[qi], ids[ci], float(scores[row, col])))
-            if not frames:
+                    cand = order[s:e]
+                    qarr = np.asarray(qis, dtype=np.int64)
+                    scores = self.q[qarr] @ v[cand].T
+                    qparts.append(np.repeat(qarr, cand.size))
+                    cparts.append(np.tile(cand, qarr.size))
+                    sparts.append(scores.ravel())
+            if not qparts:
                 return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
-            arr = pd.DataFrame(frames, columns=["query_id", "neighbor_id", "score"])
-            return arr
+            qi = np.concatenate(qparts)
+            ci = np.concatenate(cparts)
+            sc = np.concatenate(sparts)
+            _, first = np.unique(qi * len(ids) + ci, return_index=True)
+            qi, ci, sc = qi[first], ci[first], sc[first]
+            return pd.DataFrame({"query_id": self.qids[qi],
+                                 "neighbor_id": ids[ci],
+                                 "score": sc.astype(np.float64)})
 
     cands = ds.map_batches(_Scorer, batch_format="pandas", concurrency=concurrency, batch_size=None)
 
@@ -291,32 +302,25 @@ def embedding_dedup(
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
         g = g.sort_values(id_col, kind="stable")
         v = np.stack(g["__v"].to_numpy())
         ids = g[id_col].to_numpy()
+        # greedy prefix scan, vectorized per candidate: compare each vector
+        # against the currently-kept prefix with one matvec
         kept = [0]
         dups = []
         for i in range(1, len(ids)):
-            if max(float(v[i] @ v[j]) for j in kept) >= cosine_threshold:
+            if (v[i] @ v[kept].T).max() >= cosine_threshold:
                 dups.append(ids[i])
             else:
                 kept.append(i)
-        return pd.DataFrame({id_col: np.asarray(dups, dtype=ids.dtype)})
+        return pd.DataFrame({id_col: pd.Series(dups, dtype=g[id_col].dtype)})
 
     dup_ids = (ds.select_columns([id_col, vec_col])
                  .map_batches(explode, batch_format="pandas", batch_size=None)
                  .groupby(["__t", "__b"])
-                 .map_groups(bucket_dups, batch_format="pandas")
-                 .unique(id_col))
-    dup_set = set(dup_ids or [])
-    ref = ray.put(dup_set)
+                 .map_groups(bucket_dups, batch_format="pandas"))
+    from .dedup import anti_join_ids
 
-    class _Anti:
-        def __init__(self):
-            self.dups = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df[id_col].isin(self.dups)]
-
-    return ds.map_batches(_Anti, batch_format="pandas", concurrency=(1, 4), batch_size=None)
+    return anti_join_ids(ds, dup_ids, id_col)

@@ -123,38 +123,36 @@ def window_agg(
     keys = _normalize_keys(partition_by)
     has_union = union is not None
     if has_union:
-        ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
-        union_flagged = union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None)
+        ds = ds.map_batches(_flag_adder(True), batch_format="pyarrow", batch_size=None)
+        union_flagged = union.map_batches(_flag_adder(False), batch_format="pyarrow",
+                                          batch_size=None)
         ds = ds.union(union_flagged)
     # shuffle on a coarse hash bucket of the partition keys: whole keys stay
     # together (the window contract) but Ray dispatches once per bucket, not
-    # once per key — the difference between 256 and millions of group tasks
-    # at high entity cardinality
-    from .dedup import _stable_hash64
+    # once per key — the difference between ~4×cores and millions of group
+    # tasks at high entity cardinality. The bucket column is appended
+    # Arrow-native (vectorized SipHash) so the exchange moves Arrow blocks
+    # and no per-row Python hash runs on the input.
+    from ..core.hashing import add_bucket_column, default_num_buckets
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        key_str = df[keys[0]].astype(str)
-        for k in keys[1:]:
-            key_str = key_str + "\x1f" + df[k].astype(str)
-        df["__wb"] = (_stable_hash64(key_str) & np.uint64(255)).astype("int64")
-        return df
-
+    add_bucket = add_bucket_column(keys, "__wb", default_num_buckets())
     fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[],
                         hook=hook, keys=keys)
-    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
               .groupby("__wb", num_partitions=num_partitions)
               .map_groups(fn, batch_format="pandas"))
 
 
-def _add_flag_true(df: pd.DataFrame) -> pd.DataFrame:
-    df[UNION_FLAG] = True
-    return df
+def _flag_adder(value: bool):
+    def fn(t):
+        import pyarrow as pa
 
+        if UNION_FLAG in t.column_names:
+            t = t.drop_columns([UNION_FLAG])
+        return t.append_column(
+            UNION_FLAG, pa.array(np.full(t.num_rows, value, dtype=bool)))
 
-def _add_flag_false(df: pd.DataFrame) -> pd.DataFrame:
-    df[UNION_FLAG] = False
-    return df
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +191,12 @@ def window_agg_salted(
     column — the single-pass path when primary/union membership is a
     row-level predicate of one stream (avoids consuming the input twice).
     """
-    if frame.range_preceding is None:
-        raise ValueError("salted path requires a ROWS_RANGE frame (time-bounded history)")
+    if not frame.is_pure_range:
+        # a merged ROWS+ROWS_RANGE frame would retain rows older than
+        # history_ms via the ROWS bound, which are never replicated across
+        # bucket boundaries — silently wrong; reject (ADVICE r1)
+        raise ValueError("salted path requires a pure ROWS_RANGE frame "
+                         "(time-bounded history, no ROWS bound)")
     if frame.instance_not_in_window:
         raise ValueError("INSTANCE_NOT_IN_WINDOW is not supported on the salted path "
                          "(expanded primary replicas would be buffered); use window_agg")
@@ -205,8 +207,9 @@ def window_agg_salted(
     keys = _normalize_keys(partition_by)
     preflagged = isinstance(union, str) and union == "preflagged"
     if union is not None and not preflagged:
-        ds = ds.map_batches(_add_flag_true, batch_format="pandas", batch_size=None)
-        ds = ds.union(union.map_batches(_add_flag_false, batch_format="pandas", batch_size=None))
+        ds = ds.map_batches(_flag_adder(True), batch_format="pyarrow", batch_size=None)
+        ds = ds.union(union.map_batches(_flag_adder(False), batch_format="pyarrow",
+                                        batch_size=None))
 
     def explode(t: "pa.Table") -> "pa.Table":
         # Arrow-native so the downstream sort shuffle runs on Arrow blocks
