@@ -45,6 +45,10 @@ def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
 
     from ..core.hashing import add_bucket_column
 
+    # normalize to Arrow blocks FIRST so the schema carries real Arrow types
+    # (a pandas-block dataset reports numpy dtypes, which can't drive the
+    # null-padding below)
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
     schema = ds.schema()
     names, types = list(schema.names), list(schema.types)
     id_type = types[names.index(id_col)]

@@ -61,6 +61,13 @@ def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: 
     rvalid = rdf[right_order].notna() & rdf[right_key].notna()
     if not rvalid.all():
         rdf = rdf[rvalid].reset_index(drop=True)
+    # a nullable order column arrives float64 (NaN upcast); after the nulls
+    # are gone, realign with the left ts dtype so merge_asof accepts it
+    lt_dtype = ldf[left_ts].dtype
+    if (rdf[right_order].dtype != lt_dtype
+            and pd.api.types.is_numeric_dtype(lt_dtype)
+            and pd.api.types.is_numeric_dtype(rdf[right_order])):
+        rdf = rdf.assign(**{right_order: rdf[right_order].astype(lt_dtype)})
     ldf = ldf.reset_index(drop=True)
     orig_order = np.arange(len(ldf))
     ldf = ldf.assign(__lorder=orig_order)
@@ -262,8 +269,13 @@ def last_join(
             t = types.get(c)
             if t is None or df[c].dtype != object:
                 continue
+            # schema types are pyarrow DataTypes for Arrow-block datasets,
+            # numpy dtypes / Python types for pandas-block ones
+            dt = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
+            if dt is object:
+                continue
             try:
-                df[c] = df[c].astype(t.to_pandas_dtype())
+                df[c] = df[c].astype(dt)
             except (TypeError, ValueError):
                 pass
         return df
