@@ -536,109 +536,302 @@ def q_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
-def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed ANN variant (approximate — rows-only check)."""
+def _ann_recall(sf_dir: str, method) -> pd.DataFrame:
+    """Recall property oracle (approximate ANN vs the exact brute force,
+    both computed HERE): the driver's hash compare then checks the recall
+    floor as a constant-SQL property. All seeds fixed → deterministic."""
     from openmldb_ray.sources.io import read_table
-    from openmldb_ray.stages.simsearch import knn_lsh
+    from openmldb_ray.stages.simsearch import knn_brute_force
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 10").to_pandas()
-    out = knn_lsh(
-        emb, np.stack([np.asarray(v, float) for v in qdf["embedding"]]),
-        qdf["vec_id"].to_numpy(), k=5).to_pandas()
-    return out[["query_id", "neighbor_id", "rank"]]
+    qm = np.stack([np.asarray(v, float) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    approx = method(emb, qm, qids).to_pandas()
+    exact = knn_brute_force(emb, qm, qids, k=5).to_pandas()
+    hits = 0
+    for qid in qids:
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        hits += len(a & e) / max(len(e), 1)
+    recall = hits / max(len(qids), 1)
+    return recall
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN: recall@5 vs exact brute force must clear 0.5
+    (recall grows with num_tables; oracle = constant-SQL property row)."""
+    from openmldb_ray.stages.simsearch import knn_lsh
+
+    recall = _ann_recall(sf_dir, lambda emb, qm, qids: knn_lsh(emb, qm, qids, k=5))
+    return pd.DataFrame({"metric": ["lsh_recall_at_5"],
+                         "recall_floor_ok": [np.int64(recall >= 0.5)]})
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF ANN variant (coarse k-means quantizer + inverted-list probe)."""
-    from openmldb_ray.sources.io import read_table
+    """IVF ANN: recall@5 vs exact brute force must clear 0.7."""
     from openmldb_ray.stages.simsearch import knn_ivf
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 10").to_pandas()
-    out = knn_ivf(
-        emb, np.stack([np.asarray(v, float) for v in qdf["embedding"]]),
-        qdf["vec_id"].to_numpy(), k=5).to_pandas()
-    return out[["query_id", "neighbor_id", "rank"]]
+    recall = _ann_recall(sf_dir, lambda emb, qm, qids: knn_ivf(emb, qm, qids, k=5))
+    return pd.DataFrame({"metric": ["ivf_recall_at_5"],
+                         "recall_floor_ok": [np.int64(recall >= 0.7)]})
+
+
+_N_PLANT = 25
+
+
+def _planted_docs(sf_dir: str):
+    """documents + _N_PLANT exact copies planted with ids above the max id.
+    An exact copy shares every LSH band / simhash segment with its original,
+    so the dedup MUST drop it (the original or whatever transitively killed
+    the original always precedes it in the greedy id-ordered scan)."""
+    import ray.data as rd
+
+    from openmldb_ray.sources.io import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    src = docs.filter(expr=f"doc_id < {_N_PLANT}").to_pandas().sort_values("doc_id")
+    max_id = docs.max("doc_id")
+    copies = pd.DataFrame({"doc_id": max_id + 1 + np.arange(len(src)),
+                           "text": src["text"].to_numpy()})
+    return docs.union(rd.from_pandas(copies)), set(copies["doc_id"])
+
+
+def _dedup_property(survivors: pd.DataFrame, id_col: str, planted: set) -> pd.DataFrame:
+    ids = survivors[id_col]
+    return pd.DataFrame({
+        "planted": [np.int64(len(planted))],
+        "planted_surviving": [np.int64(ids.isin(planted).sum())],
+        "survivors_unique": [np.int64(ids.is_unique)],
+    })
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup (rows-only check)."""
-    from openmldb_ray.sources.io import read_table
+    """MinHash+LSH near-dup: planted exact copies must all be removed
+    (property oracle — the pairwise semantics aren't SQL-expressible)."""
     from openmldb_ray.stages.dedup import minhash_lsh_dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(docs, "text", "doc_id").to_pandas()[["doc_id"]]
+    docs, planted = _planted_docs(sf_dir)
+    out = minhash_lsh_dedup(docs, "text", "doc_id").to_pandas()
+    return _dedup_property(out, "doc_id", planted)
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash near-dup (rows-only check)."""
-    from openmldb_ray.sources.io import read_table
+    """SimHash near-dup: planted exact copies must all be removed."""
     from openmldb_ray.stages.dedup import simhash_dedup
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(docs, "text", "doc_id").to_pandas()[["doc_id"]]
+    docs, planted = _planted_docs(sf_dir)
+    out = simhash_dedup(docs, "text", "doc_id").to_pandas()
+    return _dedup_property(out, "doc_id", planted)
 
 
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup (rows-only check)."""
+    """Embedding-cosine near-dup: planted identical vectors must be removed
+    (cosine 1.0 >= threshold; identical LSH buckets by construction)."""
+    import ray.data as rd
+
     from openmldb_ray.sources.io import read_table
     from openmldb_ray.stages.simsearch import embedding_dedup
 
+    import pyarrow as pa
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_dedup(emb).to_pandas()[["vec_id"]]
+    src = emb.filter(expr=f"vec_id < {_N_PLANT}").to_pandas().sort_values("vec_id")
+    max_id = emb.max("vec_id")
+    copy_ids = max_id + 1 + np.arange(len(src))
+    # match the parquet block schema exactly (list<float32>) — a pandas
+    # object column would round-trip through Ray's tensor extension type
+    # and no longer union with the Arrow-block source
+    emb_type = dict(zip(emb.schema().names, emb.schema().types))["embedding"]
+    copies = pa.table({
+        "vec_id": pa.array(copy_ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in src["embedding"]],
+                              type=emb_type),
+    })
+    out = embedding_dedup(emb.union(rd.from_arrow(copies))).to_pandas()
+    return _dedup_property(out, "vec_id", set(copy_ids))
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language ID (rows-only check)."""
+    """Heuristic language ID. Property oracle: deterministic sentences
+    built from each language's own stopword profile (score 1.0 for the
+    right language, strictly less for every other) must classify to that
+    language; the real documents stream through the same stage and only
+    the ground-truth-free total is reported."""
+    import ray.data as rd
+
     from openmldb_ray.sources.io import read_table
-    from openmldb_ray.stages.textstats import LangId
+    from openmldb_ray.stages.textstats import _LANG_PROFILES, LangId
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pandas",
-                            concurrency=(1, 4), batch_size=None).to_pandas()[["doc_id", "lang_pred"]]
+    planted = pd.DataFrame({
+        "doc_id": -1 - np.arange(len(_LANG_PROFILES)),
+        "text": [" ".join(sorted(words) * 3) for words in _LANG_PROFILES.values()],
+        "true_lang": list(_LANG_PROFILES),
+    })
+    pred = (docs.union(rd.from_pandas(planted[["doc_id", "text"]]))
+                .map_batches(LangId, batch_format="pandas",
+                             concurrency=(1, 4), batch_size=None)
+                .to_pandas())
+    m = planted.merge(pred[["doc_id", "lang_pred"]], on="doc_id")
+    return pd.DataFrame({
+        "planted_correct": [np.int64((m["lang_pred"] == m["true_lang"]).sum())],
+        "planted_total": [np.int64(len(planted))],
+        "docs_classified": [np.int64(pred["doc_id"].ge(0).sum())],
+    })
 
 
 def q_fingerprint(sf_dir: str):
-    """Winnowed document fingerprints (rows-only check)."""
+    """Winnowed fingerprints. Property oracle: an exact copy has identical
+    content and winnow hashes; distinct documents collide on neither (the
+    hash values themselves are implementation-defined, so equality — not
+    the values — is the contract)."""
+    import ray.data as rd
+
     from openmldb_ray.sources.io import read_table
     from openmldb_ray.stages.textstats import Fingerprinter
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(Fingerprinter, batch_format="pandas",
-                            concurrency=(1, 4), batch_size=None).to_pandas()[
-        ["doc_id", "content_hash", "winnow_hash"]]
+    src = docs.filter(expr=f"doc_id < {_N_PLANT}").to_pandas().sort_values("doc_id")
+    max_id = docs.max("doc_id")
+    copies = pd.DataFrame({"doc_id": max_id + 1 + np.arange(len(src)),
+                           "text": src["text"].to_numpy()})
+    fp = (docs.union(rd.from_pandas(copies))
+              .map_batches(Fingerprinter, batch_format="pandas",
+                           concurrency=(1, 4), batch_size=None)
+              .to_pandas())
+    orig = fp.merge(src[["doc_id"]], on="doc_id")
+    cop = fp[fp["doc_id"] > max_id].sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({
+        "pairs": [np.int64(len(cop))],
+        "equal_content": [np.int64((orig["content_hash"].to_numpy()
+                                    == cop["content_hash"].to_numpy()).sum())],
+        "equal_winnow": [np.int64((orig["winnow_hash"].to_numpy()
+                                   == cop["winnow_hash"].to_numpy()).sum())],
+    })
 
 
 def q_multimodal(sf_dir: str):
-    """Multimodal plumbing: binary payload schema + actor-pool decode stub."""
+    """Multimodal plumbing: binary payload schema + actor-pool decode stub.
+    The output contract (ids, modality layout, feature dimensionality) is
+    deterministic, so it oracles as plain SQL over range(64)."""
     from openmldb_ray.stages.multimodal import extract_image_features, make_multimodal_dataset
 
     mm = make_multimodal_dataset(64)
     out = extract_image_features(mm, fake_decode=True).to_pandas()
-    out["feat_dim"] = out["img_mean_rgb"].map(len)
+    out["feat_dim"] = out["img_mean_rgb"].map(len).astype(np.int64)
     return out[["mm_id", "mm_type", "feat_dim"]]
 
 
 def q_taxi(sf_dir: str):
     """The reference's taxi-trip demo feature vector (taxi.sql:9-23) over a
-    deterministic synthetic trips table (rows-only; DuckDB-verified in
-    tests/test_taxi.py)."""
-    from openmldb_ray.pipelines.taxi import taxi_features
+    deterministic synthetic trips table. The trips table is generated, not
+    one of the driver's parquet views, so the DuckDB parity oracle runs
+    HERE (same SQL as tests/test_taxi.py) and the driver checks the
+    summary as a constant-SQL property."""
+    import duckdb
 
-    out = taxi_features(2000).to_pandas()
-    return out[["id", "trip_duration", "passenger_count", "vendor_sum_pl",
-                "vendor_cnt", "pc_sum_pl", "pc_cnt"]]
+    from openmldb_ray.pipelines.taxi import gen_taxi_batch, taxi_features
+
+    n = 2000
+    out = taxi_features(n).to_pandas()
+    raw = gen_taxi_batch(np.arange(n, dtype=np.uint64), 42).to_pandas()
+    con = duckdb.connect()
+    con.register("t1", raw)
+    oracle = con.sql("""
+        SELECT id,
+               SUM(pickup_latitude) OVER w  AS vendor_sum_pl,
+               MAX(pickup_latitude) OVER w  AS vendor_max_pl,
+               MIN(pickup_latitude) OVER w  AS vendor_min_pl,
+               AVG(pickup_latitude) OVER w  AS vendor_avg_pl,
+               COUNT(vendor_id) OVER w      AS vendor_cnt,
+               SUM(pickup_latitude) OVER w2 AS pc_sum_pl,
+               MAX(pickup_latitude) OVER w2 AS pc_max_pl,
+               MIN(pickup_latitude) OVER w2 AS pc_min_pl,
+               AVG(pickup_latitude) OVER w2 AS pc_avg_pl,
+               COUNT(vendor_id) OVER w2     AS pc_cnt
+        FROM t1
+        WINDOW w AS (PARTITION BY vendor_id ORDER BY pickup_datetime
+                     RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY passenger_count ORDER BY pickup_datetime
+                      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+    """).df()
+    m = out.merge(oracle, on="id", suffixes=("", "_o"))
+    feat_cols = ["vendor_sum_pl", "vendor_max_pl", "vendor_min_pl",
+                 "vendor_avg_pl", "vendor_cnt", "pc_sum_pl", "pc_max_pl",
+                 "pc_min_pl", "pc_avg_pl", "pc_cnt"]
+    bad = sum(
+        not np.allclose(pd.to_numeric(m[c], errors="coerce").astype(float),
+                        pd.to_numeric(m[f"{c}_o"], errors="coerce").astype(float),
+                        equal_nan=True)
+        for c in feat_cols)
+    return pd.DataFrame({"rows": [np.int64(len(m))],
+                         "cols_checked": [np.int64(len(feat_cols))],
+                         "mismatched_cols": [np.int64(bad)]})
+
+
+def q_topn_cate(sf_dir: str):
+    """top_n_key_sum_cate_where / top_n_value_count_cate_where
+    (reference default_defs/*_by_category_def.cc + containers.h) — exact
+    DuckDB string oracle."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = df["value"].astype("int64")
+        df["big"] = df["v"] > 50
+        return df[["user_id", "event_type", "v", "big"]]
+
+    out = group_aggregate(
+        ev.map_batches(prep, batch_format="pandas", batch_size=None), "user_id",
+        [Agg.top_n_cate("sum", "v", "big", "event_type", 2, by="key", name="tk_sum"),
+         Agg.top_n_cate("count", "v", "big", "event_type", 2, by="value", name="tv_cnt")],
+    ).to_pandas()
+    return out
 
 
 def q_flagship(sf_dir: str):
-    """The full tokenized-sequence suite (rows-only check; semantics are
-    pytest-verified against an independent point-in-time oracle)."""
-    from openmldb_ray.pipelines.flagship import flagship
+    """The full tokenized-sequence suite, checked HERE against the
+    independent O(n²) point-in-time oracle (pipelines/flagship.py
+    pit_oracle_features) plus the PIT-join-leakage and token-roundtrip
+    invariants; the driver validates the summary as a constant-SQL
+    property."""
+    from openmldb_ray.pipelines import flagship as FS
 
-    out = flagship(num_docs=2000).to_pandas()
-    out["n_tokens"] = out["tokens"].map(len)
-    return out.drop(columns=["tokens"])
+    n = 2000
+    out = FS.flagship(num_docs=n).to_pandas()
+    raw = FS.gen_sequences_batch(np.arange(n, dtype=np.uint64), 42, n).to_pandas()
+    split_ts = FS.BASE_TS + (n // 2) * FS.STEP_MS // 5
+    exp = FS.pit_oracle_features(raw, split_ts)
+    m = out.merge(exp, on="doc_id", suffixes=("", "_exp"))
+    feat_cols = ["sum_tok_6h", "cnt_6h", "avg_tok_6h", "min_tok_6h",
+                 "max_tok_6h", "lag1_tok", "dc_lang_6h"]
+    bad = sum(
+        not np.allclose(pd.to_numeric(m[c], errors="coerce").astype(float),
+                        pd.to_numeric(m[f"{c}_exp"], errors="coerce").astype(float),
+                        equal_nan=True)
+        for c in feat_cols)
+    bad += int(not (m["top_lang_6h"].astype(str)
+                    == m["top_lang_6h_exp"].astype(str)).all())
+    j = out[out["prev_day_avail_ts"].notna()]
+    pit_violations = int((j["prev_day_avail_ts"] > j["event_ts"]).sum())
+    tok_in = dict(zip(raw["doc_id"], raw["tokens"]))
+    tok_bad = sum(
+        not np.array_equal(np.asarray(t, dtype=np.int32),
+                           np.asarray(tok_in[d], dtype=np.int32))
+        for d, t in zip(out["doc_id"], out["tokens"]))
+    return pd.DataFrame({
+        "rows": [np.int64(len(out))],
+        "oracle_rows": [np.int64(len(exp))],
+        "mismatched_cols": [np.int64(bad)],
+        "pit_violations": [np.int64(pit_violations)],
+        "token_mismatches": [np.int64(tok_bad)],
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -679,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_window": q_multi_window,
         "left_join": q_left_join,
         "cate_agg": q_cate_agg,
+        "topn_cate": q_topn_cate,
         "scalar_string_date": q_scalar_string_date,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -973,5 +1167,82 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q CROSS JOIN embeddings v
             WHERE q.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "topn_cate": """
+            WITH e AS (
+              SELECT user_id, event_type, CAST(FLOOR(value) AS BIGINT) AS v
+              FROM events
+            ), per AS (
+              SELECT user_id, event_type,
+                     SUM(CASE WHEN v > 50 THEN v END) AS s,
+                     COUNT(CASE WHEN v > 50 THEN v END) AS c
+              FROM e GROUP BY 1, 2
+              HAVING COUNT(CASE WHEN v > 50 THEN v END) > 0
+            ), tk AS (
+              SELECT user_id,
+                     string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
+                                ORDER BY event_type DESC) AS tk_sum
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY event_type DESC) AS rn FROM per) x
+              WHERE rn <= 2 GROUP BY user_id
+            ), tv AS (
+              SELECT user_id,
+                     string_agg(event_type || ':' || CAST(c AS VARCHAR), ','
+                                ORDER BY c DESC, event_type DESC) AS tv_cnt
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY c DESC, event_type DESC) AS rn FROM per) x
+              WHERE rn <= 2 GROUP BY user_id
+            )
+            SELECT u.user_id, COALESCE(tk.tk_sum, '') AS tk_sum,
+                   COALESCE(tv.tv_cnt, '') AS tv_cnt
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN tk USING (user_id) LEFT JOIN tv USING (user_id)
+        """,
+        # --- property oracles: the Ray query computes the check itself; the
+        # --- SQL states the invariant the result must equal
+        "knn_lsh": "SELECT 'lsh_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
+        "knn_ivf": "SELECT 'ivf_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
+        "minhash_dedup": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
+                   CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "simhash_dedup": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
+                   CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "embedding_dedup": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
+                   CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "langid": """
+            SELECT CAST(5 AS BIGINT) AS planted_correct,
+                   CAST(5 AS BIGINT) AS planted_total,
+                   (SELECT COUNT(*) FROM documents) AS docs_classified
+        """,
+        "fingerprint": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS pairs,
+                   CAST({_N_PLANT} AS BIGINT) AS equal_content,
+                   CAST({_N_PLANT} AS BIGINT) AS equal_winnow
+        """,
+        "multimodal": """
+            SELECT CAST(x AS BIGINT) AS mm_id,
+                   CASE WHEN x % 2 = 0 THEN 'image' ELSE 'audio' END AS mm_type,
+                   CAST(3 AS BIGINT) AS feat_dim
+            FROM range(64) t(x)
+        """,
+        "taxi_demo": """
+            SELECT CAST(2000 AS BIGINT) AS rows,
+                   CAST(10 AS BIGINT) AS cols_checked,
+                   CAST(0 AS BIGINT) AS mismatched_cols
+        """,
+        "flagship": """
+            SELECT CAST(1596 AS BIGINT) AS rows,
+                   CAST(1596 AS BIGINT) AS oracle_rows,
+                   CAST(0 AS BIGINT) AS mismatched_cols,
+                   CAST(0 AS BIGINT) AS pit_violations,
+                   CAST(0 AS BIGINT) AS token_mismatches
         """,
     }

@@ -56,6 +56,8 @@ KINDS = {
     "sum_cate_where", "count_cate_where", "avg_cate_where",
     "min_cate_where", "max_cate_where",
     "window_split", "window_split_by_key", "window_split_by_value",
+    *(f"top_n_{m}_{b}_cate_where" for m in ("key", "value")
+      for b in ("sum", "count", "avg", "min", "max")),
 }
 
 #: aggregates the vectorized kernel (window_fast) implements
@@ -169,6 +171,13 @@ class Agg:
         base = f"{kind}_cate" + ("_where" if cond else "")
         return cls._mk(base, col, name, cat=cat, cond=cond)
 
+    @classmethod
+    def top_n_cate(cls, base, col, cond, cat, n, by="key", name=None):
+        """``top_n_{key|value}_{base}_cate_where(value, cond, cat, n)``
+        (reference default_defs/*_by_category_def.cc + containers.h)."""
+        kind = f"top_n_{by}_{base}_cate_where"
+        return cls._mk(kind, col, name, cond=cond, cat=cat, k=n)
+
 
 # ---------------------------------------------------------------------------
 # Exact per-window evaluators (used by window_exact over buffer index lists)
@@ -196,6 +205,19 @@ def _fmt_num(x) -> str:
         return str(int(f)) if f.is_integer() else repr(f)
     if isinstance(x, (bool, np.bool_)):
         return str(bool(x)).lower()
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    return str(x)
+
+
+def _fmt_ref(x) -> str:
+    """Reference-exact value rendering (v1::format_string): floats print as
+    printf %f (6 decimals) — used by the top_n_*_cate_where family whose
+    golden cases (udaf_test.cc) pin that format, e.g. 'x:4.500000'."""
+    if isinstance(x, (bool, np.bool_)):
+        return "true" if x else "false"
+    if isinstance(x, (float, np.floating)):
+        return f"{float(x):f}"
     if isinstance(x, (int, np.integer)):
         return str(int(x))
     return str(x)
@@ -321,6 +343,44 @@ def make_evaluator(spec: AggSpec):
                         if len(kv) == 2:
                             out.append(kv[want])
             return out
+        return ev
+
+    if kind.startswith("top_n_"):
+        # top_n_{key|value}_{base}_cate_where(value, cond, cat, n)
+        # (default_defs/*_by_category_def.cc TopN*CateWhereDef +
+        # containers.h OutputTopNByValue). Batch-equivalent of the
+        # reference's streaming bounded dict: an evicted key can never
+        # re-enter (the dict minimum is non-decreasing), so the result is
+        # the per-category aggregate over ALL qualifying rows, restricted
+        # to the top-n categories.
+        mode = kind.split("_")[2]  # "key" | "value"
+        base = kind.split("_")[3]  # sum|count|avg|min|max
+
+        def ev(cols, idx, mode=mode, base=base):
+            use = _where_idx(cols, cond, idx)
+            cv, cok = cols[cat]
+            vv, vok = cols[col]
+            keep = cok[use] & vok[use]
+            use = use[keep]
+            if use.size == 0:
+                return ""  # reference outputs "" for an empty dict
+            cats = cv[use]
+            vals = vv[use]
+            order = np.argsort(cats, kind="stable")
+            cats, vals = cats[order], vals[order]
+            pairs = []
+            i, n = 0, cats.shape[0]
+            while i < n:
+                j = i
+                while j < n and cats[j] == cats[i]:
+                    j += 1
+                pairs.append((cats[i], _agg_scalar(base, vals[i:j])))
+                i = j
+            if mode == "key":
+                pairs.sort(key=lambda p: p[0], reverse=True)
+            else:  # order by (agg value, category), largest first
+                pairs.sort(key=lambda p: (p[1], p[0]), reverse=True)
+            return ",".join(f"{_fmt_ref(c)}:{_fmt_ref(v)}" for c, v in pairs[:k])
         return ev
 
     if kind.endswith("_cate") or kind.endswith("_cate_where"):

@@ -291,7 +291,11 @@ def compute_window_features(
         for c in needed:
             s = g[c]
             valid = s.notna().to_numpy()
-            if _is_numeric(s):
+            if pd.api.types.is_integer_dtype(s):
+                # keep ints integral — string-rendering aggregates (top/cate/
+                # top_n families) must print "9", not "9.000000"
+                vals = s.fillna(0).to_numpy(np.int64)
+            elif _is_numeric(s):
                 vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(np.float64)
             else:
                 vals = s.to_numpy(object)

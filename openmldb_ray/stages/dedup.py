@@ -122,15 +122,10 @@ _ROLL_B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
 _ROLL_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit rolling polynomial hashes of all k-byte shingles, fully
-    vectorized (wraparound uint64 arithmetic): h_i = (S_{i+k} - S_i)·B^{-i}
-    where S is the prefix sum of c_j·B^j. Returns unique hashes."""
-    t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
-    if len(t) <= k:
-        return np.asarray(
-            [int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big")],
-            dtype=np.uint64)
+def rolling_hashes(t: bytes, k: int) -> np.ndarray:
+    """In-order 64-bit rolling polynomial hashes of all k-byte windows,
+    fully vectorized (wraparound uint64): h_i = (S_{i+k} - S_i)·B^{-i}
+    where S is the prefix sum of c_j·B^j."""
     c = np.frombuffer(t, np.uint8).astype(np.uint64) + np.uint64(1)
     n = c.shape[0]
     with np.errstate(over="ignore"):
@@ -144,7 +139,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         if n - k > 0:
             np.cumprod(np.full(n - k, _ROLL_BINV, np.uint64), out=powBinv[1:])
         h = (S[k:] - S[:-k]) * powBinv
-    return np.unique(h)
+    return h
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique 64-bit hashes of all k-char shingles of the normalized text."""
+    t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
+    if len(t) <= k:
+        return np.asarray(
+            [int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big")],
+            dtype=np.uint64)
+    return np.unique(rolling_hashes(t, k))
 
 
 class MinHasher:

@@ -120,7 +120,9 @@ def group_aggregate(
                     if c and c not in cols:
                         s = g[c]
                         valid = s.notna().to_numpy()
-                        if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
+                        if pd.api.types.is_integer_dtype(s):
+                            vals = s.fillna(0).to_numpy(np.int64)
+                        elif pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
                             vals = pd.to_numeric(s, errors="coerce").fillna(0).to_numpy(float)
                         else:
                             vals = s.to_numpy(object)

@@ -114,22 +114,30 @@ def knn_lsh(
     k: int = 5,
     num_bits: int = 8,
     num_tables: int = 4,
+    multiprobe: int = 1,
     seed: int = 42,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
     """Approximate top-k: random-hyperplane LSH. Each vector lands in
     ``num_tables`` buckets; queries are compared only against co-bucketed
     vectors. Recall grows with num_tables; cost with 2^-num_bits density.
+    ``multiprobe=1`` additionally probes every 1-bit-flip neighbor bucket
+    per table (classic multiprobe LSH) — (num_bits+1)× candidate coverage
+    for free on the data side (only the tiny query->bucket map grows).
     Same output schema as knn_brute_force (scores exact within candidates)."""
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     dim = qm.shape[1]
     hashers = [_HyperplaneHasher(dim, num_bits, seed + t) for t in range(num_tables)]
     qbuckets = [h.bucket(qm) for h in hashers]  # per table: (nq,)
-    # table → bucket → query indices that probe it
+    # table → bucket → query indices that probe it (incl. 1-bit neighbors)
     probe = {}
     for t, qb in enumerate(qbuckets):
         for qi, b in enumerate(qb):
-            probe.setdefault((t, int(b)), []).append(qi)
+            buckets = {int(b)}
+            if multiprobe >= 1:
+                buckets |= {int(b) ^ (1 << j) for j in range(num_bits)}
+            for bb in buckets:
+                probe.setdefault((t, bb), []).append(qi)
     pref = ray.put({"probe": probe, "q": qm, "qids": np.asarray(query_ids),
                     "hashers": hashers})
 

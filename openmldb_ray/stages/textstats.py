@@ -69,19 +69,29 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def classify(self, text: str) -> str:
-        toks = str(text).lower().split()
-        if not toks:
-            return "unk"
-        best, best_score = "unk", 0.0
-        for lang, words in self.profiles.items():
-            score = sum(t in words for t in toks) / len(toks)
-            if score > best_score:
-                best, best_score = lang, score
-        return best if best_score > 0.02 else "unk"
+        return self._classify_frame(pd.Series([str(text)]))[0]
+
+    def _classify_frame(self, s: pd.Series) -> np.ndarray:
+        """Vectorized: explode tokens once, one isin per language profile,
+        groupby-sum back — no per-row Python loop."""
+        toks = s.astype(str).str.lower().str.split()
+        n_tok = toks.map(len).to_numpy(np.float64)
+        ex = toks.explode()
+        idx = pd.RangeIndex(len(s))
+        scores = np.zeros((len(s), len(self.profiles)))
+        for j, words in enumerate(self.profiles.values()):
+            hits = ex.isin(words).groupby(level=0).sum()
+            scores[:, j] = hits.reindex(idx, fill_value=0).to_numpy(np.float64) \
+                / np.maximum(n_tok, 1.0)
+        langs = np.array(list(self.profiles), dtype=object)
+        # strict > keeps the first profile on ties, matching dict order
+        return np.where(scores.max(axis=1) > 0.02,
+                        langs[scores.argmax(axis=1)], "unk")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df[self.out_col] = [self.classify(t) for t in df[self.text_col]]
+        df[self.out_col] = self._classify_frame(
+            df[self.text_col].reset_index(drop=True))
         return df
 
 
@@ -112,14 +122,16 @@ class Fingerprinter:
         self.window = window
 
     def fingerprint(self, text: str) -> tuple[int, int]:
-        t = " ".join(str(text).lower().split())
+        from .dedup import rolling_hashes
+
+        t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
         content = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 1
-        if len(t) < self.k:
+            hashlib.blake2b(t, digest_size=8).digest(), "big") >> 1
+        if len(t) <= self.k:
             return content, content
-        hashes = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t[i:i + self.k].encode(), digest_size=8).digest(), "big") >> 1
-             for i in range(len(t) - self.k + 1)), dtype=np.int64)
+        # k-gram hashes via the vectorized rolling polynomial (one batch of
+        # uint64 ops per doc — no per-k-gram Python hashing)
+        hashes = (rolling_hashes(t, self.k) >> np.uint64(1)).astype(np.int64)
         # winnowing: min hash per sliding window of k-gram hashes
         w = min(self.window, len(hashes))
         mins = pd.Series(hashes).rolling(w, min_periods=1).min().to_numpy(np.int64)[w - 1:]

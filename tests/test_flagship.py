@@ -30,38 +30,7 @@ def test_generation_deterministic_and_batch_independent():
     assert 0.5 < frac_web < 0.9
 
 
-def oracle_features(df: pd.DataFrame, split_ts: int) -> pd.DataFrame:
-    """Independent point-in-time recomputation (brute force O(n²)):
-    window of row r = rows of same source with ts in [r.ts-6h, r.ts] that
-    arrived before r in the sorted stream (history rows included, primary
-    rows of the future excluded — zero leakage by construction)."""
-    frame_ms = 6 * 3600 * 1000
-    out_rows = []
-    for src, g in df.groupby("source"):
-        g = g.sort_values(["event_ts", "doc_id"], kind="stable").reset_index(drop=True)
-        ts = g["event_ts"].to_numpy()
-        prim = ts >= split_ts
-        for i in range(len(g)):
-            if not prim[i]:
-                continue
-            lo = ts[i] - frame_ms
-            win = [j for j in range(i + 1) if ts[j] >= lo]
-            sub = g.iloc[win]
-            lag1 = g["n_tok"].iloc[win[-2]] if len(win) >= 2 else None
-            counts = sub["lang_bucket"].value_counts()
-            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            out_rows.append({
-                "doc_id": g["doc_id"].iloc[i],
-                "sum_tok_6h": float(sub["n_tok"].sum()),
-                "cnt_6h": len(sub),
-                "avg_tok_6h": float(sub["n_tok"].mean()),
-                "min_tok_6h": int(sub["n_tok"].min()),
-                "max_tok_6h": int(sub["n_tok"].max()),
-                "lag1_tok": lag1,
-                "dc_lang_6h": sub["lang_bucket"].nunique(),
-                "top_lang_6h": ",".join(k for k, _ in items[:3]),
-            })
-    return pd.DataFrame(out_rows)
+oracle_features = FS.pit_oracle_features
 
 
 def test_flagship_features_match_oracle_and_tokens_roundtrip(ray_session, tmp_path):
