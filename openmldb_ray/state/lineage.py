@@ -2,16 +2,22 @@
 "a killed job restarted via ray job submit skips completed partitions").
 
 Reference analog: the offline engine's ``_SUCCESS``-guarded per-plan-node
-parquet cache (SparkPlanner.scala:288-327 slowRunCacheDir). Here the unit
-of resumability is a VALUE of the partition column: each value gets its own
-parquet directory plus ``lineage/<value>.json`` holding row count, a
-content checksum, and metrics. A rerun calls :func:`completed_partitions`
-and filters those values out of the input BEFORE the shuffle, so finished
-work is skipped at the read, not re-computed and discarded.
+parquet cache (SparkPlanner.scala:288-327 slowRunCacheDir). The unit of
+resumability is a VALUE of the partition column: the dataset is written in
+ONE parallel pass with ``write_parquet(partition_cols=[...])`` (hive
+layout ``<col>=<value>/``), then each value's lineage JSON (the commit
+marker) is derived from the written files — row count from parquet footer
+metadata (no data read) and an optional checksum from a column-pruned
+read of just the checksum column. A rerun calls
+:func:`completed_partitions` and filters those values out of the input
+BEFORE the shuffle, so finished work is skipped at the read; partition
+dirs left behind by a crash (data present, no marker) are cleared before
+the write so a resume can never duplicate rows.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -46,6 +52,41 @@ def completed_partitions(out_dir: str) -> set[str]:
     return done
 
 
+def _plain_arrow_lists(t):
+    """Replace Ray tensor-extension columns (produced whenever an array
+    column round-trips through a pandas block) with plain Arrow list
+    columns, so the written parquet is readable by ANY parquet reader —
+    not just a process with Ray's extension types registered."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for i, f in enumerate(t.schema):
+        if not isinstance(f.type, pa.BaseExtensionType):
+            continue
+        if not f.type.extension_name.startswith("ray.data"):
+            continue
+        storage = t.column(i).combine_chunks().storage
+        if pa.types.is_struct(storage.type):  # variable-shaped: (data, shape)
+            data = storage.field("data")
+        else:  # fixed-shape tensor: (fixed_size_)list storage
+            data = storage
+        if pa.types.is_large_list(data.type):
+            data = pc.cast(data, pa.list_(data.type.value_type))
+        elif pa.types.is_fixed_size_list(data.type):
+            data = pc.cast(data, pa.list_(data.type.value_type))
+        t = t.set_column(i, f.name, data)
+    return t
+
+
+def _partition_dirs(out_dir: str, partition_col: str) -> dict[str, str]:
+    """value -> dir for every hive-layout partition dir present on disk."""
+    out = {}
+    for p in glob.glob(os.path.join(out_dir, f"{partition_col}=*")):
+        if os.path.isdir(p):
+            out[os.path.basename(p).split("=", 1)[1]] = p
+    return out
+
+
 def write_partitioned_with_lineage(
     ds: "ray.data.Dataset",
     out_dir: str,
@@ -54,56 +95,60 @@ def write_partitioned_with_lineage(
     checksum_col: str | None = None,
     resume: bool = True,
 ) -> dict:
-    """Write ``ds`` as one parquet directory per partition-column value,
-    each committed with a lineage record. Returns a summary dict.
+    """Write ``ds`` hive-partitioned by ``partition_col`` in ONE parallel
+    pass, committing each partition value with a lineage record. Returns a
+    summary dict {"written": [...], "skipped": [...]}.
 
-    Writing is atomic per partition: data lands under ``part=<v>/`` first,
-    the lineage JSON (the commit marker) is written only after the parquet
-    write returns. On resume, values with a complete lineage record are
-    skipped BEFORE any compute.
-
-    Scale note: this materializes each partition through a filtered write —
-    one pass per partition value, intended for a handful of coarse output
-    partitions (entity keys / shard ranges). For thousands of partitions use
-    ``ds.write_parquet(partition_cols=[...])`` and coarser lineage units.
+    Scale shape: one streaming write over the data (Ray fans out one file
+    per block per value); lineage stats come from parquet footers plus a
+    column-pruned checksum read — no per-partition filter passes over the
+    dataset (the round-1 implementation paid 3 executions per value).
     """
+    import pyarrow.parquet as pq
+
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir) if resume else set()
-    import pandas as pd
+    if done:
+        ds = filter_completed(ds, out_dir, partition_col)
+    # a partition dir without a lineage record is incomplete (the job died
+    # mid-write): clear it — write_parquet appends part files, which would
+    # silently duplicate rows on resume
+    pre_existing = _partition_dirs(out_dir, partition_col)
+    for v, pdir in pre_existing.items():
+        if v not in done:
+            shutil.rmtree(pdir, ignore_errors=True)
 
-    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        if partition_col not in df.columns:
-            return pd.DataFrame({partition_col: []})
-        return df[[partition_col]].drop_duplicates()
+    if done and ds.count() == 0:  # resume with nothing left to do
+        return {"written": [], "skipped": sorted(done)}
+    t0 = time.time()
+    ds = ds.map_batches(_plain_arrow_lists, batch_format="pyarrow", batch_size=None)
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    wall = round(time.time() - t0, 3)
 
-    partials = (ds.select_columns([partition_col])
-                  .map_batches(_dedupe, batch_format="pandas", batch_size=None)
-                  .to_pandas())
-    values = sorted(set(partials[partition_col].astype(str)))
-    summary = {"written": [], "skipped": []}
-    for v in values:
+    summary = {"written": [], "skipped": sorted(done)}
+    for v, pdir in sorted(_partition_dirs(out_dir, partition_col).items()):
         if v in done:
-            summary["skipped"].append(v)
             continue
-        t0 = time.time()
-        part = ds.filter(expr=f"{partition_col} == {v!r}")
-        pdir = os.path.join(out_dir, f"part={_safe(v)}")
-        # a partition without a lineage record is incomplete (e.g. the job
-        # died mid-write): clear it first — write_parquet appends part files,
-        # which would silently duplicate rows on resume
-        shutil.rmtree(pdir, ignore_errors=True)
-        part.write_parquet(pdir)
-        n = part.count()
+        files = sorted(glob.glob(os.path.join(pdir, "**", "*.parquet"),
+                                 recursive=True))
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         checksum = None
         if checksum_col is not None:
-            checksum = int(part.sum(checksum_col) or 0)
+            checksum = 0
+            for f in files:
+                col = pq.read_table(f, columns=[checksum_col])[checksum_col]
+                s = col.combine_chunks().cast("int64")
+                import pyarrow.compute as pc
+
+                checksum += int(pc.sum(s).as_py() or 0)
         rec = {
             "partition": v,
             "status": "complete",
-            "rows": n,
+            "rows": rows,
             "checksum": checksum,
             "output": pdir,
-            "wall_sec": round(time.time() - t0, 3),
+            "n_files": len(files),
+            "wall_sec": wall,
         }
         with open(os.path.join(_lineage_dir(out_dir), f"{_safe(v)}.json"), "w") as f:
             json.dump(rec, f)

@@ -67,13 +67,20 @@ def test_lineage_resume(ray_session, tmp_path):
 
     done = completed_partitions(out_dir)
     assert len(done) >= 3  # most sources present
-    # a rerun skips everything
+    # a rerun skips everything (read back hive-partitioned output; the
+    # partition column lives in the path, so re-add it per dir)
     import glob
 
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    files = sorted(f for p in done for f in glob.glob(f"{out_dir}/part={p}/*.parquet"))
-    ds = rd.read_parquet(files)
+    parts = []
+    for p in done:
+        files = glob.glob(f"{out_dir}/source={p}/**/*.parquet", recursive=True)
+        pdf = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        pdf["source"] = p
+        parts.append(pdf)
+    ds = rd.from_pandas(pd.concat(parts, ignore_index=True))
     summary = write_partitioned_with_lineage(ds, out_dir, "source", resume=True)
     assert summary["written"] == []
     assert set(summary["skipped"]) == done
@@ -115,7 +122,7 @@ def test_resume_does_not_duplicate_rows(ray_session, tmp_path):
 
     os.remove(os.path.join(out_dir, "lineage", "web.json"))
     FS.flagship(num_docs=400, out_dir=out_dir)  # resume
-    files = sorted(glob.glob(f"{out_dir}/part=*/**/*.parquet", recursive=True))
+    files = sorted(glob.glob(f"{out_dir}/source=*/**/*.parquet", recursive=True))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files])
     assert len(df) == df["doc_id"].nunique()
 
