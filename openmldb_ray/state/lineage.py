@@ -75,7 +75,10 @@ def _plain_arrow_lists(t):
         elif pa.types.is_fixed_size_list(data.type):
             data = pc.cast(data, pa.list_(data.type.value_type))
         t = t.set_column(i, f.name, data)
-    return t
+    # stale pandas metadata would still describe the extension dtype and
+    # break to_pandas() for plain readers — drop it
+    meta = {k: v for k, v in (t.schema.metadata or {}).items() if k != b"pandas"}
+    return t.replace_schema_metadata(meta or None)
 
 
 def _partition_dirs(out_dir: str, partition_col: str) -> dict[str, str]:
