@@ -38,6 +38,7 @@ class FrameSpec:
     open_range: bool = False            # strict inequality on range start
     rows_end: int = 0                   # newest buffer positions excluded (ROWS ... AND n PRECEDING)
     range_end: int = 0                  # <=0; rows with ts > cur_ts + range_end excluded
+    range_end_open: bool = False        # strict end bound (… AND n OPEN PRECEDING)
     max_size: int = 0                   # 0 = uncapped
     exclude_current_time: bool = False
     exclude_current_row: bool = False
@@ -78,6 +79,7 @@ class FrameSpec:
             not self.is_merged
             and self.rows_end == 0
             and self.range_end == 0
+            and not self.range_end_open
             and self.max_size == 0
             and not self.exclude_current_time
             and not self.exclude_current_row

@@ -50,8 +50,8 @@ def window_project_exact(
     in order), ``outputs`` dict name -> list of python scalars (None=NULL).
     """
     n = ts.shape[0]
-    evals = [(a.name, make_evaluator(a)) for a in aggs]
-    outputs: dict[str, list] = {name: [] for name, _ in evals}
+    evals = [(a.name, a.kind, make_evaluator(a)) for a in aggs]
+    outputs: dict[str, list] = {name: [] for name, _, _ in evals}
     emit: list[int] = []
 
     buf: deque[int] = deque()  # newest first
@@ -81,12 +81,24 @@ def window_project_exact(
         elif rows_p is not None:
             while len(buf) > rows_cap:
                 buf.pop()
-        if max_size > 0:
+        if max_size > 0 and not (frame.rows_end or frame.range_end):
+            # permanent eviction == final-view cap only for CURRENT ROW-ended
+            # frames; with an end bound the cap must apply to the
+            # end-excluded view instead (test_window_row_range.yaml 24-2:
+            # ROWS_RANGE 3s..1s PRECEDING MAXSIZE 2 keeps the newest 2 rows
+            # of the visible frame, not of the buffer)
             while len(buf) > max_size:
                 buf.pop()
 
-    def view(i: int, staged: bool) -> np.ndarray:
-        """Window indices for current row i. staged=True → i is not in buf."""
+    def view(i: int, staged: bool):
+        """Window views for current row i (staged=True → i is not in buf).
+
+        Returns (main, positional): ``main`` honours EXCLUDE CURRENT_ROW /
+        CURRENT_TIME with MAXSIZE applied to the post-exclusion frame
+        (test_current_row.yaml cases 14/23); ``positional`` is the raw
+        buffer-order view used by lag/at, which index buffer positions and
+        ignore the exclusion attributes (test_current_row.yaml cases 24-27:
+        lag(c4,2) EXCLUDE CURRENT_ROW still counts from the current row)."""
         cand = ([i] + list(buf)) if staged else list(buf)
         if staged:
             # staged path must re-apply bounds the buffer eviction normally
@@ -103,23 +115,30 @@ def window_project_exact(
                     ok = (bt > lo) if open_r else (bt >= lo)
                 if ok:
                     out.append(j)
-            if max_size > 0:
-                out = out[:max_size]
             cand = out
         # end bounds (AND x PRECEDING) — exclude the newest rows, current
         # row included (FOLLOWING is unsupported, so end offsets only shrink)
         if frame.rows_end:
             cand = cand[frame.rows_end:]
-        if frame.range_end:
+        if frame.range_end or frame.range_end_open:
             hi = ts[i] + frame.range_end
-            cand = [j for j in cand if ts[j] <= hi]
-        # exclusions (view-level)
+            if frame.range_end_open:
+                cand = [j for j in cand if ts[j] < hi]
+            else:
+                cand = [j for j in cand if ts[j] <= hi]
+        positional = list(cand)
+        if max_size > 0:
+            positional = positional[:max_size]
+        # exclusions (view-level), then MAXSIZE over what remains visible
         if frame.exclude_current_time:
             # with staging, buf never holds same-ts rows; kept as a guard
             cand = [j for j in cand if j == i or ts[j] != ts[i]]
         if frame.exclude_current_row:
             cand = [j for j in cand if j != i]
-        return np.asarray(cand, dtype=np.int64)
+        if max_size > 0:
+            cand = list(cand)[:max_size]
+        return (np.asarray(cand, dtype=np.int64),
+                np.asarray(positional, dtype=np.int64))
 
     # EXCLUDE CURRENT_TIME staging (mem_catalog.h:413-455
     # current_history_buffer_): rows do NOT enter the main buffer until the
@@ -138,10 +157,11 @@ def window_project_exact(
         staged_rows.clear()
 
     def compute(i: int, staged: bool) -> None:
-        idx = view(i, staged=staged)
+        idx, idx_pos = view(i, staged=staged)
         emit.append(i)
-        for name, ev in evals:
-            outputs[name].append(ev(cols, idx))
+        for name, kind, ev in evals:
+            outputs[name].append(ev(cols, idx_pos if kind in ("lag", "at")
+                                     else idx))
 
     for i in range(n):
         if not ts_valid[i] or ts[i] < 0:

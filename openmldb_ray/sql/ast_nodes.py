@@ -106,6 +106,7 @@ class SelectItem:
 class FrameBound:
     kind: str                    # "unbounded" | "current" | "preceding" | "open_preceding"
     value: int | None = None     # offset (rows count, or ms for range)
+    interval: bool = False       # bound written with a time unit (2s/3m/...)
 
 
 @dataclass(frozen=True)
@@ -117,7 +118,7 @@ class WindowDef:
     start: FrameBound | None
     end: FrameBound | None
     union_tables: tuple = ()     # table names for WINDOW ... AS (UNION t1 ...)
-    max_size: int = 0
+    max_size: int | None = None  # None = no MAXSIZE clause written
     exclude_current_time: bool = False
     exclude_current_row: bool = False
     instance_not_in_window: bool = False

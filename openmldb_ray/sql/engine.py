@@ -1,0 +1,1082 @@
+"""Lowering: SQL AST -> Ray Data pipeline over the existing stage API.
+
+Mirrors the reference's planner dispatch (java/openmldb-batch/.../
+SparkPlanner.scala:235-276: PhysicalOpType -> node) but lowers directly from
+the AST — there is no physical-plan IR because Ray Data's lazy Dataset
+already is one.  Mapping:
+
+    FROM t                      -> tables[t]
+    FROM (subquery)             -> recursive lowering
+    LAST JOIN ... ON ...        -> stages.join_stage.last_join (equi keys +
+                                   point-in-time bound extracted from ON;
+                                   leftovers become a vectorized residual)
+    LEFT JOIN                   -> stages.join_stage.left_join
+    WHERE                       -> map_batches filter (Arrow mask)
+    WINDOW w AS (...)           -> stages.window_stage.window_agg (one
+                                   shuffle per distinct window)
+    GROUP BY                    -> stages.relational.group_aggregate
+    select exprs                -> map_batches projection (eval_expr)
+    ORDER BY / LIMIT / DISTINCT -> Dataset.sort / limit / unique
+
+Aggregate calls are rewritten to generated columns before expression
+evaluation; their argument expressions are materialized as temp columns so
+the window/groupby stages always see plain columns.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.aggregates import AggSpec
+from ..core.frames import FrameSpec
+from .ast_nodes import (
+    Between, BinaryOp, Case, Cast, Column, FrameBound, FuncCall, InList,
+    IsNull, Join, Like, Literal, SelectItem, SelectStmt, Star, TableRef,
+    UnaryOp, WindowDef,
+)
+from .eval_expr import Evaluator, SqlEvalError, TYPE_NAMES
+from .parser import parse_sql
+
+RID = "__rid"  # deterministic arrival-order tiebreak, added by attach_rid
+
+
+class SqlLowerError(ValueError):
+    pass
+
+
+# ---- scope ----------------------------------------------------------------
+
+class Scope:
+    """Maps (qualifier, column) -> physical column name."""
+
+    def __init__(self):
+        self.quals: dict[str, dict[str, str]] = {}
+        self.order: list[str] = []
+
+    def add_table(self, qual: str, cols: dict[str, str]) -> None:
+        self.quals[qual] = dict(cols)
+        self.order.append(qual)
+
+    def resolve(self, col: Column) -> str:
+        if col.table is not None:
+            m = self.quals.get(col.table)
+            if m is None:
+                # unknown qualifier: treat as bare (db prefixes, stale aliases)
+                return self._bare(col.name)
+            phys = m.get(col.name)
+            if phys is None:
+                raise SqlLowerError(
+                    f"column {col.table}.{col.name} not found")
+            return phys
+        return self._bare(col.name)
+
+    def _bare(self, name: str) -> str:
+        for q in self.order:
+            phys = self.quals[q].get(name)
+            if phys is not None:
+                return phys
+        raise SqlLowerError(f"column {name!r} not found")
+
+    def all_output(self) -> list[tuple[str, str]]:
+        """(display_name, physical) pairs for SELECT *, left-to-right."""
+        out = []
+        for q in self.order:
+            for disp, phys in self.quals[q].items():
+                out.append((disp, phys))
+        return out
+
+    def table_output(self, qual: str) -> list[tuple[str, str]]:
+        return list(self.quals[qual].items())
+
+
+class _Resolver:
+    """Picklable Column->physical-name mapper for worker-side evaluation."""
+
+    def __init__(self, mapping: dict):
+        self.mapping = mapping   # (qual|None, name) -> physical
+
+    def __call__(self, col: Column) -> str:
+        key = (col.table, col.name)
+        if key in self.mapping:
+            return self.mapping[key]
+        key2 = (None, col.name)
+        if key2 in self.mapping:
+            return self.mapping[key2]
+        # fall through: maybe the physical name itself
+        return col.name
+
+
+def _freeze_scope(scope: Scope) -> _Resolver:
+    mapping: dict = {}
+    for q in reversed(scope.order):   # earlier tables win for bare names
+        for name, phys in scope.quals[q].items():
+            mapping[(q, name)] = phys
+            mapping[(None, name)] = phys
+    return _Resolver(mapping)
+
+
+# ---- AST utilities --------------------------------------------------------
+
+def walk(e):
+    yield e
+    if isinstance(e, UnaryOp):
+        yield from walk(e.operand)
+    elif isinstance(e, BinaryOp):
+        yield from walk(e.left)
+        yield from walk(e.right)
+    elif isinstance(e, Like):
+        yield from walk(e.operand)
+        yield from walk(e.pattern)
+        if e.escape is not None:
+            yield from walk(e.escape)
+    elif isinstance(e, IsNull):
+        yield from walk(e.operand)
+    elif isinstance(e, InList):
+        yield from walk(e.operand)
+        for it in e.items:
+            yield from walk(it)
+    elif isinstance(e, Between):
+        yield from walk(e.operand)
+        yield from walk(e.low)
+        yield from walk(e.high)
+    elif isinstance(e, Case):
+        if e.operand is not None:
+            yield from walk(e.operand)
+        for c, r in e.whens:
+            yield from walk(c)
+            yield from walk(r)
+        if e.default is not None:
+            yield from walk(e.default)
+    elif isinstance(e, Cast):
+        yield from walk(e.operand)
+    elif isinstance(e, FuncCall):
+        for a in e.args:
+            yield from walk(a)
+
+
+def rewrite(e, mapping: dict):
+    """Replace nodes (by value-equality) per ``mapping``; rebuild parents."""
+    if e in mapping:
+        return mapping[e]
+    if isinstance(e, UnaryOp):
+        return UnaryOp(e.op, rewrite(e.operand, mapping))
+    if isinstance(e, BinaryOp):
+        return BinaryOp(e.op, rewrite(e.left, mapping), rewrite(e.right, mapping))
+    if isinstance(e, Like):
+        return Like(rewrite(e.operand, mapping), rewrite(e.pattern, mapping),
+                    e.kind, e.escape, e.negated)
+    if isinstance(e, IsNull):
+        return IsNull(rewrite(e.operand, mapping), e.negated)
+    if isinstance(e, InList):
+        return InList(rewrite(e.operand, mapping),
+                      tuple(rewrite(i, mapping) for i in e.items), e.negated)
+    if isinstance(e, Between):
+        return Between(rewrite(e.operand, mapping), rewrite(e.low, mapping),
+                       rewrite(e.high, mapping), e.negated)
+    if isinstance(e, Case):
+        return Case(rewrite(e.operand, mapping) if e.operand is not None else None,
+                    tuple((rewrite(c, mapping), rewrite(r, mapping))
+                          for c, r in e.whens),
+                    rewrite(e.default, mapping) if e.default is not None else None)
+    if isinstance(e, Cast):
+        return Cast(rewrite(e.operand, mapping), e.type_name)
+    if isinstance(e, FuncCall):
+        return FuncCall(e.name, tuple(rewrite(a, mapping) for a in e.args),
+                        e.over, e.distinct)
+    return e
+
+
+# ---- aggregate call -> AggSpec -------------------------------------------
+
+#: SQL UDAF name -> (AggSpec kind, arg roles). Roles: v=value expr,
+#: c=condition expr, g=category expr, k=int literal, d=str literal (delim),
+#: e=str literal (kv delim)
+_AGG_SIGS: dict[str, tuple[str, str]] = {
+    "sum": ("sum", "v"), "count": ("count", "v"), "avg": ("avg", "v"),
+    "min": ("min", "v"), "max": ("max", "v"),
+    "sum_where": ("sum_where", "vc"), "count_where": ("count_where", "vc"),
+    "avg_where": ("avg_where", "vc"), "min_where": ("min_where", "vc"),
+    "max_where": ("max_where", "vc"),
+    "distinct_count": ("distinct_count", "v"),
+    "median": ("median", "v"),
+    "top": ("top", "vk"),
+    "topn_frequency": ("topn_frequency", "vk"),
+    "fz_topn_frequency": ("topn_frequency", "vk"),
+    "top1_ratio": ("top1_ratio", "v"), "fz_top1_ratio": ("top1_ratio", "v"),
+    "lag": ("lag", "vk"), "at": ("at", "vk"), "lead": ("lead", "vk"),
+    "first_value": ("first_value", "v"),
+    "sum_cate": ("sum_cate", "vg"), "count_cate": ("count_cate", "vg"),
+    "avg_cate": ("avg_cate", "vg"), "min_cate": ("min_cate", "vg"),
+    "max_cate": ("max_cate", "vg"),
+    "sum_cate_where": ("sum_cate_where", "vcg"),
+    "count_cate_where": ("count_cate_where", "vcg"),
+    "avg_cate_where": ("avg_cate_where", "vcg"),
+    "min_cate_where": ("min_cate_where", "vcg"),
+    "max_cate_where": ("max_cate_where", "vcg"),
+    "window_split": ("window_split", "vd"),
+    "window_split_by_key": ("window_split_by_key", "vde"),
+    "window_split_by_value": ("window_split_by_value", "vde"),
+    "fz_window_split": ("window_split", "vd"),
+    "fz_window_split_by_key": ("window_split_by_key", "vde"),
+    "fz_window_split_by_value": ("window_split_by_value", "vde"),
+}
+for _m in ("key", "value"):
+    for _b in ("sum", "count", "avg", "min", "max"):
+        _AGG_SIGS[f"top_n_{_m}_{_b}_cate_where"] = (
+            f"top_n_{_m}_{_b}_cate_where", "vcgk")
+        _AGG_SIGS[f"fz_top_n_{_m}_{_b}_cate_where"] = (
+            f"top_n_{_m}_{_b}_cate_where", "vcgk")
+
+AGG_NAMES = set(_AGG_SIGS)
+
+
+def is_agg_call(e) -> bool:
+    return (isinstance(e, FuncCall)
+            and (e.name.lower() in AGG_NAMES or e.over is not None))
+
+
+def _lit_int(e) -> int:
+    if isinstance(e, Literal) and isinstance(e.value, (int, bool)):
+        return int(e.value)
+    if isinstance(e, UnaryOp) and e.op == "-" and isinstance(e.operand, Literal):
+        return -int(e.operand.value)
+    raise SqlLowerError(f"expected integer literal, got {e}")
+
+
+def _lit_str(e) -> str:
+    if isinstance(e, Literal) and isinstance(e.value, str):
+        return e.value
+    raise SqlLowerError(f"expected string literal, got {e}")
+
+
+class AggCollector:
+    """Turns aggregate FuncCalls into AggSpecs + temp-column exprs."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+        self.temp_exprs: dict[str, object] = {}   # temp col -> expr AST
+        self.specs: list[AggSpec] = []
+        self.replacements: dict = {}              # FuncCall -> Column
+        self._n = 0
+
+    def _temp(self, expr) -> str:
+        if isinstance(expr, Column):
+            return None  # filled by caller with resolved physical name
+        for name, e in self.temp_exprs.items():
+            if e == expr:
+                return name
+        name = f"{self.prefix}a{len(self.temp_exprs)}"
+        self.temp_exprs[name] = expr
+        return name
+
+    def add(self, call: FuncCall, resolve) -> Column:
+        if call in self.replacements:
+            return self.replacements[call]
+        name = call.name.lower()
+        out_col = f"{self.prefix}{self._n}"
+        self._n += 1
+
+        if name == "count" and len(call.args) == 1 and isinstance(call.args[0], Star):
+            spec = AggSpec(kind="count_star", name=out_col)
+        elif name == "count" and call.distinct:
+            col = self._arg_col(call.args[0], resolve)
+            spec = AggSpec(kind="distinct_count", name=out_col, col=col)
+        else:
+            sig = _AGG_SIGS.get(name)
+            if sig is None:
+                raise SqlLowerError(f"unknown aggregate {name!r}")
+            kind, roles = sig
+            args = list(call.args)
+            if len(args) != len(roles):
+                raise SqlLowerError(
+                    f"{name} expects {len(roles)} args, got {len(args)}")
+            kw: dict = {}
+            for role, arg in zip(roles, args):
+                if role == "v":
+                    kw["col"] = self._arg_col(arg, resolve)
+                elif role == "c":
+                    kw["cond"] = self._arg_col(arg, resolve, want_bool=True)
+                elif role == "g":
+                    kw["cat"] = self._arg_col(arg, resolve)
+                elif role == "k":
+                    kw["k"] = _lit_int(arg)
+                elif role == "d":
+                    kw["delim"] = _lit_str(arg)
+                elif role == "e":
+                    kw["kv_delim"] = _lit_str(arg)
+            spec = AggSpec(kind=kind, name=out_col, **kw)
+        self.specs.append(spec)
+        repl = Column(out_col)
+        self.replacements[call] = repl
+        return repl
+
+    def _arg_col(self, arg, resolve, want_bool: bool = False) -> str:
+        if isinstance(arg, Column):
+            return resolve(arg)
+        name = self._temp(arg)
+        return name
+
+
+# ---- frame conversion -----------------------------------------------------
+
+def frame_from_windowdef(w: WindowDef) -> FrameSpec:
+    rows_p = range_p = None
+    rows_end = 0
+    range_end = 0
+    open_range = False
+    range_end_open = False
+    ft = w.frame_type
+    if ft is None:
+        raise SqlLowerError(
+            "window definition requires a ROWS/ROWS_RANGE frame "
+            "(matches reference: no-frame windows are rejected)")
+    if w.max_size is not None:
+        if ft == "rows":
+            raise SqlLowerError(
+                "MAXSIZE is only valid for ROWS_RANGE frames "
+                "(matches reference, error_window.yaml id 13)")
+        if w.max_size <= 0:
+            raise SqlLowerError(
+                "MAXSIZE must be a positive integer (matches reference)")
+    if ft == "rows":
+        for b in (w.start, w.end):
+            if b is not None and b.interval:
+                raise SqlLowerError(
+                    "ROWS frame bounds cannot carry time units "
+                    "(matches reference, error_window.yaml id 8)")
+    if ft is not None:
+        s, e = w.start, w.end
+        if s is None:
+            raise SqlLowerError("frame without bounds")
+        if ft == "rows":
+            if s.kind == "unbounded":
+                rows_p = None
+            elif s.kind == "preceding":
+                rows_p = s.value
+            elif s.kind == "open_preceding":
+                # OPEN excludes the boundary row itself
+                rows_p = max(0, s.value - 1)
+            elif s.kind == "current":
+                rows_p = 0
+            if e is not None and e.kind == "preceding":
+                rows_end = max(0, e.value)
+            elif e is not None and e.kind == "open_preceding":
+                rows_end = max(0, e.value + 1)
+        else:  # rows_range
+            if s.kind == "unbounded":
+                range_p = None
+            elif s.kind in ("preceding", "open_preceding"):
+                range_p = s.value
+                open_range = s.kind == "open_preceding"
+            elif s.kind == "current":
+                range_p = 0
+            if e is not None and e.kind == "preceding":
+                range_end = min(0, -e.value)
+            elif e is not None and e.kind == "open_preceding":
+                range_end = min(0, -e.value)
+                range_end_open = True
+        if s.kind not in ("unbounded",) and s.value is not None and s.value < 0:
+            raise SqlLowerError("negative frame bound")
+    return FrameSpec(
+        rows_preceding=rows_p, range_preceding=range_p, open_range=open_range,
+        rows_end=rows_end, range_end=range_end, range_end_open=range_end_open,
+        max_size=w.max_size or 0,
+        exclude_current_time=w.exclude_current_time,
+        exclude_current_row=w.exclude_current_row,
+        instance_not_in_window=w.instance_not_in_window,
+    )
+
+
+# ---- worker-side callables ------------------------------------------------
+
+class _AddColumns:
+    """map_batches fn: append evaluated expression columns."""
+
+    def __init__(self, exprs: list, resolver):
+        self.exprs = exprs            # [(name, ast)]
+        self.ev = Evaluator(resolver)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for name, ast in self.exprs:
+            arr = self.ev.eval(ast, t)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, arr)
+            else:
+                t = t.append_column(name, arr)
+        return t
+
+
+class _FilterBatches:
+    def __init__(self, pred_ast, resolver):
+        self.ast = pred_ast
+        self.ev = Evaluator(resolver)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = self.ev.eval(self.ast, t)
+        if not pa.types.is_boolean(mask.type):
+            from .eval_expr import sql_cast
+            mask = sql_cast(mask, pa.bool_())
+        mask = pc.fill_null(mask, False)
+        return t.filter(mask)
+
+
+class _Project:
+    def __init__(self, items: list, resolver):
+        self.items = items            # [(out_name, ast)]
+        self.ev = Evaluator(resolver)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arrays = []
+        names = []
+        for out_name, ast in self.items:
+            arr = self.ev.eval(ast, t)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arrays.append(arr)
+            names.append(out_name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+class _ResidualPred:
+    """Vectorized residual ON-condition for last_join: pandas frame in,
+    bool mask out (evaluated through the Arrow evaluator)."""
+
+    def __init__(self, pred_ast, resolver):
+        self.ast = pred_ast
+        self.ev = Evaluator(resolver)
+
+    def __call__(self, df) -> "object":
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        mask = self.ev.eval(self.ast, t)
+        return pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+
+
+# ---- FROM lowering --------------------------------------------------------
+
+def attach_rid(ds):
+    """Add a deterministic arrival-order tiebreak column. The reference's
+    window tie order is storage order (mem_catalog.h buffer order); a
+    distributed read has none, so conformance inputs carry an explicit id."""
+    import ray.data  # noqa: F401
+
+    def add(t: pa.Table, start=0) -> pa.Table:
+        return t  # placeholder — rows get rids in the runner instead
+
+    return ds
+
+
+def _lower_from(node, tables, ctx) -> tuple:
+    """Returns (ds, scope)."""
+    if node is None:
+        import ray.data as rd
+        ds = rd.from_arrow(pa.table({"__one": pa.array([1], pa.int32())}))
+        sc = Scope()
+        sc.add_table("__const__", {})
+        return ds, sc
+
+    if isinstance(node, TableRef):
+        if node.subquery is not None:
+            sub = _lower_select(node.subquery, tables, dict(ctx, keep_rid=True))
+            ds = sub
+            cols = list(ds.schema().names)
+            sc = Scope()
+            qual = node.alias or node.name
+            sc.add_table(qual, {c: c for c in cols if not c.startswith("__")})
+            if RID in cols:
+                sc.quals[qual].pop(RID, None)
+            return ds, sc
+        if node.name not in tables:
+            raise SqlLowerError(f"unknown table {node.name!r}")
+        ds = tables[node.name]
+        cols = list(ds.schema().names)
+        sc = Scope()
+        visible = {c: c for c in cols if not c.startswith("__")}
+        sc.add_table(node.alias or node.name, visible)
+        if node.alias and node.alias != node.name:
+            pass
+        elif node.alias is None:
+            pass
+        return ds, sc
+
+    if isinstance(node, Join):
+        return _lower_join(node, tables, ctx)
+
+    raise SqlLowerError(f"cannot lower FROM node {node!r}")
+
+
+def _split_conjuncts(e) -> list:
+    if isinstance(e, BinaryOp) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _side_of(col: Column, lscope: Scope, rqual: str) -> str:
+    if col.table == rqual:
+        return "right"
+    if col.table is not None and col.table in lscope.quals:
+        return "left"
+    if col.table is None:
+        # bare: prefer left
+        try:
+            lscope._bare(col.name)
+            return "left"
+        except SqlLowerError:
+            return "right"
+    return "unknown"
+
+
+def _expr_side(e, lscope: Scope, rqual: str) -> str:
+    """Which side(s) an expression references: 'left'|'right'|'both'|'none'."""
+    sides = set()
+    for n in walk(e):
+        if isinstance(n, Column):
+            sides.add(_side_of(n, lscope, rqual))
+    sides.discard("none")
+    if not sides:
+        return "none"
+    if sides == {"left"}:
+        return "left"
+    if sides == {"right"}:
+        return "right"
+    return "both"
+
+
+def _lower_join(node: Join, tables, ctx):
+    from ..stages.join_stage import last_join, left_join
+
+    lds, lscope = _lower_from(node.left, tables, ctx)
+    if node.right.subquery is not None or True:
+        rds, rscope_tmp = _lower_from(node.right, tables, ctx)
+    rqual = rscope_tmp.order[0]
+    rcols_display = list(rscope_tmp.quals[rqual].keys())
+
+    lphys = set()
+    for q in lscope.order:
+        lphys.update(lscope.quals[q].values())
+
+    # physical rename plan for the right side
+    right_cols: dict[str, str] = {}
+    for c in rcols_display:
+        phys = c if c not in lphys else f"{c}__r"
+        while phys in lphys or (phys != c and phys in rcols_display):
+            phys += "_"
+        right_cols[c] = phys
+
+    conjs = _split_conjuncts(node.condition)
+    equi: list[tuple[str, str]] = []       # (left_phys, right_orig)
+    residual_parts = []
+    asof_pair = None    # (left_ts_phys, right_order_col)
+
+    jorder_col = None
+    if node.order_by is not None:
+        if _side_of(node.order_by, lscope, rqual) != "right":
+            raise SqlLowerError("LAST JOIN ORDER BY must be a right column")
+        jorder_col = node.order_by.name
+
+    for cj in conjs:
+        if isinstance(cj, BinaryOp) and cj.op == "=" \
+                and isinstance(cj.left, Column) and isinstance(cj.right, Column):
+            s1 = _side_of(cj.left, lscope, rqual)
+            s2 = _side_of(cj.right, lscope, rqual)
+            if {s1, s2} == {"left", "right"}:
+                lcol = cj.left if s1 == "left" else cj.right
+                rcol = cj.right if s1 == "left" else cj.left
+                equi.append((lscope.resolve(lcol), rcol.name))
+                continue
+        # point-in-time bound: right.order <= left.ts (or left.ts >= right.order)
+        if (jorder_col is not None and isinstance(cj, BinaryOp)
+                and cj.op in ("<=", ">=")
+                and isinstance(cj.left, Column) and isinstance(cj.right, Column)):
+            a, b = cj.left, cj.right
+            if cj.op == ">=":
+                a, b = b, a   # now a <= b
+            if (_side_of(a, lscope, rqual) == "right" and a.name == jorder_col
+                    and _side_of(b, lscope, rqual) == "left"
+                    and asof_pair is None):
+                asof_pair = (lscope.resolve(b), jorder_col)
+                continue
+        residual_parts.append(cj)
+
+    if not equi:
+        raise SqlLowerError("join requires at least one equi condition")
+
+    # merged scope for residual evaluation / downstream
+    out_scope = Scope()
+    for q in lscope.order:
+        out_scope.add_table(q, lscope.quals[q])
+    out_scope.add_table(rqual, {c: right_cols[c] for c in rcols_display})
+
+    residual = None
+    if residual_parts:
+        pred = residual_parts[0]
+        for p in residual_parts[1:]:
+            pred = BinaryOp("and", pred, p)
+        residual = _ResidualPred(pred, _freeze_scope(out_scope))
+
+    # multi-key: synthesize composite key columns on both sides
+    if len(equi) > 1:
+        lkeys = [lk for lk, _ in equi]
+        rkeys = [rk for _, rk in equi]
+        lds = lds.map_batches(_CompositeKey("__jkl", lkeys),
+                              batch_format="pyarrow", batch_size=None)
+        rds = rds.map_batches(_CompositeKey("__jkr", rkeys),
+                              batch_format="pyarrow", batch_size=None)
+        on = ("__jkl", "__jkr")
+        right_cols2 = dict(right_cols)
+        right_cols2["__jkr"] = "__jkr"
+        jorder = jorder_col
+    else:
+        on = (equi[0][0], equi[0][1])
+        right_cols2 = dict(right_cols)
+        jorder = jorder_col
+
+    # the join stage's internal arrival-order column is also named __rid
+    # (join_stage.RID_COL); pass ours as the tiebreak WITHOUT adding it to
+    # right_cols — _prep_right keeps it un-renamed and out_cols drops it
+    tiebreak = RID if RID in rds.schema().names else None
+    if node.kind == "last":
+        out = last_join(
+            lds, rds, on,
+            order_by=jorder,
+            asof_left_ts=asof_pair[0] if asof_pair else None,
+            right_cols=right_cols2,
+            residual=residual,
+            tiebreak=tiebreak,
+        )
+    else:
+        if residual is not None:
+            raise SqlLowerError("LEFT JOIN with non-equi residual unsupported")
+        out = left_join(lds, rds, on, right_cols=right_cols2)
+    return out, out_scope
+
+
+class _CompositeKey:
+    """Adds a composite join key column: string-concat of parts; NULL if
+    any part is NULL (a NULL key never matches, reference JoinPlan)."""
+
+    def __init__(self, name: str, parts: list):
+        self.name = name
+        self.parts = parts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arrs = [pc.cast(t[p], pa.string()) for p in self.parts]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = pc.binary_join_element_wise(out, a, "\x1f",
+                                              null_handling="emit_null")
+        if self.name in t.column_names:
+            return t.set_column(t.column_names.index(self.name), self.name, out)
+        return t.append_column(self.name, out)
+
+
+# ---- SELECT lowering ------------------------------------------------------
+
+def _default_name(e) -> str:
+    """Output-column name for an unaliased select item: the rendered SQL
+    text (the reference names unaliased exprs this way, e.g. 'c2 + 1')."""
+    return _render(e)
+
+
+def _render(e) -> str:
+    if isinstance(e, Star):
+        return "*"
+    if isinstance(e, Column):
+        return e.name
+    if isinstance(e, Literal):
+        if e.value is None:
+            return "NULL"
+        if isinstance(e.value, str):
+            return f"'{e.value}'"
+        return str(e.value)
+    if isinstance(e, BinaryOp):
+        op = {"&and": "&", "&or": "|", "&xor": "^"}.get(e.op, e.op.upper()
+                                                        if e.op.isalpha()
+                                                        else e.op)
+        return f"{_render(e.left)} {op} {_render(e.right)}"
+    if isinstance(e, UnaryOp):
+        if e.op == "not":
+            return f"NOT {_render(e.operand)}"
+        return f"{e.op}{_render(e.operand)}"
+    if isinstance(e, FuncCall):
+        base = f"{e.name}({', '.join(_render(a) for a in e.args)})"
+        if isinstance(e.over, str):
+            return f"{base}over {e.over}"
+        return base
+    if isinstance(e, Cast):
+        return f"cast({_render(e.operand)} as {e.type_name})"
+    if isinstance(e, IsNull):
+        return f"{_render(e.operand)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, Like):
+        return f"{_render(e.operand)} {e.kind.upper()} {_render(e.pattern)}"
+    return "expr"
+
+
+def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
+    import ray.data  # noqa: F401
+
+    ds, scope = _lower_from(stmt.from_, tables, ctx)
+    resolver = _freeze_scope(scope)
+
+    # WHERE ------------------------------------------------------------
+    if stmt.where is not None:
+        if any(is_agg_call(n) for n in walk(stmt.where)):
+            raise SqlLowerError("aggregates not allowed in WHERE")
+        ds = ds.map_batches(_FilterBatches(stmt.where, resolver),
+                            batch_format="pyarrow", batch_size=None)
+
+    # expand * ----------------------------------------------------------
+    items: list[SelectItem] = []
+    for it in stmt.items:
+        e = it.expr if isinstance(it, SelectItem) else it
+        alias = it.alias if isinstance(it, SelectItem) else None
+        if isinstance(e, Star):
+            if e.table is not None:
+                pairs = scope.table_output(e.table)
+            else:
+                pairs = scope.all_output()
+            for disp, phys in pairs:
+                items.append(SelectItem(Column(phys), disp))
+        else:
+            items.append(SelectItem(e, alias))
+
+    window_calls = [n for it in items for n in walk(it.expr)
+                    if isinstance(n, FuncCall) and n.over is not None]
+    for it in items:
+        wnames = {n.over for n in walk(it.expr)
+                  if isinstance(n, FuncCall) and isinstance(n.over, str)}
+        if len(wnames) > 1:
+            raise SqlLowerError(
+                f"expression mixes windows {sorted(wnames)} "
+                f"(matches reference, error_window.yaml id 12)")
+    plain_aggs = [n for it in items for n in walk(it.expr)
+                  if is_agg_call(n) and (not isinstance(n, FuncCall)
+                                         or n.over is None)]
+    if stmt.having is not None:
+        plain_aggs += [n for n in walk(stmt.having) if is_agg_call(n)]
+
+    if window_calls and (stmt.group_by or (plain_aggs and not stmt.windows)):
+        raise SqlLowerError("mixing WINDOW and GROUP BY unsupported")
+
+    replacements: dict = {}
+
+    if window_calls:
+        ds, replacements = _lower_windows(
+            ds, stmt, window_calls, scope, resolver, tables, ctx)
+    elif stmt.group_by or plain_aggs:
+        ds, replacements = _lower_groupby(
+            ds, stmt, plain_aggs, scope, resolver)
+        # scope now = agg output columns
+        resolver = _Resolver({})
+
+    # HAVING -----------------------------------------------------------
+    if stmt.having is not None:
+        having = rewrite(stmt.having, replacements)
+        ds = ds.map_batches(_FilterBatches(having, resolver),
+                            batch_format="pyarrow", batch_size=None)
+
+    # final projection ---------------------------------------------------
+    proj_items = []
+    for it in items:
+        e = rewrite(it.expr, replacements)
+        name = it.alias or _default_name(it.expr)
+        proj_items.append((name, e))
+    keep_rid = ctx.get("keep_rid") and RID in ds.schema().names
+    if keep_rid:
+        proj_items.append((RID, Column(RID)))
+    ds = ds.map_batches(_Project(proj_items, resolver),
+                        batch_format="pyarrow", batch_size=None)
+
+    # DISTINCT ----------------------------------------------------------
+    if stmt.distinct:
+        from ..stages.relational import distinct as distinct_stage
+        ds = distinct_stage(ds)
+
+    # ORDER BY / LIMIT ----------------------------------------------------
+    if stmt.order_by:
+        cols = [oi.column.name for oi in stmt.order_by]
+        desc = [oi.desc for oi in stmt.order_by]
+        ds = ds.sort(cols, descending=desc)
+    if stmt.limit is not None:
+        ds = ds.limit(stmt.limit)
+
+    # UNION tail ----------------------------------------------------------
+    if stmt.union_all is not None:
+        other = _lower_select(stmt.union_all, tables, ctx)
+        ds = ds.union(other)
+        if stmt.union_distinct:
+            from ..stages.relational import distinct as distinct_stage
+            ds = distinct_stage(ds)
+
+    return ds
+
+
+# ---- window lowering ------------------------------------------------------
+
+def _lower_windows(ds, stmt, window_calls, scope, resolver, tables, ctx):
+    wdefs: dict[str, WindowDef] = {w.name: w for w in stmt.windows}
+
+    # group agg calls per window (anonymous defs keyed by object)
+    per_window: dict[object, list[FuncCall]] = {}
+    for call in window_calls:
+        key = call.over if isinstance(call.over, str) else call.over
+        if isinstance(key, str):
+            if key not in wdefs:
+                raise SqlLowerError(f"unknown window {key!r}")
+            key = wdefs[key]
+        per_window.setdefault(key, []).append(call)
+
+    replacements: dict = {}
+    widx = 0
+    for wdef, calls in per_window.items():
+        ds = _run_one_window(ds, wdef, calls, scope, resolver, replacements,
+                             tables, ctx, widx)
+        widx += 1
+    return ds, replacements
+
+
+def _align_union(uds, primary_cols_phys: list, uscope: Scope):
+    """Project a WINDOW UNION source to the primary's physical columns by
+    display name (reference: schemas must match, WindowAggPlanUtil.scala)."""
+    pairs = []
+    for phys in primary_cols_phys:
+        pairs.append((phys, Column(phys)))
+    res = _freeze_scope(uscope)
+    return uds.map_batches(_Project(pairs, res),
+                           batch_format="pyarrow", batch_size=None)
+
+
+def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
+                    replacements, tables, ctx, widx: int):
+    from ..stages.window_stage import window_agg
+
+    prefix = f"__w{widx}_"
+    coll = AggCollector(prefix)
+    for call in calls:
+        repl = coll.add(call, resolver)
+        replacements[call] = repl
+
+    # materialize temp arg columns
+    if coll.temp_exprs:
+        ds = ds.map_batches(
+            _AddColumns([(n, e) for n, e in coll.temp_exprs.items()], resolver),
+            batch_format="pyarrow", batch_size=None)
+
+    part_cols = [resolver(c) for c in wdef.partition_by]
+    if wdef.order_by is None:
+        raise SqlLowerError("window requires ORDER BY (matches reference)")
+    order_phys = resolver(wdef.order_by)
+
+    # int64 order key (timestamps become ms)
+    ord_col = f"{prefix}ord"
+    ds = ds.map_batches(_OrderKey(order_phys, ord_col),
+                        batch_format="pyarrow", batch_size=None)
+
+    frame = frame_from_windowdef(wdef)
+
+    union_ds = None
+    if wdef.union_tables:
+        primary_phys = [c for c in ds.schema().names]
+        needed = [c for c in primary_phys if not c.startswith("__")]
+        parts = []
+        for ut in wdef.union_tables:
+            if isinstance(ut, SelectStmt):
+                uds = _lower_select(ut, tables, dict(ctx, keep_rid=True))
+            else:
+                if ut not in tables:
+                    raise SqlLowerError(f"unknown union table {ut!r}")
+                uds = tables[ut]
+            uschema = uds.schema()
+            utypes = {n: t for n, t in zip(uschema.names, uschema.types)}
+            missing = [c for c in needed if c not in utypes]
+            if missing:
+                raise SqlLowerError(
+                    f"WINDOW UNION table missing columns {missing}")
+            ptypes = {n: t for n, t in zip(ds.schema().names,
+                                           ds.schema().types)}
+            for c in needed:
+                pt, ut = ptypes.get(c), utypes.get(c)
+                if pt is not None and ut is not None and not pt.equals(ut):
+                    raise SqlLowerError(
+                        f"WINDOW UNION column {c!r} type mismatch: "
+                        f"{ut} vs {pt} (matches reference)")
+            pairs = [(c, Column(c)) for c in needed]
+            uds = uds.map_batches(_Project(pairs, _Resolver({})),
+                                  batch_format="pyarrow", batch_size=None)
+            # temps + order key for the union side
+            if coll.temp_exprs:
+                uds = uds.map_batches(
+                    _AddColumns(list(coll.temp_exprs.items()), _Resolver({})),
+                    batch_format="pyarrow", batch_size=None)
+            uds = uds.map_batches(_OrderKey(order_phys, ord_col),
+                                  batch_format="pyarrow", batch_size=None)
+            parts.append(uds)
+        union_ds = parts[0]
+        for p in parts[1:]:
+            union_ds = union_ds.union(p)
+        # align to the primary's full schema: columns the union source lacks
+        # (earlier windows' features, __rid) become typed nulls — they are
+        # never read by this window's aggs
+        target = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+        union_ds = union_ds.map_batches(_AlignSchema(target),
+                                        batch_format="pyarrow", batch_size=None)
+
+    tiebreak = RID if RID in ds.schema().names else None
+    in_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
+    ds = window_agg(ds, part_cols, ord_col, coll.specs, frame,
+                    union=union_ds, tiebreak=tiebreak)
+    # restore OpenMLDB UDAF result types (the vectorized kernel computes
+    # sums/extremes in float64 for NaN-propagation; sum(int) must come back
+    # int, count -> int64, avg -> double: udf/default_udf_library.cc)
+    casts = {}
+    for spec in coll.specs:
+        ty = _agg_result_type(spec, in_types)
+        if ty is not None:
+            casts[spec.name] = ty
+    if casts:
+        ds = ds.map_batches(_CastCols(casts), batch_format="pyarrow",
+                            batch_size=None)
+    return ds
+
+
+_PRESERVE_KINDS = {"sum", "min", "max", "lag", "at", "first_value", "lead",
+                   "sum_where", "min_where", "max_where"}
+_I64_KINDS = {"count", "count_star", "count_where", "distinct_count"}
+_F64_KINDS = {"avg", "avg_where", "median", "top1_ratio"}
+
+
+def _agg_result_type(spec: AggSpec, in_types: dict):
+    if spec.kind in _I64_KINDS:
+        return pa.int64()
+    if spec.kind in _F64_KINDS:
+        return pa.float64()
+    if spec.kind in _PRESERVE_KINDS and spec.col in in_types:
+        t = in_types[spec.col]
+        if pa.types.is_integer(t) or pa.types.is_timestamp(t) or \
+                pa.types.is_floating(t) or pa.types.is_boolean(t) or \
+                pa.types.is_string(t) or pa.types.is_date(t):
+            return t
+    if spec.kind == "top":
+        return pa.string()
+    return None
+
+
+class _CastCols:
+    def __init__(self, casts: dict):
+        self.casts = casts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .eval_expr import sql_cast
+
+        for name, ty in self.casts.items():
+            if name not in t.column_names:
+                continue
+            col = t[name].combine_chunks()
+            if col.type.equals(ty):
+                continue
+            if pa.types.is_integer(ty) and (pa.types.is_floating(col.type)
+                                            or pa.types.is_integer(col.type)):
+                # C wrap-around overflow (test_window.yaml id 21)
+                vals = col.to_numpy(zero_copy_only=False)
+                mask = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+                with np.errstate(invalid="ignore"):
+                    wrapped = np.asarray(vals, dtype=np.float64)
+                    wrapped = np.where(np.isnan(wrapped), 0, wrapped)
+                    ints = wrapped.astype(np.int64).astype(ty.to_pandas_dtype())
+                arr = pa.array(ints, ty, mask=mask)
+                t = t.set_column(t.column_names.index(name), name, arr)
+                continue
+            t = t.set_column(t.column_names.index(name), name,
+                             sql_cast(col, ty))
+        return t
+
+
+class _AlignSchema:
+    """Reorder/null-fill a batch to a target pa.Schema (WINDOW UNION
+    alignment)."""
+
+    def __init__(self, schema: pa.Schema):
+        self.schema = schema
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .eval_expr import sql_cast
+
+        n = t.num_rows
+        arrays = []
+        for f in self.schema:
+            if f.name in t.column_names:
+                col = t[f.name].combine_chunks()
+                if not col.type.equals(f.type):
+                    col = sql_cast(col, f.type)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=self.schema)
+
+
+class _OrderKey:
+    """Derive an int64 order key column from ts/int columns; reject
+    date/string order keys (reference parity)."""
+
+    def __init__(self, src: str, dst: str):
+        self.src = src
+        self.dst = dst
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.src]
+        ty = col.type
+        if pa.types.is_timestamp(ty):
+            arr = pc.cast(col, pa.int64())
+        elif pa.types.is_integer(ty):
+            arr = pc.cast(col, pa.int64())
+        else:
+            raise SqlLowerError(
+                f"window ORDER BY column {self.src!r} must be integer or "
+                f"timestamp, got {ty} (matches reference)")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if self.dst in t.column_names:
+            return t.set_column(t.column_names.index(self.dst), self.dst, arr)
+        return t.append_column(self.dst, arr)
+
+
+# ---- group-by lowering ----------------------------------------------------
+
+def _lower_groupby(ds, stmt, plain_aggs, scope, resolver):
+    from ..stages.relational import group_aggregate
+
+    coll = AggCollector("__g")
+    replacements: dict = {}
+    for call in plain_aggs:
+        repl = coll.add(call, resolver)
+        replacements[call] = repl
+
+    if coll.temp_exprs:
+        ds = ds.map_batches(
+            _AddColumns(list(coll.temp_exprs.items()), resolver),
+            batch_format="pyarrow", batch_size=None)
+
+    keys = [resolver(c) for c in stmt.group_by]
+    if not keys:
+        # global aggregate: constant key then drop
+        ds = ds.map_batches(_AddColumns([("__gk", Literal(1))], resolver),
+                            batch_format="pyarrow", batch_size=None)
+        keys = ["__gk"]
+    ds = group_aggregate(ds, keys, coll.specs)
+    return ds, replacements
+
+
+# ---- entry ----------------------------------------------------------------
+
+def run_sql(sql: str, tables: dict, *, keep_rid: bool = False):
+    """Parse + lower + return the (lazy) result Dataset.
+
+    tables: {name: ray.data.Dataset}. Table names referenced in the SQL
+    (including YAML-corpus placeholders ``{0}`` -> ``t0``) must be keys.
+    """
+    stmt = sql if isinstance(sql, SelectStmt) else parse_sql(sql)
+    ctx = {"keep_rid": keep_rid}
+    return _lower_select(stmt, tables, ctx)

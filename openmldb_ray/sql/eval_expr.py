@@ -1,0 +1,495 @@
+"""Vectorized expression evaluation over Arrow batches.
+
+Each AST expression evaluates to a ``pa.Array`` (or python scalar for
+constant folding) against a ``pa.Table`` batch — pyarrow.compute kernels
+only, no per-row Python in the hot path (per-row fallbacks exist solely for
+string-parse casts, which the reference also treats as slow paths).
+
+Semantics re-derived from the reference's conformance expectations
+(cases/function/expression/*.yaml) and udf library
+(hybridse/src/udf/udf.cc, codegen/arithmetic_expr_ir_builder.cc):
+- C-style type promotion: bool < smallint < int < bigint < float < double;
+  the result of ``a op b`` keeps the wider operand's type (no SQL widening)
+- ``/`` always yields double; a zero or NULL divisor yields NULL
+- ``%`` / ``DIV`` on integers yield NULL on zero divisor; ``%`` on floats
+  is C fmod
+- comparison/logic are SQL three-valued (Kleene)
+- LIKE/ILIKE translate %/_ (with optional ESCAPE) to RE2; RLIKE is a full
+  match (reference zetasql semantics)
+- CAST failures yield NULL (safe cast), matching the reference's offline
+  behavior in test_type.yaml
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import scalar as scalar_fns
+from .ast_nodes import (
+    Between, BinaryOp, Case, Cast, Column, FuncCall, InList, IsNull, Like,
+    Literal, Star, UnaryOp,
+)
+
+
+class SqlEvalError(ValueError):
+    pass
+
+
+# ---- type model -----------------------------------------------------------
+
+_RANK = {
+    pa.types.is_boolean: 0,
+    pa.types.is_int16: 1,
+    pa.types.is_int32: 2,
+    pa.types.is_int64: 3,
+    pa.types.is_float32: 4,
+    pa.types.is_float64: 5,
+}
+
+_BY_RANK = [pa.bool_(), pa.int16(), pa.int32(), pa.int64(),
+            pa.float32(), pa.float64()]
+
+TYPE_NAMES: dict[str, pa.DataType] = {
+    "smallint": pa.int16(), "int16": pa.int16(),
+    "int": pa.int32(), "int32": pa.int32(), "integer": pa.int32(),
+    "bigint": pa.int64(), "int64": pa.int64(),
+    "float": pa.float32(), "double": pa.float64(),
+    "string": pa.string(), "varchar": pa.string(),
+    "timestamp": pa.timestamp("ms"), "date": pa.date32(),
+    "bool": pa.bool_(),
+}
+
+
+def _rank(t: pa.DataType) -> int | None:
+    for pred, r in _RANK.items():
+        if pred(t):
+            return r
+    return None
+
+
+def _is_num(t: pa.DataType) -> bool:
+    return _rank(t) is not None
+
+
+def _as_array(v, length: int):
+    """Broadcast a python/pa scalar to an array of the batch length."""
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    if isinstance(v, pa.Array):
+        return v
+    if isinstance(v, pa.Scalar):
+        return pa.repeat(v, length)
+    if v is None:
+        return pa.nulls(length)
+    return pa.repeat(pa.scalar(v), length)
+
+
+def _ts_to_i64(a):
+    if pa.types.is_timestamp(a.type):
+        return pc.cast(a, pa.int64())
+    return a
+
+
+# ---- arithmetic -----------------------------------------------------------
+
+def _promote_pair(a: pa.Array, b: pa.Array, *, for_div: bool = False):
+    """Common arithmetic type; timestamps participate as int64 ms
+    (reference: arithmetic on timestamp returns timestamp — callers
+    re-wrap)."""
+    a = _ts_to_i64(a)
+    b = _ts_to_i64(b)
+    if pa.types.is_null(a.type):
+        a = pc.cast(a, b.type if not pa.types.is_null(b.type) else pa.int32())
+    if pa.types.is_null(b.type):
+        b = pc.cast(b, a.type)
+    ra, rb = _rank(a.type), _rank(b.type)
+    if ra is None or rb is None:
+        raise SqlEvalError(f"non-numeric arithmetic operand: {a.type} / {b.type}")
+    target = _BY_RANK[max(ra, rb, 1)]  # bool op bool computes in int16
+    if for_div:
+        target = pa.float64()
+    return pc.cast(a, target), pc.cast(b, target), target
+
+
+def _null_where(arr: pa.Array, mask: pa.Array) -> pa.Array:
+    return pc.if_else(mask, pa.nulls(len(arr), arr.type), arr)
+
+
+def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
+    ts_result = pa.types.is_timestamp(a.type) or pa.types.is_timestamp(b.type)
+    if op == "/":
+        a2, b2, _ = _promote_pair(a, b, for_div=True)
+        b2 = _null_where(b2, pc.equal(b2, 0.0))
+        return pc.divide(a2, b2)
+    a2, b2, t = _promote_pair(a, b)
+    if op == "+":
+        out = pc.add(a2, b2)
+    elif op == "-":
+        out = pc.subtract(a2, b2)
+    elif op == "*":
+        out = pc.multiply(a2, b2)
+    elif op == "div":
+        if not pa.types.is_integer(t):
+            raise SqlEvalError("DIV requires integer operands (matches reference)")
+        b2 = _null_where(b2, pc.equal(b2, 0))
+        out = pc.divide(a2, b2)
+    elif op == "%":
+        if pa.types.is_integer(t):
+            b2 = _null_where(b2, pc.equal(b2, 0))
+            q = pc.divide(a2, b2)
+            out = pc.subtract(a2, pc.multiply(q, b2))
+        else:
+            q = pc.trunc(pc.divide(a2, b2))
+            out = pc.subtract(a2, pc.multiply(q, b2))
+    elif op in ("&and", "&or", "&xor", "<<", ">>"):
+        if not pa.types.is_integer(t):
+            a2 = pc.cast(a2, pa.int64())
+            b2 = pc.cast(b2, pa.int64())
+        fn = {"&and": pc.bit_wise_and, "&or": pc.bit_wise_or,
+              "&xor": pc.bit_wise_xor, "<<": pc.shift_left,
+              ">>": pc.shift_right}[op]
+        out = fn(a2, b2)
+    else:  # pragma: no cover
+        raise SqlEvalError(f"unknown arithmetic op {op!r}")
+    if ts_result and op in ("+", "-") and pa.types.is_integer(out.type):
+        out = pc.cast(pc.cast(out, pa.int64()), pa.timestamp("ms"))
+    return out
+
+
+def _compare(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
+    if pa.types.is_null(a.type) or pa.types.is_null(b.type):
+        return pa.nulls(len(a), pa.bool_())
+    # harmonize: numeric vs numeric promote; timestamp vs int as i64;
+    # date vs string parse the string
+    if _is_num(a.type) and _is_num(b.type):
+        a, b, _ = _promote_pair(a, b)
+    elif pa.types.is_timestamp(a.type) or pa.types.is_timestamp(b.type):
+        a, b = _ts_to_i64(a), _ts_to_i64(b)
+        if _is_num(a.type) and _is_num(b.type):
+            a, b, _ = _promote_pair(a, b)
+    if pa.types.is_date(a.type) and pa.types.is_string(b.type):
+        b = pc.cast(b, pa.date32())
+    elif pa.types.is_string(a.type) and pa.types.is_date(b.type):
+        a = pc.cast(a, pa.date32())
+    fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+    return fn(a, b)
+
+
+# ---- LIKE -----------------------------------------------------------------
+
+def like_to_regex(pattern: str, escape: str | None) -> str:
+    """Translate a SQL LIKE pattern into an RE2 full-match regex.
+    escape='' disables escaping (reference like_match semantics)."""
+    out = []
+    i = 0
+    esc = escape if escape else None
+    while i < len(pattern):
+        ch = pattern[i]
+        if esc and ch == esc and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
+def _like(a: pa.Array, pattern: str, escape: str | None,
+          case_insensitive: bool) -> pa.Array:
+    rx = like_to_regex(pattern, "\\" if escape is None else escape)
+    rx = f"^(?:{rx})$"
+    if case_insensitive:
+        rx = "(?i)" + rx
+    return pc.match_substring_regex(a, rx)
+
+
+# ---- casts ----------------------------------------------------------------
+
+def sql_cast(a: pa.Array, target: pa.DataType) -> pa.Array:
+    """Safe cast with reference semantics: failures → NULL."""
+    src = a.type
+    if src.equals(target):
+        return a
+    try:
+        if pa.types.is_string(src) and pa.types.is_timestamp(target):
+            return _parse_ts_strings(a)
+        if pa.types.is_string(src) and pa.types.is_date(target):
+            return _parse_date_strings(a)
+        if pa.types.is_timestamp(src) and _is_num(target):
+            return pc.cast(pc.cast(a, pa.int64()), target)
+        if _is_num(src) and pa.types.is_timestamp(target):
+            i = pc.cast(a, pa.int64())
+            i = _null_where(i, pc.less(i, 0))  # negative epoch → NULL (udf.cc)
+            return pc.cast(i, target)
+        if pa.types.is_date(src) and pa.types.is_string(target):
+            return pc.strftime(pc.cast(a, pa.timestamp("ms")), format="%Y-%m-%d")
+        if pa.types.is_timestamp(src) and pa.types.is_string(target):
+            return pc.strftime(a, format="%Y-%m-%d %H:%M:%S")
+        if pa.types.is_timestamp(src) and pa.types.is_date(target):
+            return pc.cast(a, pa.date32())
+        if pa.types.is_date(src) and pa.types.is_timestamp(target):
+            return pc.cast(pc.cast(a, pa.timestamp("ms")), target)
+        if pa.types.is_floating(src) and pa.types.is_string(target):
+            return _float_to_string(a)
+        if pa.types.is_boolean(src) and pa.types.is_string(target):
+            return pc.if_else(a, pa.repeat(pa.scalar("true"), len(a)),
+                              pa.repeat(pa.scalar("false"), len(a)))
+        if pa.types.is_string(src) and pa.types.is_boolean(target):
+            return _parse_bool_strings(a)
+        if pa.types.is_string(src) and _is_num(target):
+            return _parse_num_strings(a, target)
+        if pa.types.is_floating(src) and pa.types.is_integer(target):
+            # C-style truncation toward zero; NaN/out-of-range → NULL
+            nan = pc.is_nan(pc.fill_null(a, 0.0))
+            a = _null_where(a, nan)
+            return pc.cast(pc.trunc(a), target, safe=False)
+        return pc.cast(a, target)
+    except pa.ArrowInvalid:
+        return pa.nulls(len(a), target)
+
+
+def _float_to_string(a: pa.Array) -> pa.Array:
+    # reference prints floats shortest-round-trip ("30" not "30.0"):
+    # udf.cc uses absl::StrCat / %g-like formatting
+    vals = a.to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif v == int(v) and abs(v) < 1e16:
+            out.append(str(int(v)))
+        else:
+            out.append(repr(float(v)))
+    return pa.array(out, pa.string())
+
+
+def _parse_num_strings(a: pa.Array, target: pa.DataType) -> pa.Array:
+    import pandas as pd
+
+    s = a.to_pandas()
+    num = pd.to_numeric(s, errors="coerce")
+    if pa.types.is_integer(target):
+        # "1.5" → NULL for int casts? reference: string→int parses integers only
+        ints = pd.to_numeric(s, errors="coerce")
+        frac = ints % 1 != 0
+        ints = ints.where(~frac)
+        arr = pa.array(ints, pa.float64())
+        return pc.cast(arr, target, safe=False)
+    return pc.cast(pa.array(num, pa.float64()), target)
+
+
+def _parse_bool_strings(a: pa.Array) -> pa.Array:
+    lower = pc.utf8_lower(a)
+    true = pc.is_in(lower, value_set=pa.array(["true", "t", "1", "yes", "y"]))
+    false = pc.is_in(lower, value_set=pa.array(["false", "f", "0", "no", "n"]))
+    return pc.if_else(true, pa.repeat(pa.scalar(True), len(a)),
+                      pc.if_else(false, pa.repeat(pa.scalar(False), len(a)),
+                                 pa.nulls(len(a), pa.bool_())))
+
+
+def _parse_ts_strings(a: pa.Array) -> pa.Array:
+    import pandas as pd
+
+    s = pd.to_datetime(a.to_pandas(), errors="coerce", format="mixed")
+    return pa.Array.from_pandas(s).cast(pa.timestamp("ms"))
+
+
+def _parse_date_strings(a: pa.Array) -> pa.Array:
+    import pandas as pd
+
+    s = pd.to_datetime(a.to_pandas(), errors="coerce", format="mixed")
+    return pa.Array.from_pandas(s).cast(pa.timestamp("ms")).cast(pa.date32())
+
+
+# ---- evaluator ------------------------------------------------------------
+
+class Evaluator:
+    """Evaluates AST expressions against a pa.Table batch.
+
+    ``resolve`` maps Column nodes to physical column names (handles
+    qualifiers); default uses the bare name.
+    """
+
+    def __init__(self, resolve=None):
+        self.resolve = resolve or (lambda c: c.name)
+
+    def eval(self, expr, batch: pa.Table) -> pa.Array:
+        n = batch.num_rows
+        v = self._eval(expr, batch)
+        return _as_array(v, n)
+
+    # scalar-or-array internal eval (literals stay scalar for constant args)
+    def _eval(self, e, batch: pa.Table):
+        n = batch.num_rows
+        if isinstance(e, Literal):
+            if e.value is None:
+                return None
+            if e.type_hint == "float":
+                return pa.scalar(e.value, pa.float32())
+            if e.type_hint == "int":
+                return pa.scalar(e.value, pa.int32())
+            if e.type_hint == "bigint":
+                return pa.scalar(e.value, pa.int64())
+            return pa.scalar(e.value)
+        if isinstance(e, Column):
+            name = self.resolve(e)
+            if name not in batch.column_names:
+                raise SqlEvalError(f"unknown column {name!r} "
+                                   f"(have {batch.column_names})")
+            return batch[name].combine_chunks()
+        if isinstance(e, Star):
+            raise SqlEvalError("* only valid in count(*) / select list")
+        if isinstance(e, UnaryOp):
+            v = _as_array(self._eval(e.operand, batch), n)
+            if e.op == "-":
+                return pc.negate(_ts_to_i64(v))
+            if e.op == "not":
+                if not pa.types.is_boolean(v.type):
+                    v = sql_cast(v, pa.bool_())
+                return pc.invert(v)
+            if e.op == "~":
+                return pc.bit_wise_not(v)
+            raise SqlEvalError(f"unary {e.op!r}?")
+        if isinstance(e, BinaryOp):
+            a = _as_array(self._eval(e.left, batch), n)
+            b = _as_array(self._eval(e.right, batch), n)
+            if e.op in ("and", "or", "xor"):
+                if not pa.types.is_boolean(a.type):
+                    a = sql_cast(a, pa.bool_())
+                if not pa.types.is_boolean(b.type):
+                    b = sql_cast(b, pa.bool_())
+                if e.op == "and":
+                    return pc.and_kleene(a, b)
+                if e.op == "or":
+                    return pc.or_kleene(a, b)
+                return pc.xor(a, b)
+            if e.op in ("=", "!=", "<", "<=", ">", ">="):
+                return _compare(e.op, a, b)
+            return _arith(e.op, a, b)
+        if isinstance(e, Like):
+            a = _as_array(self._eval(e.operand, batch), n)
+            pat = e.pattern.value if isinstance(e.pattern, Literal) else None
+            if pat is None:
+                raise SqlEvalError("LIKE requires a literal pattern")
+            esc = e.escape.value if isinstance(e.escape, Literal) else None
+            if e.kind == "rlike":
+                out = pc.match_substring_regex(a, f"^(?:{pat})$")
+            else:
+                out = _like(a, pat, esc, case_insensitive=(e.kind == "ilike"))
+            return pc.invert(out) if e.negated else out
+        if isinstance(e, IsNull):
+            v = _as_array(self._eval(e.operand, batch), n)
+            return pc.is_valid(v) if e.negated else pc.is_null(v)
+        if isinstance(e, InList):
+            v = _as_array(self._eval(e.operand, batch), n)
+            items = [self._eval(it, batch) for it in e.items]
+            lits = []
+            for it in items:
+                if isinstance(it, pa.Scalar):
+                    lits.append(it.as_py())
+                elif it is None:
+                    lits.append(None)
+                else:
+                    raise SqlEvalError("IN list must be literals")
+            target = v.type if _is_num(v.type) or pa.types.is_string(v.type) else None
+            vs = pa.array(lits, target) if target else pa.array(lits)
+            if _is_num(v.type) and _is_num(vs.type):
+                v2, vs2, _ = _promote_pair(v, vs)
+            else:
+                v2, vs2 = v, vs
+            out = pc.is_in(v2, value_set=vs2, skip_nulls=True)
+            # SQL semantics: NULL operand → NULL, not false
+            out = pc.if_else(pc.is_null(v), pa.nulls(n, pa.bool_()), out)
+            if e.negated:
+                out = pc.invert(out)
+            return out
+        if isinstance(e, Between):
+            v = Between  # noqa: F841 (clarity)
+            a = _as_array(self._eval(e.operand, batch), n)
+            lo = _as_array(self._eval(e.low, batch), n)
+            hi = _as_array(self._eval(e.high, batch), n)
+            out = pc.and_kleene(_compare(">=", a, lo), _compare("<=", a, hi))
+            return pc.invert(out) if e.negated else out
+        if isinstance(e, Case):
+            return self._eval_case(e, batch)
+        if isinstance(e, Cast):
+            v = _as_array(self._eval(e.operand, batch), n)
+            ty = TYPE_NAMES.get(e.type_name)
+            if ty is None:
+                raise SqlEvalError(f"unknown cast type {e.type_name!r}")
+            return sql_cast(v, ty)
+        if isinstance(e, FuncCall):
+            return self._eval_func(e, batch)
+        raise SqlEvalError(f"cannot evaluate {type(e).__name__}")
+
+    def _eval_case(self, e: Case, batch: pa.Table):
+        n = batch.num_rows
+        conds = []
+        vals = []
+        for cond, res in e.whens:
+            if e.operand is not None:
+                c = _compare("=", _as_array(self._eval(e.operand, batch), n),
+                             _as_array(self._eval(cond, batch), n))
+            else:
+                c = _as_array(self._eval(cond, batch), n)
+                if not pa.types.is_boolean(c.type):
+                    c = sql_cast(c, pa.bool_())
+            conds.append(c)
+            vals.append(self._eval(res, batch))
+        default = self._eval(e.default, batch) if e.default is not None else None
+
+        # unify result type across branches
+        arrs = [_as_array(v, n) for v in vals]
+        darr = _as_array(default, n) if default is not None else None
+        all_arrs = arrs + ([darr] if darr is not None else [])
+        typed = [a for a in all_arrs if not pa.types.is_null(a.type)]
+        if typed:
+            ranks = [_rank(a.type) for a in typed]
+            if all(r is not None for r in ranks):
+                t = _BY_RANK[max(ranks)]
+            else:
+                t = typed[0].type
+            arrs = [sql_cast(a, t) if not a.type.equals(t) else a for a in arrs]
+            if darr is not None and not darr.type.equals(t):
+                darr = sql_cast(darr, t)
+            out = darr if darr is not None else pa.nulls(n, t)
+        else:
+            out = pa.nulls(n)
+        for c, v in zip(reversed(conds), reversed(arrs)):
+            c_false_is_skip = pc.fill_null(c, False)
+            out = pc.if_else(c_false_is_skip, v, out)
+        return out
+
+    def _eval_func(self, e: FuncCall, batch: pa.Table):
+        n = batch.num_rows
+        if e.over is not None:
+            raise SqlEvalError(
+                f"window function {e.name!r} must be lowered before eval")
+        name = e.name.lower()
+        try:
+            fn = scalar_fns.get(name)
+        except KeyError:
+            raise SqlEvalError(f"unknown function {name!r}") from None
+        args = []
+        for a in e.args:
+            v = self._eval(a, batch)
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            args.append(v)
+        # functions whose implementations need at least one array arg to
+        # infer length get scalars broadcast
+        if args and all(not isinstance(a, (pa.Array, pa.ChunkedArray))
+                        for a in args):
+            args[0] = _as_array(args[0], n)
+        out = fn(*args)
+        return out

@@ -94,6 +94,8 @@ class Parser:
         items = [self.parse_select_item()]
         while self.at_op(","):
             self.take()
+            if self.at_kw("from"):   # trailing comma (accepted by reference)
+                break
             items.append(self.parse_select_item())
 
         from_ = None
@@ -332,7 +334,7 @@ class Parser:
             self.expect_kw("and")
             end = self.parse_frame_bound()
 
-        max_size = 0
+        max_size = None
         exclude_time = exclude_row = instance_not_in = False
         while True:
             if self.at_kw("maxsize"):
@@ -383,20 +385,23 @@ class Parser:
             self.expect_kw("row")
             return FrameBound("current")
         t = self.take()
+        interval = False
         if t.kind == "op" and t.text == "-":  # negative bound (error cases probe this)
             t2 = self.take()
+            interval = t2.kind == "interval"
             val = -int(t2.value)
         elif t.kind in ("int", "interval"):
+            interval = t.kind == "interval"
             val = int(t.value)
         else:
             raise SqlSyntaxError(f"bad frame bound at {t.text!r}")
         if self.at_kw("open"):
             self.take()
             self.expect_kw("preceding")
-            return FrameBound("open_preceding", val)
+            return FrameBound("open_preceding", val, interval)
         if self.at_kw("preceding"):
             self.take()
-            return FrameBound("preceding", val)
+            return FrameBound("preceding", val, interval)
         if self.at_kw("following"):
             self.take()
             raise SqlSyntaxError("FOLLOWING bounds unsupported (matches reference)")

@@ -1,0 +1,385 @@
+"""Machine-runner for the reference's YAML conformance corpus.
+
+Loads cases from /root/reference/cases/function/**/*.yaml (format:
+inputs[].columns/rows + sql + expect.columns/rows/order, optional
+dataProvider/expectProvider parameterization — see the reference's
+hybridse/src/case/sql_case.cc for the canonical loader this re-implements
+the data model of), builds the input tables as Ray Datasets, runs the SQL
+through openmldb_ray.sql, and diffs against the expectation.
+
+Skip policy: a case is skipped when its ``mode`` includes
+``offline-unsupport`` or ``batch-unsupport`` (the reference's own offline
+batch engine skips those too) or when it uses features we don't claim
+(marked by the runner raising SqlLowerError -> recorded as "unsupported",
+NOT as pass).  ``expect.success == false`` cases pass when our engine
+raises.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SKIP_MODES = ("offline-unsupport", "batch-unsupport", "hybridse-only",
+               "rtidb-batch-unsupport", "batch-request-unsupport")
+
+_TYPE_BUILDERS = {
+    "smallint": pa.int16(), "int16": pa.int16(),
+    "int": pa.int32(), "int32": pa.int32(),
+    "bigint": pa.int64(), "int64": pa.int64(), "long": pa.int64(),
+    "float": pa.float32(), "double": pa.float64(),
+    "string": pa.string(), "varchar": pa.string(),
+    "timestamp": pa.timestamp("ms"), "date": pa.date32(),
+    "bool": pa.bool_(), "boolean": pa.bool_(),
+}
+
+
+@dataclass
+class CaseOutcome:
+    file: str
+    case_id: object
+    desc: str
+    variant: str          # dataProvider combo, "" if none
+    status: str           # pass | fail | xfail_pass | unsupported | skip | error
+    detail: str = ""
+
+
+def parse_col_def(s: str) -> tuple[str, str]:
+    # "c1 string" but also "c2 + 1 int" (unaliased expr names keep spaces)
+    parts = s.strip().rsplit(None, 1)
+    return parts[0], parts[1].lower()
+
+
+def _to_cell(v, ty: str):
+    if v is None:
+        return None
+    if isinstance(v, str) and v.strip().upper() == "NULL":
+        return None
+    if isinstance(v, str) and ty in ("smallint", "int", "bigint", "int16",
+                                     "int32", "int64", "long"):
+        return int(v)
+    if isinstance(v, str) and ty in ("float", "double"):
+        return float(v)
+    if ty == "timestamp":
+        if isinstance(v, str) and v.strip().lstrip("-").isdigit():
+            v = int(v)
+        if isinstance(v, (int, float)):
+            return pd.Timestamp(int(v), unit="ms")
+        return pd.Timestamp(v)
+    if ty == "date":
+        if isinstance(v, str):
+            return pd.Timestamp(v).date()
+        return v
+    if ty in ("bool", "boolean"):
+        if isinstance(v, str):
+            return v.lower() == "true"
+        return bool(v)
+    if ty in ("string", "varchar"):
+        return str(v)
+    return v
+
+
+def build_table(columns: list[str], rows: list | None) -> pa.Table:
+    defs = [parse_col_def(c) for c in columns]
+    rows = rows or []
+    arrays = []
+    for j, (name, ty) in enumerate(defs):
+        vals = [_to_cell(r[j], ty) for r in rows]
+        patype = _TYPE_BUILDERS.get(ty)
+        if patype is None:
+            raise ValueError(f"unknown column type {ty!r}")
+        arrays.append(pa.array(vals, patype))
+    names = [d[0] for d in defs]
+    arrays.append(pa.array(np.arange(len(rows), dtype=np.int64)))
+    names.append("__rid")
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def build_tables(case: dict):
+    import ray.data as rd
+
+    tables = {}
+    for i, inp in enumerate(case.get("inputs") or []):
+        cols = inp.get("columns")
+        rows = inp.get("rows")
+        if rows is None and inp.get("data") is not None:
+            # CSV-ish "data: |" blocks (window_attributes.yaml style)
+            rows = []
+            for line in str(inp["data"]).strip().splitlines():
+                cells = [c.strip() for c in line.split(",")]
+                rows.append([None if c in ("NULL", "null", "") else c
+                             for c in cells])
+        if cols is None:
+            # "create" DDL-style input (create table ...): unsupported here
+            raise Unsupported("input without columns (DDL create)")
+        repeat = int(inp.get("repeat", 1))
+        if repeat > 1 and rows:
+            rows = [r for r in rows for _ in range(repeat)]
+        t = build_table(cols, rows)
+        ds = rd.from_arrow(t)
+        tables[f"t{i}"] = ds
+        if inp.get("name"):
+            tables[str(inp["name"])] = ds
+    return tables
+
+
+class Unsupported(Exception):
+    pass
+
+
+def expand_variants(case: dict):
+    """Yield (variant_label, sql_text, expect_dict) per dataProvider combo."""
+    sql = case.get("sql")
+    dp = case.get("dataProvider")
+    base_expect = case.get("expect") or {}
+    if not dp:
+        yield "", sql, base_expect
+        return
+    ep = case.get("expectProvider") or {}
+    # cartesian product over provider dimensions (corpus uses 1-2)
+    import itertools
+
+    dims = [list(enumerate(d)) for d in dp]
+    for combo in itertools.product(*dims):
+        s = sql
+        for d_idx, (v_idx, val) in enumerate(combo):
+            s = s.replace(f"d[{d_idx}]", str(val))
+        # expect override lookup: ep[i] or ep[i][j]
+        exp = dict(base_expect)
+        node = ep
+        for depth, (v_idx, _val) in enumerate(combo):
+            if not isinstance(node, dict):
+                break
+            hit = node.get(v_idx)
+            if hit is None:
+                break
+            if depth == len(combo) - 1 and isinstance(hit, dict) and (
+                    "rows" in hit or "columns" in hit or "success" in hit
+                    or "order" in hit):
+                exp = {**exp, **hit}
+            node = hit
+        label = "/".join(str(v) for _, v in combo)
+        yield label, s, exp
+
+
+def _norm_cell(v, ty: str):
+    """Normalize an actual result cell to the expected type's domain."""
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return None
+    if ty == "timestamp":
+        if isinstance(v, pd.Timestamp):
+            return int(v.value // 10**6)
+        if isinstance(v, (np.integer, int)):
+            return int(v)
+        return int(pd.Timestamp(v).value // 10**6)
+    if ty == "date":
+        if hasattr(v, "strftime"):
+            return v.strftime("%Y-%m-%d")
+        return str(v)
+    if ty in ("bool", "boolean"):
+        return bool(v)
+    if ty in ("smallint", "int", "bigint", "int16", "int32", "int64"):
+        if isinstance(v, float) and not v.is_integer():
+            return v  # type violation shows as value diff
+        return int(v)
+    if ty in ("float", "double"):
+        return float(v)
+    if ty in ("string", "varchar"):
+        return str(v)
+    return v
+
+
+def _norm_expected(v, ty: str):
+    if v is None:
+        return None
+    if isinstance(v, str) and v.upper() == "NULL":
+        return None
+    if ty == "timestamp":
+        if isinstance(v, (int, float)):
+            return int(v)
+        return int(pd.Timestamp(v).value // 10**6)
+    if ty == "date":
+        return str(v)
+    if ty in ("bool", "boolean"):
+        if isinstance(v, str):
+            return v.lower() == "true"
+        return bool(v)
+    if ty in ("smallint", "int", "bigint", "int16", "int32", "int64"):
+        return int(v)
+    if ty in ("float", "double"):
+        return float(v)
+    if ty in ("string", "varchar"):
+        return str(v)
+    return v
+
+
+def _cells_equal(exp, act, ty: str) -> bool:
+    if exp is None and act is None:
+        return True
+    if exp is None or act is None:
+        return False
+    if ty == "float":
+        if math.isnan(exp) and math.isnan(act):
+            return True
+        return math.isclose(float(exp), float(act), rel_tol=2e-5, abs_tol=1e-5)
+    if ty == "double":
+        if math.isnan(exp) and math.isnan(act):
+            return True
+        return math.isclose(float(exp), float(act), rel_tol=1e-9, abs_tol=1e-9)
+    return exp == act
+
+
+def compare_result(expect: dict, actual: pd.DataFrame) -> str | None:
+    """None if match else a diff description."""
+    exp_cols = expect.get("columns")
+    exp_rows = expect.get("rows")
+    if exp_cols is None and exp_rows is None:
+        if "count" in expect:
+            if len(actual) != int(expect["count"]):
+                return f"count {len(actual)} != {expect['count']}"
+        return None
+    defs = [parse_col_def(c) for c in (exp_cols or [])]
+    names = [d[0] for d in defs]
+    if len(actual) == 0 and not exp_rows:
+        return None   # empty result: schema may be absent from empty datasets
+    if exp_cols is not None:
+        actual_names = [c for c in actual.columns if c != "__rid"]
+        norm = lambda n: n.lower().replace(" ", "")
+        if [norm(n) for n in actual_names] != [norm(n) for n in names]:
+            return f"columns {actual_names} != {names}"
+    if exp_rows is None:
+        return None
+
+    order = expect.get("order")
+    keep_idx = [i for i, c in enumerate(actual.columns) if c != "__rid"]
+    mat = actual.to_numpy(dtype=object)
+    act_rows = [[row[i] for i in keep_idx] for row in mat]
+
+    exp_norm = [[_norm_expected(v, defs[j][1]) for j, v in enumerate(r)]
+                for r in exp_rows]
+    act_norm = [[_norm_cell(v, defs[j][1]) for j, v in enumerate(r)]
+                for r in act_rows]
+
+    if len(exp_norm) != len(act_norm):
+        return f"row count {len(act_norm)} != {len(exp_norm)}"
+
+    def sort_key(rows, by_idx):
+        def k(r):
+            out = []
+            for i in by_idx:
+                v = r[i]
+                out.append((v is None, str(type(v).__name__), str(v)))
+            return out
+        return sorted(rows, key=k)
+
+    if order:
+        order_cols = [order] if isinstance(order, str) else list(order)
+        try:
+            by_idx = [names.index(c) for c in order_cols]
+        except ValueError:
+            by_idx = list(range(len(names)))
+    else:
+        by_idx = list(range(len(names)))
+    exp_norm = sort_key(exp_norm, by_idx)
+    act_norm = sort_key(act_norm, by_idx)
+
+    for i, (er, ar) in enumerate(zip(exp_norm, act_norm)):
+        for j, (ev, av) in enumerate(zip(er, ar)):
+            if not _cells_equal(ev, av, defs[j][1]):
+                return (f"row {i} col {names[j]}: expected {ev!r} got {av!r}\n"
+                        f"  expected row: {er}\n  actual row:   {ar}")
+    return None
+
+
+def should_skip(case: dict) -> str | None:
+    mode = str(case.get("mode") or "")
+    for m in _SKIP_MODES:
+        if m in mode:
+            return f"mode:{m}"
+    if case.get("sql") is None and not case.get("sqls"):
+        return "no sql"
+    if case.get("sqls") and not case.get("sql"):
+        return "multi-statement"
+    if case.get("standard_sql") is False:
+        pass
+    tags = case.get("tags") or []
+    if any("TODO" in str(t) for t in tags):
+        return "tagged TODO"
+    sql = case.get("sql") or ""
+    low = sql.lower()
+    for kw in ("insert ", "create ", "deploy ", "load data", "delete "):
+        if low.strip().startswith(kw.strip()):
+            return f"non-select:{kw.strip()}"
+    return None
+
+
+def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
+    from .engine import run_sql
+
+    out: list[CaseOutcome] = []
+    cid = case.get("id")
+    desc = str(case.get("desc") or "")
+
+    reason = should_skip(case)
+    if reason:
+        return [CaseOutcome(file_label, cid, desc, "", "skip", reason)]
+
+    for label, sql, expect in expand_variants(case):
+        expect_fail = expect.get("success") is False
+        try:
+            tables = build_tables(case)
+            ds = run_sql(sql, tables)
+            actual = ds.to_pandas()
+        except Unsupported as e:
+            out.append(CaseOutcome(file_label, cid, desc, label,
+                                   "unsupported", str(e)))
+            continue
+        except Exception as e:  # engine rejected or crashed
+            if expect_fail:
+                out.append(CaseOutcome(file_label, cid, desc, label,
+                                       "xfail_pass", type(e).__name__))
+            else:
+                detail = f"{type(e).__name__}: {e}"
+                status = ("unsupported"
+                          if "unsupported" in str(e).lower()
+                          or "SqlLowerError" in type(e).__name__
+                          else "error")
+                out.append(CaseOutcome(file_label, cid, desc, label,
+                                       status, detail[:400]))
+            continue
+        if expect_fail:
+            out.append(CaseOutcome(file_label, cid, desc, label, "fail",
+                                   "expected failure but query succeeded"))
+            continue
+        diff = compare_result(expect, actual)
+        if diff is None:
+            out.append(CaseOutcome(file_label, cid, desc, label, "pass"))
+        else:
+            out.append(CaseOutcome(file_label, cid, desc, label, "fail",
+                                   diff[:400]))
+    return out
+
+
+def run_file(path: str, only_ids=None) -> list[CaseOutcome]:
+    import yaml
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    label = path.split("cases/")[-1]
+    out = []
+    for case in doc.get("cases") or []:
+        if only_ids is not None and case.get("id") not in only_ids:
+            continue
+        out.extend(run_case(case, label))
+    return out
+
+
+def summarize(outcomes: list[CaseOutcome]) -> dict:
+    from collections import Counter
+
+    c = Counter(o.status for o in outcomes)
+    return dict(c)

@@ -46,7 +46,7 @@ def _prep_right(rdf: pd.DataFrame, key: str, order_by: str | None,
     rdf[RID_COL] = np.arange(len(rdf), dtype=np.int64)
     if right_cols:
         keep = [key] + [c for c in (order_by, tiebreak) if c and c not in right_cols]
-        keep = list(dict.fromkeys(keep + list(right_cols))) + [RID_COL]
+        keep = list(dict.fromkeys(keep + list(right_cols) + [RID_COL]))
         rdf = rdf[keep].rename(columns=right_cols)
     return rdf
 
