@@ -81,12 +81,15 @@ def window_project_exact(
         elif rows_p is not None:
             while len(buf) > rows_cap:
                 buf.pop()
-        if max_size > 0 and not (frame.rows_end or frame.range_end):
-            # permanent eviction == final-view cap only for CURRENT ROW-ended
-            # frames; with an end bound the cap must apply to the
-            # end-excluded view instead (test_window_row_range.yaml 24-2:
-            # ROWS_RANGE 3s..1s PRECEDING MAXSIZE 2 keeps the newest 2 rows
-            # of the visible frame, not of the buffer)
+        if max_size > 0 and not (frame.rows_end or frame.range_end
+                                 or frame.range_end_open
+                                 or frame.exclude_current_row
+                                 or frame.exclude_current_time):
+            # permanent eviction == final-view cap only for plain CURRENT
+            # ROW-ended frames; with an end bound or exclusion the cap must
+            # apply to the post-exclusion view instead
+            # (test_window_row_range.yaml 24-2; test_current_row.yaml 14;
+            # window_attributes.yaml 4)
             while len(buf) > max_size:
                 buf.pop()
 
@@ -126,9 +129,6 @@ def window_project_exact(
                 cand = [j for j in cand if ts[j] < hi]
             else:
                 cand = [j for j in cand if ts[j] <= hi]
-        positional = list(cand)
-        if max_size > 0:
-            positional = positional[:max_size]
         # exclusions (view-level), then MAXSIZE over what remains visible
         if frame.exclude_current_time:
             # with staging, buf never holds same-ts rows; kept as a guard
@@ -137,8 +137,7 @@ def window_project_exact(
             cand = [j for j in cand if j != i]
         if max_size > 0:
             cand = list(cand)[:max_size]
-        return (np.asarray(cand, dtype=np.int64),
-                np.asarray(positional, dtype=np.int64))
+        return np.asarray(cand, dtype=np.int64)
 
     # EXCLUDE CURRENT_TIME staging (mem_catalog.h:413-455
     # current_history_buffer_): rows do NOT enter the main buffer until the
@@ -154,11 +153,25 @@ def window_project_exact(
         for j in staged_rows:
             buf.appendleft(j)
             slide(int(ts[j]))
+            hist.appendleft(j)
         staged_rows.clear()
 
+    # lag/at are PARTITION-POSITIONAL, independent of the frame, maxsize
+    # and exclusions: the reference compiles lag(v, k) to its own appended
+    # ROWS (k PRECEDING, CURRENT) sub-window over the partition
+    # (window_attributes.yaml batch_plan blocks: "PROJECT(type=
+    # WindowAggregation, NEED_APPEND_INPUT) +-WINDOW(rows=(ts, k PRECEDING,
+    # 0 CURRENT))"). History holds only the deepest offset needed.
+    kmax = max((a.k or 0) for a in aggs if a.kind in ("lag", "at"))         if any(a.kind in ("lag", "at") for a in aggs) else 0
+    hist: deque[int] = deque(maxlen=max(kmax, 1))  # newest first
+
     def compute(i: int, staged: bool) -> None:
-        idx, idx_pos = view(i, staged=staged)
+        idx = view(i, staged=staged)
         emit.append(i)
+        if kmax:
+            idx_pos = np.asarray([i] + list(hist), dtype=np.int64)
+        else:
+            idx_pos = None
         for name, kind, ev in evals:
             outputs[name].append(ev(cols, idx_pos if kind in ("lag", "at")
                                      else idx))
@@ -171,8 +184,12 @@ def window_project_exact(
         prim = True if is_primary is None else bool(is_primary[i])
         if prim and frame.instance_not_in_window:
             compute(i, staged=True)
-            continue  # never buffered
+            continue  # never buffered (and not in lag history either)
         if exclude_ct:
+            # staged rows join the lag history only at flush: under EXCLUDE
+            # CURRENT_TIME, lag skips same-ts rows too
+            # (test_window_union.yaml 18-4: l1 for a ts-100 row is the ts-99
+            # union value, not the same-ts union row)
             if prim:
                 compute(i, staged=True)
             staged_rows.append(i)
@@ -182,5 +199,6 @@ def window_project_exact(
             slide(int(ts[i]))
             if prim:
                 compute(i, staged=False)
+            hist.appendleft(i)
 
     return np.asarray(emit, dtype=np.int64), outputs

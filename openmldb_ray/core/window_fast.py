@@ -89,21 +89,14 @@ def window_project_vectorized(
                 vals = np.where(cnt > 0, vals, np.nan)
             out[a.name] = vals
         elif a.kind in ("lag", "at", "first_value"):
+            # lag/at are PARTITION-POSITIONAL, independent of the frame: the
+            # reference compiles lag(v, k) to its own appended ROWS
+            # (k PRECEDING, CURRENT) sub-window (window_attributes.yaml
+            # batch_plan blocks), so a frame narrower than k does NOT null
+            # the result. first_value (k=0) is the newest in-frame row,
+            # which for fast-path frames is the current row.
             k = 0 if a.kind == "first_value" else a.k
-            shifted = g[a.col].shift(k)
-            vals = shifted.to_numpy()
-            if frame.is_pure_rows and k > frame.rows_preceding:
-                vals = np.full(n, np.nan if _is_numeric(g[a.col]) else None, dtype=object if not _is_numeric(g[a.col]) else np.float64)
-            elif frame.is_pure_range and k > 0:
-                if winsize is None:
-                    winsize = _range_winsize(ts, frame)
-                mask = winsize <= k  # fewer than k+1 rows in buffer → NULL
-                if _is_numeric(g[a.col]):
-                    vals = vals.astype(np.float64)
-                    vals[mask] = np.nan
-                else:
-                    vals = vals.astype(object)
-                    vals[mask] = None
+            vals = g[a.col].shift(k).to_numpy()
             out[a.name] = vals
         else:  # pragma: no cover - guarded by fast_eligible
             raise AssertionError(a.kind)

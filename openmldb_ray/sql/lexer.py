@@ -71,8 +71,10 @@ def tokenize(sql: str) -> list[Token]:
             t = text[1:-1] if text.startswith("`") else text
             out.append(Token("ident", t, t, m.start()))
         elif kind == "placeholder":
-            # {0} table refs from the YAML corpus; resolved as table "t<N>"
-            out.append(Token("ident", f"t{text[1:-1]}", f"t{text[1:-1]}", m.start()))
+            # {0} table refs from the YAML corpus; resolved in a reserved
+            # namespace so they never collide with real table names
+            name = f"__tbl{text[1:-1]}__"
+            out.append(Token("ident", name, name, m.start()))
         else:
             out.append(Token("op", text, text, m.start()))
     return out

@@ -336,8 +336,13 @@ class Parser:
 
         max_size = None
         exclude_time = exclude_row = instance_not_in = False
+        seen_exclude = False
         while True:
             if self.at_kw("maxsize"):
+                if seen_exclude:
+                    # reference grammar: MAXSIZE belongs to the frame clause
+                    # and cannot follow EXCLUDE attrs (test_current_row id 30)
+                    raise SqlSyntaxError("MAXSIZE must precede EXCLUDE attributes")
                 self.take()
                 neg = self.at_op("-")
                 if neg:
@@ -345,6 +350,7 @@ class Parser:
                 t = self.take()
                 max_size = -int(t.value) if neg else int(t.value)
             elif self.at_kw("exclude"):
+                seen_exclude = True
                 self.take()
                 w = self.take().text.lower()
                 if w == "current_time":

@@ -121,7 +121,8 @@ def build_tables(case: dict):
             rows = [r for r in rows for _ in range(repeat)]
         t = build_table(cols, rows)
         ds = rd.from_arrow(t)
-        tables[f"t{i}"] = ds
+        tables[f"__tbl{i}__"] = ds
+        tables.setdefault(f"t{i}", ds)   # bare tN refs used by some cases
         if inp.get("name"):
             tables[str(inp["name"])] = ds
     return tables

@@ -101,13 +101,16 @@ def test_lag_first_value():
     assert r["l2"].isna().tolist() == [True, True, False]
 
 
-def test_lag_respects_range_buffer():
-    # lag indexes the window buffer: with a 1s range frame, a row whose
-    # buffer holds only itself must return NULL for lag(1)
+def test_lag_ignores_frame_extent():
+    # lag/at are partition-positional, independent of the frame: the
+    # reference compiles lag(v, k) to its own appended ROWS (k PRECEDING,
+    # CURRENT) sub-window (reference cases/function/window/
+    # window_attributes.yaml batch_plan blocks, cases 0/2/3: l1 is the
+    # previous partition row even when outside the ROWS_RANGE frame)
     df = mk([1000, 5000, 6000], [1.0, 2.0, 3.0])
     r = feats(df, [Agg.lag("v", 1, "l1")], rows_range("1s"))
-    assert r["l1"].isna().tolist() == [True, True, False]
-    assert r["l1"].tolist()[2] == 2.0
+    assert r["l1"].isna().tolist() == [True, False, False]
+    assert r["l1"].tolist()[1:] == [1.0, 2.0]
 
 
 def test_lead_extension():
