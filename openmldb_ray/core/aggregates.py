@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 
 # ---------------------------------------------------------------------------
 # Aggregate specification
@@ -45,6 +46,12 @@ class AggSpec:
     k: int | None = None      # k for top/topn_frequency, offset for lag/at/lead
     delim: str | None = None     # delimiter for window_split*
     kv_delim: str | None = None  # kv delimiter for window_split_by_key/value
+    # render hints for string-producing aggregates (cate/top_n families):
+    # source column type kinds ("int"/"float"/"bool"/"string"/"timestamp"/
+    # "date") + civil-time offset. None -> numpy-dtype heuristic.
+    val_t: str | None = None
+    cat_t: str | None = None
+    tz_ms: int = 0
 
 
 KINDS = {
@@ -223,6 +230,43 @@ def _fmt_ref(x) -> str:
     return str(x)
 
 
+def _fmt_typed(x, t: str | None, tz_ms: int = 0) -> str:
+    """Render a key/value with its SOURCE column type (reference
+    v1::format_string semantics: ints bare, floats %f, bools true/false,
+    timestamps civil %Y-%m-%d %H:%M:%S in the engine timezone)."""
+    if t is None:
+        return _fmt_ref(x)
+    if t == "int":
+        return str(int(x))
+    if t == "float":
+        return f"{float(x):f}"
+    if t == "bool":
+        return "true" if x else "false"
+    if t == "timestamp":
+        ts = pd.Timestamp(x)
+        if tz_ms:
+            ts = ts + pd.Timedelta(milliseconds=tz_ms)
+        return ts.strftime("%Y-%m-%d %H:%M:%S")
+    if t == "date":
+        return pd.Timestamp(x).strftime("%Y-%m-%d")
+    return str(x)
+
+
+def _fmt_cate_val(x, base: str, val_t: str | None) -> str:
+    """Aggregate-result rendering in cate strings: count -> int,
+    avg -> %f, sum/min/max follow the value column's type
+    (cases/function/function/test_udaf_function.yaml ids 20/24/34).
+    Without a type hint (direct API use), keep the compact legacy
+    rendering."""
+    if base == "count":
+        return str(int(x))
+    if val_t is None:
+        return _fmt_num(x)
+    if base == "avg":
+        return f"{float(x):f}"
+    return _fmt_typed(x, val_t)
+
+
 def _agg_scalar(kind, arr):
     if arr.size == 0:
         return None
@@ -380,7 +424,10 @@ def make_evaluator(spec: AggSpec):
                 pairs.sort(key=lambda p: p[0], reverse=True)
             else:  # order by (agg value, category), largest first
                 pairs.sort(key=lambda p: (p[1], p[0]), reverse=True)
-            return ",".join(f"{_fmt_ref(c)}:{_fmt_ref(v)}" for c, v in pairs[:k])
+            return ",".join(
+                f"{_fmt_typed(c, spec.cat_t, spec.tz_ms)}:"
+                f"{_fmt_cate_val(v, base, spec.val_t)}"
+                for c, v in pairs[:k])
         return ev
 
     if kind.endswith("_cate") or kind.endswith("_cate_where"):
@@ -405,7 +452,12 @@ def make_evaluator(spec: AggSpec):
                 j = i
                 while j < n and cats[j] == cats[i]:
                     j += 1
-                out.append(f"{_fmt_num(cats[i])}:{_fmt_num(_agg_scalar('count' if base == 'count' else base, vals[i:j]))}")
+                key_s = (_fmt_typed(cats[i], spec.cat_t, spec.tz_ms)
+                         if spec.cat_t is not None else _fmt_num(cats[i]))
+                val_s = _fmt_cate_val(
+                    _agg_scalar('count' if base == 'count' else base,
+                                vals[i:j]), base, spec.val_t)
+                out.append(f"{key_s}:{val_s}")
                 i = j
             return ",".join(out)
         return ev

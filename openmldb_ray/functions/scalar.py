@@ -47,7 +47,8 @@ def _arr(x):
 register("abs", pc.abs)
 register("ceil", lambda x: pc.ceil(x), "ceiling")
 register("floor", pc.floor)
-register("round", lambda x, nd=0: pc.round(x, ndigits=nd))
+register("round", lambda x, nd=0: pc.round(
+    x, ndigits=nd, round_mode="half_towards_infinity"))  # C round(): half away from zero
 register("truncate", lambda x: pc.trunc(x))
 register("exp", pc.exp)
 register("ln", pc.ln)
@@ -97,23 +98,129 @@ register("hash64", _hash64, "farm_fingerprint")
 
 # ---- string ---------------------------------------------------------------
 register("concat", lambda *xs: pc.binary_join_element_wise(
-    *[pc.cast(x, pa.string()) for x in xs], ""))
+    *[to_string_sql(x) for x in xs], ""))
 register("concat_ws", lambda sep, *xs: pc.binary_join_element_wise(
-    *[pc.cast(x, pa.string()) for x in xs], sep))
+    *[to_string_sql(x) for x in xs],
+    to_string_sql(sep) if not isinstance(sep, str) else sep))
 register("substr", lambda s, pos, length=None:
          pc.utf8_slice_codeunits(s, start=pos - 1,
                                  stop=(pos - 1 + length) if length is not None else None),
          "substring")
-register("strcmp", lambda a, b: pc.cast(
-    pc.subtract(pc.cast(pc.greater(a, b), pa.int32()),
-                pc.cast(pc.less(a, b), pa.int32())), pa.int32()))
+def _strcmp(a, b):
+    for v in (a, b):
+        t = getattr(v, "type", None)
+        if t is not None and not pa.types.is_string(t):
+            raise ValueError("strcmp requires string operands (reference parity)")
+        if t is None and not isinstance(v, str):
+            raise ValueError("strcmp requires string operands (reference parity)")
+    return pc.cast(pc.subtract(pc.cast(pc.greater(a, b), pa.int32()),
+                               pc.cast(pc.less(a, b), pa.int32())), pa.int32())
+
+
+register("strcmp", _strcmp)
 register("lower", pc.utf8_lower, "lcase")
 register("upper", pc.utf8_upper, "ucase")
 register("char_length", pc.utf8_length, "character_length")
 register("replace", lambda s, pat, rep="": pc.replace_substring(s, pattern=pat, replacement=rep))
 register("reverse", pc.utf8_reverse)
-register("like_match", lambda s, pat: pc.match_like(s, pat))
-register("ilike_match", lambda s, pat: pc.match_like(s, pat, ignore_case=True))
+
+
+def like_to_regex(pattern: str, escape: str | None) -> str:
+    """SQL LIKE pattern -> RE2 full-match body. escape=None/'' disables
+    escaping (reference like_match semantics, udf.cc kLikeMatch)."""
+    import re as _re
+
+    out = []
+    i = 0
+    esc = escape if escape else None
+    while i < len(pattern):
+        ch = pattern[i]
+        if esc and ch == esc:
+            if i + 1 >= len(pattern):
+                # dangling escape: the reference pattern matches nothing
+                # (test_like.yaml id 29)
+                return "(?!)"
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
+def _like_rx(pattern, escape, ci: bool) -> str:
+    if hasattr(pattern, "as_py"):
+        pattern = pattern.as_py()
+    if hasattr(escape, "as_py"):
+        escape = escape.as_py()
+    if pattern is None:
+        # reference: NULL pattern is a compile error (test_like_match id 17)
+        raise ValueError("like_match: NULL pattern (reference parity)")
+    if escape and len(escape) > 1:
+        # multi-char escape matches nothing (test_like_match id 28)
+        body = "(?!)"
+    else:
+        body = like_to_regex(pattern, escape or None)
+    return ("(?i)" if ci else "") + "^(?:" + body + ")$"
+
+
+def _like_match(s, pattern, escape="\\"):
+    """like_match(str, pattern[, escape]) — default escape backslash;
+    empty-string escape disables escaping (reference udf docs)."""
+    return pc.match_substring_regex(s, _like_rx(pattern, escape, False))
+
+
+def to_string_sql(x):
+    """SQL string conversion with reference formatting: timestamps as
+    %Y-%m-%d %H:%M:%S in the engine timezone, dates as %Y-%m-%d, bools as
+    true/false, floats shortest-round-trip (float32 via np.float32 repr)."""
+    t = getattr(x, "type", None)
+    if t is None:
+        return pa.scalar(str(x))
+    if pa.types.is_string(t):
+        return x
+    if pa.types.is_timestamp(t):
+        ms = pc.cast(pc.cast(x, pa.timestamp("ms")), pa.int64())
+        if _TZ_OFFSET_MS:
+            ms = pc.add(ms, _TZ_OFFSET_MS)
+        sec = pc.divide(ms, 1000)  # Arrow %S prints subseconds; truncate
+        return pc.strftime(pc.cast(sec, pa.timestamp("s")),
+                           format="%Y-%m-%d %H:%M:%S")
+    if pa.types.is_date(t):
+        return pc.strftime(pc.cast(x, pa.timestamp("ms")), format="%Y-%m-%d")
+    if pa.types.is_boolean(t):
+        n = len(x)
+        return pc.if_else(x, pa.repeat(pa.scalar("true"), n),
+                          pa.repeat(pa.scalar("false"), n))
+    if pa.types.is_floating(t):
+        is32 = pa.types.is_float32(t)
+        vals = x.to_pylist() if hasattr(x, "to_pylist") else [x.as_py()]
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            elif v != v:  # NaN
+                out.append("nan")
+            elif v == int(v) and abs(v) < 1e16:
+                out.append(str(int(v)))
+            else:
+                out.append(repr(np.float32(v)) if is32 else repr(float(v)))
+        return pa.array(out, pa.string())
+    return pc.cast(x, pa.string())
+
+
+def _ilike_match(s, pattern, escape="\\"):
+    return pc.match_substring_regex(s, _like_rx(pattern, escape, True))
+
+
+register("like_match", _like_match)
+register("ilike_match", _ilike_match)
+register("string", to_string_sql)
 register("regexp_like", lambda s, pat: pc.match_substring_regex(s, pat))
 
 
@@ -159,11 +266,46 @@ register("unhex", _unhex)
 # ---- date / time (inputs: timestamp or int64 epoch-ms) --------------------
 
 
+#: engine timezone offset for breaking epoch instants into civil fields
+#: (year/hour/date_format/...). The reference uses the SYSTEM timezone; its
+#: conformance corpus was recorded under UTC+8 (Asia/Shanghai), so the YAML
+#: runner sets +8h. Driver pipelines keep 0 (UTC).
+_TZ_OFFSET_MS = 0
+
+
+def set_timezone_offset_ms(ms: int) -> None:
+    global _TZ_OFFSET_MS
+    _TZ_OFFSET_MS = int(ms)
+
+
+def get_timezone_offset_ms() -> int:
+    return _TZ_OFFSET_MS
+
+
 def _as_ts(x):
+    """Accept timestamp / date / bigint(ms epoch); reject narrower ints,
+    floats and strings (reference: date functions on smallint/int fail,
+    cases/function/function/test_date.yaml ids 1/3/5)."""
     t = x.type if hasattr(x, "type") else None
+    if t is not None and pa.types.is_date(t):
+        return x
     if t is not None and pa.types.is_integer(t):
-        return pc.cast(pc.multiply(x, 1000), pa.timestamp("us"))
-    return x
+        if not pa.types.is_int64(t):
+            raise ValueError(
+                "date/time functions accept timestamp, date or bigint "
+                "(ms epoch) — reference parity")
+        us = pc.multiply(x, 1000)
+    elif t is not None and pa.types.is_timestamp(t):
+        us = pc.multiply(pc.cast(pc.cast(x, pa.timestamp("ms")), pa.int64()),
+                         1000)
+    elif isinstance(x, int):
+        us = pa.scalar(x * 1000, pa.int64())
+    else:
+        raise ValueError(
+            f"date/time functions accept timestamp, date or bigint, got {t}")
+    if _TZ_OFFSET_MS:
+        us = pc.add(pc.cast(us, pa.int64()), _TZ_OFFSET_MS * 1000)
+    return pc.cast(us, pa.timestamp("us"))
 
 
 register("year", lambda x: pc.cast(pc.year(_as_ts(x)), pa.int32()))
@@ -177,7 +319,19 @@ register("weekofyear", lambda x: pc.cast(pc.iso_week(_as_ts(x)), pa.int32()), "w
 register("hour", lambda x: pc.cast(pc.hour(_as_ts(x)), pa.int32()))
 register("minute", lambda x: pc.cast(pc.minute(_as_ts(x)), pa.int32()))
 register("second", lambda x: pc.cast(pc.second(_as_ts(x)), pa.int32()))
-register("date_format", lambda x, fmt: pc.strftime(_as_ts(x), format=fmt))
+def _date_format(x, fmt):
+    """date_format accepts timestamp/date ONLY (unlike the field
+    extractors, which also take bigint ms — test_date.yaml ids 1 vs 2)."""
+    t = getattr(x, "type", None)
+    if t is None or not (pa.types.is_timestamp(t) or pa.types.is_date(t)):
+        raise ValueError("date_format requires timestamp or date "
+                         "(reference parity)")
+    sec = pc.divide(pc.cast(_as_ts(x), pa.timestamp("us")).cast(pa.int64()),
+                    1000000)
+    return pc.strftime(pc.cast(sec, pa.timestamp("s")), format=fmt)
+
+
+register("date_format", _date_format)
 register("datediff", lambda a, b: pc.cast(pc.days_between(_as_ts(b), _as_ts(a)), pa.int32()))
 register("unix_timestamp", lambda x: pc.divide(pc.cast(pc.cast(_as_ts(x), pa.timestamp("ms")), pa.int64()), 1000))
 register("last_day", lambda x: pc.cast(pc.subtract(
@@ -188,8 +342,32 @@ register("timestamp", lambda x: pc.cast(_as_ts(x), pa.timestamp("ms")))
 
 # ---- null / conditional ---------------------------------------------------
 register("is_null", pc.is_null, "isnull")
-register("if_null", lambda x, d: pc.coalesce(x, d), "ifnull", "nvl")
+def _if_null(x, d):
+    """ifnull/nvl: the reference requires the default to be the SAME type
+    family as the value — string vs numeric mixes are compile errors
+    (cases/function/expression/test_condition.yaml ids 12/13)."""
+    def _is_str(v):
+        if isinstance(v, (pa.Array, pa.ChunkedArray, pa.Scalar)):
+            return pa.types.is_string(v.type)
+        return isinstance(v, str)
+    if _is_str(x) != _is_str(d):
+        raise ValueError("ifnull: value/default type mismatch (reference parity)")
+    return pc.coalesce(x, d)
+
+
+register("if_null", _if_null, "ifnull", "nvl")
 register("nvl2", lambda x, a, b: pc.if_else(pc.is_valid(x), a, b))
+
+
+def _require_strings(*vals):
+    for v in vals:
+        t = getattr(v, "type", None)
+        if t is not None and not pa.types.is_string(t):
+            raise ValueError("string function requires string operands "
+                             "(reference parity)")
+        if t is None and not isinstance(v, str):
+            raise ValueError("string function requires string operands "
+                             "(reference parity)")
 register("if", lambda c, a, b: pc.if_else(c, a, b))
 
 # ---- casts ----------------------------------------------------------------
@@ -199,7 +377,7 @@ register("int32", lambda x: pc.cast(x, pa.int32()))
 register("int64", lambda x: pc.cast(x, pa.int64()))
 register("float", lambda x: pc.cast(x, pa.float32()))
 register("double", lambda x: pc.cast(x, pa.float64()))
-register("string", lambda x: pc.cast(x, pa.string()))
+register("string", to_string_sql)  # SQL formatting rules (see above)
 
 # ---- feature-zero string-feature family -----------------------------------
 # (reference: hybridse/src/udf/default_defs/feature_zero_def.cc:558-676 —

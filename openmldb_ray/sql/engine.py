@@ -925,13 +925,14 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
 
     tiebreak = RID if RID in ds.schema().names else None
     in_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
-    ds = window_agg(ds, part_cols, ord_col, coll.specs, frame,
+    specs = [_with_type_hints(s, in_types) for s in coll.specs]
+    ds = window_agg(ds, part_cols, ord_col, specs, frame,
                     union=union_ds, tiebreak=tiebreak)
     # restore OpenMLDB UDAF result types (the vectorized kernel computes
     # sums/extremes in float64 for NaN-propagation; sum(int) must come back
     # int, count -> int64, avg -> double: udf/default_udf_library.cc)
     casts = {}
-    for spec in coll.specs:
+    for spec in specs:
         ty = _agg_result_type(spec, in_types)
         if ty is not None:
             casts[spec.name] = ty
@@ -939,6 +940,41 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
         ds = ds.map_batches(_CastCols(casts), batch_format="pyarrow",
                             batch_size=None)
     return ds
+
+
+def _type_kind(t) -> str | None:
+    if t is None:
+        return None
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t):
+        return "string"
+    return None
+
+
+def _with_type_hints(spec: AggSpec, in_types: dict) -> AggSpec:
+    """Attach source-type render hints for string-producing aggregates
+    (cate/top_n formatting is type-directed in the reference)."""
+    import dataclasses
+
+    from ..functions import scalar as scalar_fns
+
+    if spec.cat is None and spec.kind not in ("top", "topn_frequency"):
+        return spec
+    return dataclasses.replace(
+        spec,
+        val_t=_type_kind(in_types.get(spec.col)),
+        cat_t=_type_kind(in_types.get(spec.cat)) if spec.cat else None,
+        tz_ms=scalar_fns.get_timezone_offset_ms(),
+    )
 
 
 _PRESERVE_KINDS = {"sum", "min", "max", "lag", "at", "first_value", "lead",
@@ -980,18 +1016,26 @@ class _CastCols:
                 continue
             if pa.types.is_integer(ty) and (pa.types.is_floating(col.type)
                                             or pa.types.is_integer(col.type)):
-                # C wrap-around overflow (test_window.yaml id 21)
+                # C wrap-around overflow (test_window.yaml id 21); the
+                # kernels mark NULL as NaN in float outputs -> null here
                 vals = col.to_numpy(zero_copy_only=False)
                 mask = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
                 with np.errstate(invalid="ignore"):
                     wrapped = np.asarray(vals, dtype=np.float64)
+                    mask = mask | np.isnan(wrapped)
                     wrapped = np.where(np.isnan(wrapped), 0, wrapped)
                     ints = wrapped.astype(np.int64).astype(ty.to_pandas_dtype())
                 arr = pa.array(ints, ty, mask=mask)
                 t = t.set_column(t.column_names.index(name), name, arr)
                 continue
-            t = t.set_column(t.column_names.index(name), name,
-                             sql_cast(col, ty))
+            out = sql_cast(col, ty)
+            if pa.types.is_floating(ty):
+                # vectorized kernels use NaN as the NULL marker; a window
+                # aggregate never legitimately returns NaN from non-NaN
+                # input, so normalize (reference: empty window -> NULL)
+                notnan = pc.fill_null(pc.is_nan(pc.fill_null(out, 0.0)), False)
+                out = pc.if_else(notnan, pa.nulls(len(out), ty), out)
+            t = t.set_column(t.column_names.index(name), name, out)
         return t
 
 
@@ -1059,6 +1103,9 @@ def _lower_groupby(ds, stmt, plain_aggs, scope, resolver):
             _AddColumns(list(coll.temp_exprs.items()), resolver),
             batch_format="pyarrow", batch_size=None)
 
+    sch = ds.schema()
+    in_types = {n: t for n, t in zip(sch.names, sch.types)}
+    coll.specs[:] = [_with_type_hints(s, in_types) for s in coll.specs]
     keys = [resolver(c) for c in stmt.group_by]
     if not keys:
         # global aggregate: constant key then drop

@@ -120,7 +120,21 @@ def _null_where(arr: pa.Array, mask: pa.Array) -> pa.Array:
 
 
 def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
-    ts_result = pa.types.is_timestamp(a.type) or pa.types.is_timestamp(b.type)
+    # the reference rejects arithmetic on timestamp/date/string operands
+    # EXCEPT "+" with a timestamp, which yields timestamp
+    # (test_arithmetic.yaml id 5: int + c7 -> timestamp; id 9: %,*,-,/
+    # with c7/c8/c1 -> compile error)
+    ts_plus = op == "+" and (pa.types.is_timestamp(a.type)
+                             or pa.types.is_timestamp(b.type)) \
+        and not (pa.types.is_date(a.type) or pa.types.is_date(b.type)) \
+        and not (pa.types.is_string(a.type) or pa.types.is_string(b.type))
+    if ts_plus:
+        out = pc.add(_ts_to_i64(a), pc.cast(_ts_to_i64(b), pa.int64()))
+        return pc.cast(pc.cast(out, pa.int64()), pa.timestamp("ms"))
+    for side in (a, b):
+        if pa.types.is_timestamp(side.type) or pa.types.is_date(side.type)                 or pa.types.is_string(side.type):
+            raise SqlEvalError(
+                f"arithmetic on non-numeric type {side.type} (matches reference)")
     if op == "/":
         a2, b2, _ = _promote_pair(a, b, for_div=True)
         b2 = _null_where(b2, pc.equal(b2, 0.0))
@@ -147,61 +161,95 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
             out = pc.subtract(a2, pc.multiply(q, b2))
     elif op in ("&and", "&or", "&xor", "<<", ">>"):
         if not pa.types.is_integer(t):
-            a2 = pc.cast(a2, pa.int64())
-            b2 = pc.cast(b2, pa.int64())
+            raise SqlEvalError(
+                "bitwise operators require integer operands "
+                "(matches reference, test_arithmetic.yaml "
+                "bitwise_operators_fail)")
         fn = {"&and": pc.bit_wise_and, "&or": pc.bit_wise_or,
               "&xor": pc.bit_wise_xor, "<<": pc.shift_left,
               ">>": pc.shift_right}[op]
         out = fn(a2, b2)
     else:  # pragma: no cover
         raise SqlEvalError(f"unknown arithmetic op {op!r}")
-    if ts_result and op in ("+", "-") and pa.types.is_integer(out.type):
-        out = pc.cast(pc.cast(out, pa.int64()), pa.timestamp("ms"))
     return out
 
 
 def _compare(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
+    """Comparison with the reference's coercion matrix
+    (cases/function/expression/test_predicate.yaml ids 0-6):
+    num x num promote; bool x num as numbers; bool x string via bool->string
+    (lexical); string x num parses the string as a number (NULL on failure);
+    string x timestamp/date parses the string in the engine timezone;
+    timestamp x num, timestamp x date, date x num are errors."""
     if pa.types.is_null(a.type) or pa.types.is_null(b.type):
         return pa.nulls(len(a), pa.bool_())
-    # harmonize: numeric vs numeric promote; timestamp vs int as i64;
-    # date vs string parse the string
-    if _is_num(a.type) and _is_num(b.type):
+    ta, tb = a.type, b.type
+    is_s = pa.types.is_string
+    is_ts = pa.types.is_timestamp
+    is_d = pa.types.is_date
+
+    def _fin(x, y):
+        fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+        return fn(x, y)
+
+    if _is_num(ta) and _is_num(tb):
         a, b, _ = _promote_pair(a, b)
-    elif pa.types.is_timestamp(a.type) or pa.types.is_timestamp(b.type):
-        a, b = _ts_to_i64(a), _ts_to_i64(b)
-        if _is_num(a.type) and _is_num(b.type):
-            a, b, _ = _promote_pair(a, b)
-    if pa.types.is_date(a.type) and pa.types.is_string(b.type):
-        b = pc.cast(b, pa.date32())
-    elif pa.types.is_string(a.type) and pa.types.is_date(b.type):
-        a = pc.cast(a, pa.date32())
-    fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
-    return fn(a, b)
+        return _fin(a, b)
+    if is_ts(ta) and is_ts(tb):
+        return _fin(a, b)
+    if is_d(ta) and is_d(tb):
+        return _fin(a, b)
+    if is_s(ta) and is_s(tb):
+        return _fin(a, b)
+    # bool x string: bool rendered as "true"/"false", lexical compare
+    if (pa.types.is_boolean(ta) and is_s(tb)) or \
+            (is_s(ta) and pa.types.is_boolean(tb)):
+        if pa.types.is_boolean(ta):
+            a = scalar_fns.to_string_sql(a)
+        else:
+            b = scalar_fns.to_string_sql(b)
+        return _fin(a, b)
+    # string x number: parse the string (unparseable -> NULL)
+    if (is_s(ta) and _is_num(tb)) or (_is_num(ta) and is_s(tb)):
+        if is_s(ta):
+            a = _parse_num_strings(a, pa.float64())
+        else:
+            b = _parse_num_strings(b, pa.float64())
+        a, b, _ = _promote_pair(a, b)
+        return _fin(a, b)
+    # string x timestamp / date: parse the string in the engine timezone
+    if (is_s(ta) and is_ts(tb)) or (is_ts(ta) and is_s(tb)):
+        off = scalar_fns.get_timezone_offset_ms()
+
+        def parse_ts(s):
+            out = _parse_ts_strings(s)
+            if off:
+                out = pc.cast(pc.subtract(pc.cast(out, pa.int64()), off),
+                              pa.timestamp("ms"))
+            return pc.cast(out, pa.timestamp("ms"))
+
+        if is_s(ta):
+            a = parse_ts(a)
+            b = pc.cast(b, pa.timestamp("ms"))
+        else:
+            b = parse_ts(b)
+            a = pc.cast(a, pa.timestamp("ms"))
+        return _fin(a, b)
+    if (is_s(ta) and is_d(tb)) or (is_d(ta) and is_s(tb)):
+        if is_s(ta):
+            a = _parse_date_strings(a)
+        else:
+            b = _parse_date_strings(b)
+        return _fin(a, b)
+    raise SqlEvalError(
+        f"comparison between {ta} and {tb} (matches reference, "
+        f"test_predicate.yaml ids 2/4/5)")
 
 
 # ---- LIKE -----------------------------------------------------------------
 
-def like_to_regex(pattern: str, escape: str | None) -> str:
-    """Translate a SQL LIKE pattern into an RE2 full-match regex.
-    escape='' disables escaping (reference like_match semantics)."""
-    out = []
-    i = 0
-    esc = escape if escape else None
-    while i < len(pattern):
-        ch = pattern[i]
-        if esc and ch == esc and i + 1 < len(pattern):
-            out.append(re.escape(pattern[i + 1]))
-            i += 2
-            continue
-        if ch == "%":
-            out.append(".*")
-        elif ch == "_":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-        i += 1
-    return "".join(out)
+from ..functions.scalar import like_to_regex  # noqa: E402
 
 
 def _like(a: pa.Array, pattern: str, escape: str | None,
@@ -222,7 +270,12 @@ def sql_cast(a: pa.Array, target: pa.DataType) -> pa.Array:
         return a
     try:
         if pa.types.is_string(src) and pa.types.is_timestamp(target):
-            return _parse_ts_strings(a)
+            out = _parse_ts_strings(a)
+            off = scalar_fns.get_timezone_offset_ms()
+            if off:
+                out = pc.cast(pc.subtract(pc.cast(out, pa.int64()), off),
+                              pa.timestamp("ms"))
+            return out
         if pa.types.is_string(src) and pa.types.is_date(target):
             return _parse_date_strings(a)
         if pa.types.is_timestamp(src) and _is_num(target):
@@ -232,18 +285,25 @@ def sql_cast(a: pa.Array, target: pa.DataType) -> pa.Array:
             i = _null_where(i, pc.less(i, 0))  # negative epoch → NULL (udf.cc)
             return pc.cast(i, target)
         if pa.types.is_date(src) and pa.types.is_string(target):
-            return pc.strftime(pc.cast(a, pa.timestamp("ms")), format="%Y-%m-%d")
+            return scalar_fns.to_string_sql(a)
         if pa.types.is_timestamp(src) and pa.types.is_string(target):
-            return pc.strftime(a, format="%Y-%m-%d %H:%M:%S")
+            return scalar_fns.to_string_sql(a)
+        if _is_num(src) and pa.types.is_date(target):
+            raise SqlEvalError("numeric -> date cast is invalid "
+                               "(matches reference, test_type.yaml id 4)")
         if pa.types.is_timestamp(src) and pa.types.is_date(target):
+            off = scalar_fns.get_timezone_offset_ms()
+            if off:
+                a = pc.cast(pc.add(pc.cast(pc.cast(a, pa.timestamp("ms")),
+                                           pa.int64()), off),
+                            pa.timestamp("ms"))
             return pc.cast(a, pa.date32())
         if pa.types.is_date(src) and pa.types.is_timestamp(target):
             return pc.cast(pc.cast(a, pa.timestamp("ms")), target)
         if pa.types.is_floating(src) and pa.types.is_string(target):
-            return _float_to_string(a)
+            return scalar_fns.to_string_sql(a)
         if pa.types.is_boolean(src) and pa.types.is_string(target):
-            return pc.if_else(a, pa.repeat(pa.scalar("true"), len(a)),
-                              pa.repeat(pa.scalar("false"), len(a)))
+            return scalar_fns.to_string_sql(a)
         if pa.types.is_string(src) and pa.types.is_boolean(target):
             return _parse_bool_strings(a)
         if pa.types.is_string(src) and _is_num(target):
@@ -313,6 +373,19 @@ def _parse_date_strings(a: pa.Array) -> pa.Array:
 
 # ---- evaluator ------------------------------------------------------------
 
+def _bare_name(c):
+    return c.name
+
+
+#: math functions where a bool argument computes as 0/1
+#: (test_calculate.yaml ids 0/5/6: abs(bool), floor(bool), pow(bool, x))
+#: (trig + sqrt REJECT bool — test_calculate.yaml id 8 expects failure)
+_BOOL_PROMOTING = {
+    "abs", "ceil", "ceiling", "floor", "round", "truncate", "exp", "ln",
+    "log", "log2", "log10", "pow", "power", "degrees", "pmod", "mod", "hex",
+}
+
+
 class Evaluator:
     """Evaluates AST expressions against a pa.Table batch.
 
@@ -321,9 +394,15 @@ class Evaluator:
     """
 
     def __init__(self, resolve=None):
-        self.resolve = resolve or (lambda c: c.name)
+        self.resolve = resolve or _bare_name
+        # capture the engine timezone at plan time: evaluation happens in
+        # Ray workers whose module globals are fresh, so the offset must
+        # travel with the pickled evaluator
+        self.tz_offset_ms = scalar_fns.get_timezone_offset_ms()
 
     def eval(self, expr, batch: pa.Table) -> pa.Array:
+        if scalar_fns.get_timezone_offset_ms() != self.tz_offset_ms:
+            scalar_fns.set_timezone_offset_ms(self.tz_offset_ms)
         n = batch.num_rows
         v = self._eval(expr, batch)
         return _as_array(v, n)
@@ -352,7 +431,13 @@ class Evaluator:
         if isinstance(e, UnaryOp):
             v = _as_array(self._eval(e.operand, batch), n)
             if e.op == "-":
-                return pc.negate(_ts_to_i64(v))
+                if pa.types.is_boolean(v.type):
+                    return v  # -bool stays bool (nonzero -> true)
+                if not _is_num(v.type) and not pa.types.is_null(v.type):
+                    raise SqlEvalError(
+                        f"unary minus on {v.type} (matches reference, "
+                        f"test_arithmetic.yaml id 16)")
+                return pc.negate(v)
             if e.op == "not":
                 if not pa.types.is_boolean(v.type):
                     v = sql_cast(v, pa.bool_())
@@ -382,6 +467,10 @@ class Evaluator:
             if pat is None:
                 raise SqlEvalError("LIKE requires a literal pattern")
             esc = e.escape.value if isinstance(e.escape, Literal) else None
+            if esc is not None and len(esc) > 1:
+                raise SqlEvalError(
+                    "LIKE ESCAPE must be a single character "
+                    "(matches reference, test_like.yaml ids 18/28)")
             if e.kind == "rlike":
                 out = pc.match_substring_regex(a, f"^(?:{pat})$")
             else:
@@ -485,6 +574,10 @@ class Evaluator:
             v = self._eval(a, batch)
             if isinstance(v, pa.Scalar):
                 v = v.as_py()
+            if name in _BOOL_PROMOTING and isinstance(
+                    v, (pa.Array, pa.ChunkedArray)) and \
+                    pa.types.is_boolean(v.type):
+                v = pc.cast(v, pa.int16())
             args.append(v)
         # functions whose implementations need at least one array arg to
         # infer length get scalars broadcast

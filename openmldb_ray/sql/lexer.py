@@ -65,7 +65,15 @@ def tokenize(sql: str) -> list[Token]:
             out.append(Token("float", text, float(text.rstrip("fF")), m.start()))
         elif kind == "string":
             body = text[1:-1]
-            body = re.sub(r"\\(.)", lambda mm: {"n": "\n", "t": "\t"}.get(mm.group(1), mm.group(1)), body)
+            # recognized escapes collapse; anything else keeps the backslash
+            # (MySQL-style: "\_" stays "\_" so LIKE patterns keep their
+            # escape markers)
+            body = re.sub(
+                r"\\(.)",
+                lambda mm: {"n": "\n", "t": "\t", "\\": "\\", "'": "'",
+                            '"': '"', "0": "\0"}.get(mm.group(1),
+                                                      "\\" + mm.group(1)),
+                body)
             out.append(Token("string", text, body, m.start()))
         elif kind == "ident":
             t = text[1:-1] if text.startswith("`") else text

@@ -79,7 +79,13 @@ def _to_cell(v, ty: str):
             return v.lower() == "true"
         return bool(v)
     if ty in ("string", "varchar"):
-        return str(v)
+        # the reference's case loader unescapes row strings ("\\" -> "\")
+        # reference case loader C-unescapes row strings: \\ -> \, \x -> x
+        import re as _re
+        return _re.sub(r"\\(.)",
+                       lambda m: {"n": "\n", "t": "\t"}.get(m.group(1),
+                                                            m.group(1)),
+                       str(v))
     return v
 
 
@@ -169,6 +175,8 @@ def expand_variants(case: dict):
 
 def _norm_cell(v, ty: str):
     """Normalize an actual result cell to the expected type's domain."""
+    if isinstance(v, float) and math.isnan(v) and ty in ("float", "double"):
+        return float("nan")   # scalar NaN results are distinct from NULL
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return None
     if ty == "timestamp":
@@ -223,6 +231,11 @@ def _cells_equal(exp, act, ty: str) -> bool:
         return True
     if exp is None or act is None:
         return False
+    if ty in ("float", "double"):
+        en = isinstance(exp, float) and math.isnan(exp)
+        an = isinstance(act, float) and math.isnan(act)
+        if en or an:
+            return en and an
     if ty == "float":
         if math.isnan(exp) and math.isnan(act):
             return True
@@ -319,8 +332,12 @@ def should_skip(case: dict) -> str | None:
 
 
 def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
+    from ..functions import scalar as scalar_fns
     from .engine import run_sql
 
+    # the reference corpus expectations were recorded under UTC+8
+    # (4Paradigm CI, Asia/Shanghai): date_format/hour/string(timestamp)
+    # outputs embed that offset
     out: list[CaseOutcome] = []
     cid = case.get("id")
     desc = str(case.get("desc") or "")
@@ -329,12 +346,24 @@ def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
     if reason:
         return [CaseOutcome(file_label, cid, desc, "", "skip", reason)]
 
+    scalar_fns.set_timezone_offset_ms(8 * 3600 * 1000)
+    try:
+        return _run_case_variants(case, file_label, out)
+    finally:
+        scalar_fns.set_timezone_offset_ms(0)
+
+
+def _run_case_variants(case, file_label, out):
+    from .engine import run_sql
+
+    cid = case.get("id")
+    desc = str(case.get("desc") or "")
     for label, sql, expect in expand_variants(case):
         expect_fail = expect.get("success") is False
         try:
             tables = build_tables(case)
             ds = run_sql(sql, tables)
-            actual = ds.to_pandas()
+            actual = _collect_arrow(ds)
         except Unsupported as e:
             out.append(CaseOutcome(file_label, cid, desc, label,
                                    "unsupported", str(e)))
@@ -363,6 +392,27 @@ def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
             out.append(CaseOutcome(file_label, cid, desc, label, "fail",
                                    diff[:400]))
     return out
+
+
+def _collect_arrow(ds) -> pd.DataFrame:
+    """Collect a Dataset as rows WITHOUT the pandas null->NaN collapse:
+    returns a DataFrame of object columns where NULL is None and a computed
+    float NaN stays nan (the conformance corpus distinguishes them,
+    e.g. acos(2) = nan vs empty-window sum = NULL)."""
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tbls:
+        return pd.DataFrame()
+    names = tbls[0].column_names
+    data = [[] for _ in names]
+    for t in tbls:
+        for i in range(len(names)):   # positional: duplicate names allowed
+            data[i].extend(t.column(i).to_pylist())
+    df = pd.DataFrame({i: pd.Series(vals, dtype=object)
+                       for i, vals in enumerate(data)})
+    df.columns = names
+    return df
 
 
 def run_file(path: str, only_ids=None) -> list[CaseOutcome]:

@@ -128,9 +128,15 @@ class _BroadcastLastJoin:
     """Actor-pool map_batches stage: right side fetched ONCE per actor."""
 
     def __init__(self, right_ref, left_key, right_key, left_ts, right_order,
-                 out_cols, single_ref, tiebreak_col=None, residual=None):
-        self.rdf = ray.get(right_ref)
-        self.single = ray.get(single_ref) if single_ref is not None else None
+                 out_cols, single_ref, tiebreak_col=None, residual=None,
+                 lazy=False, out_types=None):
+        self.out_types = out_types or {}
+        # lazy=True: used as a plain (pickled) task fn — resolve the refs in
+        # the worker on first call instead of actor __init__
+        self._right_ref, self._single_ref = right_ref, single_ref
+        self.rdf = None if lazy else ray.get(right_ref)
+        self.single = (None if (lazy or single_ref is None)
+                       else ray.get(single_ref))
         self.left_key, self.right_key = left_key, right_key
         self.left_ts, self.right_order = left_ts, right_order
         self.out_cols = out_cols
@@ -138,6 +144,10 @@ class _BroadcastLastJoin:
         self.residual = residual
 
     def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
+        if self.rdf is None:
+            self.rdf = ray.get(self._right_ref)
+            if self._single_ref is not None:
+                self.single = ray.get(self._single_ref)
         if self.residual is not None:
             out = _last_merge_generic(
                 ldf, self.rdf, left_key=self.left_key, right_key=self.right_key,
@@ -149,7 +159,36 @@ class _BroadcastLastJoin:
         else:
             out = ldf.merge(self.single, how="left", left_on=self.left_key,
                             right_on=self.right_key, suffixes=("", "__r"))
-        return _project_out(out, list(ldf.columns), self.out_cols)
+        out = _project_out(out, list(ldf.columns), self.out_cols)
+        if self.out_types:
+            return _df_to_typed_arrow(out, self.out_types)
+        return out
+
+
+
+
+def _df_to_typed_arrow(df: pd.DataFrame, types: dict) -> "pa.Table":
+    """Convert a join-output pandas frame back to the planned Arrow schema.
+
+    pandas cannot hold NULL in integer/bool columns (they upcast to
+    float64/object through the merge), which would leak wrong types into
+    downstream Arrow stages (SQL projection type rules, cate formatting).
+    NaN becomes a proper NULL; dtypes come from the pre-join schemas."""
+    import pyarrow as pa
+
+    arrays, names = [], []
+    for c in df.columns:
+        s = df[c]
+        t = types.get(c)
+        if t is None:
+            arrays.append(pa.Array.from_pandas(s))
+        else:
+            try:
+                arrays.append(pa.Array.from_pandas(s, type=t))
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+                arrays.append(pa.Array.from_pandas(s))
+        names.append(c)
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 def _project_out(out: pd.DataFrame, left_cols: list[str],
@@ -234,7 +273,22 @@ def last_join(
                  if (right_cols and tiebreak) else tiebreak)
 
     if strategy == "broadcast":
-        rpdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
+        if isinstance(right, pd.DataFrame):
+            rpdf = right
+            out_types = {}
+        else:
+            import pyarrow as pa
+            lsch = left.schema()
+            rsch = right.schema()
+            rmap = right_cols or {}
+            # pandas-block datasets report numpy/python types; only Arrow
+            # DataTypes are usable for the typed restore
+            out_types = {n: t for n, t in zip(lsch.names, lsch.types)
+                         if isinstance(t, pa.DataType)}
+            for n, t in zip(rsch.names, rsch.types):
+                if isinstance(t, pa.DataType):
+                    out_types.setdefault(rmap.get(n, n), t)
+            rpdf = right.to_pandas()
         rdf = _prep_right(rpdf, right_key, order_by, tiebreak, right_cols)
         if residual is not None:
             right_ref, single_ref = ray.put(rdf), None
@@ -245,15 +299,25 @@ def last_join(
         else:
             single = _reduce_single_match(rdf, mapped_key, mapped_order, mapped_tb)
             right_ref, single_ref = ray.put(rdf), ray.put(single)
+        kwargs = dict(
+            right_ref=right_ref, left_key=left_key, right_key=mapped_key,
+            left_ts=asof_left_ts, right_order=mapped_order,
+            out_cols=out_cols, single_ref=single_ref,
+            tiebreak_col=mapped_tb, residual=residual,
+            out_types=out_types,
+        )
+        if len(rdf) <= 50_000:
+            # tiny right side: a stateless task (per-batch plasma get of a
+            # small table is ~free, and Ray reuses task workers across
+            # datasets — actor pools are torn down per dataset, which
+            # dominates wall-time for short queries)
+            join_fn = _BroadcastLastJoin(**kwargs, lazy=True)
+            return left.map_batches(join_fn, batch_format="pandas",
+                                    batch_size=None)
         return left.map_batches(
             _BroadcastLastJoin,
             batch_format="pandas",
-            fn_constructor_kwargs=dict(
-                right_ref=right_ref, left_key=left_key, right_key=mapped_key,
-                left_ts=asof_left_ts, right_order=mapped_order,
-                out_cols=out_cols, single_ref=single_ref,
-                tiebreak_col=mapped_tb, residual=residual,
-            ),
+            fn_constructor_kwargs=kwargs,
             concurrency=concurrency or (1, 16), batch_size=None)
 
     # ---- shuffle strategy: co-partition both sides by the join key ----
@@ -422,15 +486,26 @@ def left_join(
         rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
     rref = ray.put(rdf)
 
+    def _merge(ldf: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = ldf.merge(r, how="left", left_on=left_key,
+                        right_on=right_key, suffixes=("", "__r"))
+        drop = [c for c in out.columns
+                if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
+        return out.drop(columns=drop)
+
+    if len(rdf) <= 50_000:
+        # tiny dimension: stateless task (reused worker pool) beats a
+        # per-dataset actor pool; per-batch plasma get of a small df is ~free
+        def bj_fn(ldf: pd.DataFrame) -> pd.DataFrame:
+            return _merge(ldf, ray.get(rref))
+
+        return left.map_batches(bj_fn, batch_format="pandas", batch_size=None)
+
     class _BJ:
         def __init__(self):
             self.rdf = ray.get(rref)
 
         def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
-            out = ldf.merge(self.rdf, how="left", left_on=left_key,
-                            right_on=right_key, suffixes=("", "__r"))
-            drop = [c for c in out.columns
-                    if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
-            return out.drop(columns=drop)
+            return _merge(ldf, self.rdf)
 
     return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 16), batch_size=None)
