@@ -300,6 +300,10 @@ def make_evaluator(spec: AggSpec):
     if kind in ("sum_where", "avg_where", "min_where", "max_where", "count_where"):
         base = kind[: -len("_where")]
 
+        if base == "count" and col is None:
+            # count_where(*, cond): row count over the condition
+            return lambda cols, idx: int(_where_idx(cols, cond, idx).size)
+
         def ev(cols, idx, base=base):
             arr = _vals(cols, col, _where_idx(cols, cond, idx))
             out = _agg_scalar(base, arr)
@@ -309,7 +313,14 @@ def make_evaluator(spec: AggSpec):
         return ev
 
     if kind == "distinct_count":
-        return lambda cols, idx: int(np.unique(_vals(cols, col, idx)).size)
+        # NULL counts as its own distinct value in the reference
+        # (test_udaf_function.yaml id 5: window [4, 4, NULL] -> 2)
+        def ev(cols, idx):
+            vv, vok = cols[col]
+            arr = vv[idx][vok[idx]]
+            has_null = bool((~vok[idx]).any())
+            return int(np.unique(arr).size) + (1 if has_null else 0)
+        return ev
 
     if kind == "median":
         def ev(cols, idx):

@@ -131,13 +131,18 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
     onehot[np.nonzero(valid)[0] + 1, codes] = 1
     cum = np.cumsum(onehot, axis=0)  # (n+1, k)
     C = cum[np.arange(1, n + 1)] - cum[lo]  # counts per value per row
+    # NULL is its own distinct value in the reference's distinct_count
+    # (test_udaf_function.yaml id 5)
+    cumnull = np.cumsum(np.concatenate([[0], (~valid).astype(np.int64)]))
+    null_in_win = (cumnull[np.arange(1, n + 1)] - cumnull[lo]) > 0
     out: dict[str, np.ndarray] = {}
     labels = np.asarray([_fmt_num(u) for u in uniq], dtype=object)
     present = C > 0
     totals = C.sum(axis=1)
     for a in aggs_for_col:
         if a.kind == "distinct_count":
-            out[a.name] = present.sum(axis=1).astype(object)
+            out[a.name] = (present.sum(axis=1)
+                           + null_in_win.astype(np.int64)).astype(object)
         elif a.kind == "top1_ratio":
             r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), np.nan)
             out[a.name] = np.asarray([None if np.isnan(x) else float(x) for x in r],
@@ -195,12 +200,15 @@ def window_project_sliding(
             cols[a.col] = (s.to_numpy(object), s.notna().to_numpy())
     counters = {c: Counter() for c in cols}
     totals = dict.fromkeys(cols, 0)
+    nulls = dict.fromkeys(cols, 0)
     ptr = 0
     for i in range(n):
         for c, (vals, valid) in cols.items():
             if valid[i]:
                 counters[c][vals[i]] += 1
                 totals[c] += 1
+            else:
+                nulls[c] += 1
         while ptr < lo[i]:
             for c, (vals, valid) in cols.items():
                 if valid[ptr]:
@@ -209,11 +217,14 @@ def window_project_sliding(
                     if cnt[vals[ptr]] == 0:
                         del cnt[vals[ptr]]
                     totals[c] -= 1
+                else:
+                    nulls[c] -= 1
             ptr += 1
         for a in aggs:
             cnt = counters[a.col]
             if a.kind == "distinct_count":
-                out[a.name].append(len(cnt))
+                # NULL counts as a distinct value (reference parity)
+                out[a.name].append(len(cnt) + (1 if nulls[a.col] else 0))
             elif a.kind == "top1_ratio":
                 out[a.name].append(
                     None if totals[a.col] == 0 else max(cnt.values()) / totals[a.col])

@@ -139,7 +139,7 @@ def like_to_regex(pattern: str, escape: str | None) -> str:
             if i + 1 >= len(pattern):
                 # dangling escape: the reference pattern matches nothing
                 # (test_like.yaml id 29)
-                return "(?!)"
+                return "[^\\s\\S]"  # RE2-safe never-match
             out.append(_re.escape(pattern[i + 1]))
             i += 2
             continue
@@ -163,7 +163,7 @@ def _like_rx(pattern, escape, ci: bool) -> str:
         raise ValueError("like_match: NULL pattern (reference parity)")
     if escape and len(escape) > 1:
         # multi-char escape matches nothing (test_like_match id 28)
-        body = "(?!)"
+        body = "[^\\s\\S]"  # RE2 has no lookahead; matches nothing
     else:
         body = like_to_regex(pattern, escape or None)
     return ("(?i)" if ci else "") + "^(?:" + body + ")$"
@@ -343,15 +343,23 @@ register("timestamp", lambda x: pc.cast(_as_ts(x), pa.timestamp("ms")))
 # ---- null / conditional ---------------------------------------------------
 register("is_null", pc.is_null, "isnull")
 def _if_null(x, d):
-    """ifnull/nvl: the reference requires the default to be the SAME type
-    family as the value — string vs numeric mixes are compile errors
-    (cases/function/expression/test_condition.yaml ids 12/13)."""
-    def _is_str(v):
-        if isinstance(v, (pa.Array, pa.ChunkedArray, pa.Scalar)):
-            return pa.types.is_string(v.type)
-        return isinstance(v, str)
-    if _is_str(x) != _is_str(d):
-        raise ValueError("ifnull: value/default type mismatch (reference parity)")
+    """ifnull/nvl: the reference requires value and default to have the
+    SAME type — even int vs double is a compile error
+    (cases/function/expression/test_condition.yaml ids 11-13; id 11-2 shows
+    the matching-type success case)."""
+    def _ty(v):
+        t = getattr(v, "type", None)
+        if t is not None:
+            return t
+        return pa.scalar(v).type
+    tx, td = _ty(x), _ty(d)
+    if not tx.equals(td):
+        # allow an integer literal default for an integer column (the
+        # parser types bare ints as int32)
+        if not (pa.types.is_integer(tx) and pa.types.is_integer(td)):
+            raise ValueError(
+                "ifnull: value/default type mismatch (reference parity)")
+        d = pc.cast(d if hasattr(d, "type") else pa.scalar(d), tx)
     return pc.coalesce(x, d)
 
 

@@ -279,6 +279,12 @@ class AggCollector:
 
         if name == "count" and len(call.args) == 1 and isinstance(call.args[0], Star):
             spec = AggSpec(kind="count_star", name=out_col)
+        elif name == "count_where" and len(call.args) == 2 \
+                and isinstance(call.args[0], Star):
+            # count_where(*, cond): row count over the condition
+            spec = AggSpec(kind="count_where", name=out_col, col=None,
+                           cond=self._arg_col(call.args[1], resolve,
+                                              want_bool=True))
         elif name == "count" and call.distinct:
             col = self._arg_col(call.args[0], resolve)
             spec = AggSpec(kind="distinct_count", name=out_col, col=col)
@@ -314,6 +320,11 @@ class AggCollector:
     def _arg_col(self, arg, resolve, want_bool: bool = False) -> str:
         if isinstance(arg, Column):
             return resolve(arg)
+        if any(is_agg_call(n) for n in walk(arg)):
+            raise SqlLowerError(
+                "aggregate call inside an aggregate argument is unsupported "
+                "(reference computes these per-row over window state; "
+                "test_udaf_function.yaml ids 47/48)")
         name = self._temp(arg)
         return name
 
@@ -960,19 +971,41 @@ def _type_kind(t) -> str | None:
     return None
 
 
+_NUMERIC_VALUE_KINDS = frozenset([
+    "sum_where", "avg_where", "min_where", "max_where",
+    *[f"{b}_cate" for b in ("sum", "avg", "min", "max", "count")],
+    *[f"{b}_cate_where" for b in ("sum", "avg", "min", "max", "count")],
+    *[f"top_n_{m}_{b}_cate_where" for m in ("key", "value")
+      for b in ("sum", "avg", "min", "max")],
+])
+
+
 def _with_type_hints(spec: AggSpec, in_types: dict) -> AggSpec:
-    """Attach source-type render hints for string-producing aggregates
-    (cate/top_n formatting is type-directed in the reference)."""
+    """Validate argument types (reference UDAF signatures) and attach
+    source-type render hints for string-producing aggregates."""
     import dataclasses
 
     from ..functions import scalar as scalar_fns
 
+    vk = _type_kind(in_types.get(spec.col)) if spec.col else None
+    ck = _type_kind(in_types.get(spec.cat)) if spec.cat else None
+    # value restrictions (test_udaf_function.yaml ids 18/26/33/40:
+    # ts/date/string/bool values are compile errors for these UDAFs;
+    # top_n_*_count_cate_where is the documented exception)
+    if spec.kind in _NUMERIC_VALUE_KINDS and vk is not None \
+            and vk not in ("int", "float"):
+        raise SqlLowerError(
+            f"{spec.kind} value must be numeric, got {vk} (matches reference)")
+    # category restrictions (ids 25/32/39: float/bool categories invalid)
+    if spec.cat is not None and ck in ("float", "bool"):
+        raise SqlLowerError(
+            f"{spec.kind} category cannot be {ck} (matches reference)")
     if spec.cat is None and spec.kind not in ("top", "topn_frequency"):
         return spec
     return dataclasses.replace(
         spec,
-        val_t=_type_kind(in_types.get(spec.col)),
-        cat_t=_type_kind(in_types.get(spec.cat)) if spec.cat else None,
+        val_t=vk,
+        cat_t=ck,
         tz_ms=scalar_fns.get_timezone_offset_ms(),
     )
 
