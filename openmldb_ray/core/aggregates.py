@@ -314,11 +314,15 @@ def make_evaluator(spec: AggSpec):
 
     if kind == "distinct_count":
         # NULL counts as its own distinct value in the reference
-        # (test_udaf_function.yaml id 5: window [4, 4, NULL] -> 2)
+        # (test_udaf_function.yaml id 5: window [4, 4, NULL] -> 2) —
+        # EXCEPT for bool columns, where NULL folds away (id 6:
+        # [False, True, NULL] -> 2)
+        count_null = spec.val_t != "bool"
+
         def ev(cols, idx):
             vv, vok = cols[col]
             arr = vv[idx][vok[idx]]
-            has_null = bool((~vok[idx]).any())
+            has_null = count_null and bool((~vok[idx]).any())
             return int(np.unique(arr).size) + (1 if has_null else 0)
         return ev
 
@@ -435,10 +439,19 @@ def make_evaluator(spec: AggSpec):
                 pairs.sort(key=lambda p: p[0], reverse=True)
             else:  # order by (agg value, category), largest first
                 pairs.sort(key=lambda p: (p[1], p[0]), reverse=True)
-            return ",".join(
-                f"{_fmt_typed(c, spec.cat_t, spec.tz_ms)}:"
-                f"{_fmt_cate_val(v, base, spec.val_t)}"
-                for c, v in pairs[:k])
+            def _fv(v):
+                # top_n golden format is %f for floats even without type
+                # hints (udaf_test.cc pins e.g. 'x:4.500000')
+                if spec.val_t is None:
+                    return _fmt_ref(v) if base != "count" else str(int(v))
+                return _fmt_cate_val(v, base, spec.val_t)
+
+            def _fk(c):
+                if spec.cat_t is None:
+                    return _fmt_ref(c)
+                return _fmt_typed(c, spec.cat_t, spec.tz_ms)
+
+            return ",".join(f"{_fk(c)}:{_fv(v)}" for c, v in pairs[:k])
         return ev
 
     if kind.endswith("_cate") or kind.endswith("_cate_where"):

@@ -141,8 +141,9 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
     totals = C.sum(axis=1)
     for a in aggs_for_col:
         if a.kind == "distinct_count":
-            out[a.name] = (present.sum(axis=1)
-                           + null_in_win.astype(np.int64)).astype(object)
+            nulls_add = (np.zeros(n, dtype=np.int64) if a.val_t == "bool"
+                         else null_in_win.astype(np.int64))
+            out[a.name] = (present.sum(axis=1) + nulls_add).astype(object)
         elif a.kind == "top1_ratio":
             r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), np.nan)
             out[a.name] = np.asarray([None if np.isnan(x) else float(x) for x in r],
@@ -223,8 +224,10 @@ def window_project_sliding(
         for a in aggs:
             cnt = counters[a.col]
             if a.kind == "distinct_count":
-                # NULL counts as a distinct value (reference parity)
-                out[a.name].append(len(cnt) + (1 if nulls[a.col] else 0))
+                # NULL counts as a distinct value (reference parity),
+                # except for bool columns
+                extra = 1 if (nulls[a.col] and a.val_t != "bool") else 0
+                out[a.name].append(len(cnt) + extra)
             elif a.kind == "top1_ratio":
                 out[a.name].append(
                     None if totals[a.col] == 0 else max(cnt.values()) / totals[a.col])

@@ -161,6 +161,10 @@ def _like_rx(pattern, escape, ci: bool) -> str:
     if pattern is None:
         # reference: NULL pattern is a compile error (test_like_match id 17)
         raise ValueError("like_match: NULL pattern (reference parity)")
+    if escape is None:
+        # explicit NULL escape is a compile error too (id 18); the 2-arg
+        # form defaults to backslash before reaching here
+        raise ValueError("like_match: NULL escape (reference parity)")
     if escape and len(escape) > 1:
         # multi-char escape matches nothing (test_like_match id 28)
         body = "[^\\s\\S]"  # RE2 has no lookahead; matches nothing

@@ -996,12 +996,14 @@ def _with_type_hints(spec: AggSpec, in_types: dict) -> AggSpec:
             and vk not in ("int", "float"):
         raise SqlLowerError(
             f"{spec.kind} value must be numeric, got {vk} (matches reference)")
+    if spec.kind in ("sum", "avg") and vk in ("string", "timestamp", "date"):
+        # plain sum/avg reject non-numeric values (test_udaf id 10 sum-string)
+        raise SqlLowerError(
+            f"{spec.kind} value must be numeric, got {vk} (matches reference)")
     # category restrictions (ids 25/32/39: float/bool categories invalid)
     if spec.cat is not None and ck in ("float", "bool"):
         raise SqlLowerError(
             f"{spec.kind} category cannot be {ck} (matches reference)")
-    if spec.cat is None and spec.kind not in ("top", "topn_frequency"):
-        return spec
     return dataclasses.replace(
         spec,
         val_t=vk,
