@@ -173,7 +173,8 @@ def q_last_join_asof(sf_dir: str):
 
 
 def q_last_join_unsorted(sf_dir: str):
-    """Unsorted LAST JOIN: first right row in storage order (JoinPlan:190-196)."""
+    """Unsorted LAST JOIN: LAST right row in storage order (JoinPlan:190-196
+    + test_lastjoin_simple.yaml id 4-5 pins last-stored-match)."""
     from openmldb_ray.sources.io import read_table
     from openmldb_ray.stages.join_stage import last_join
 
@@ -972,7 +973,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
-                PARTITION BY c.c_custkey ORDER BY o.o_orderkey) = 1
+                PARTITION BY c.c_custkey ORDER BY o.o_orderkey DESC) = 1
         """,
         "lastjoin_window": f"""
             WITH j AS (

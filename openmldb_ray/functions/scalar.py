@@ -358,9 +358,12 @@ def _if_null(x, d):
         return pa.scalar(v).type
     tx, td = _ty(x), _ty(d)
     if not tx.equals(td):
-        # allow an integer literal default for an integer column (the
-        # parser types bare ints as int32)
-        if not (pa.types.is_integer(tx) and pa.types.is_integer(td)):
+        # int32 literals pair with int32 columns only — even smallint vs a
+        # bare int literal is a compile error (test_condition.yaml id 12);
+        # allow int32->int64 literal widening (bare literals type as int32
+        # or int64 depending on magnitude, bigint columns are common)
+        ok = pa.types.is_int64(tx) and pa.types.is_int32(td)
+        if not ok:
             raise ValueError(
                 "ifnull: value/default type mismatch (reference parity)")
         d = pc.cast(d if hasattr(d, "type") else pa.scalar(d), tx)
@@ -394,7 +397,19 @@ register("string", to_string_sql)  # SQL formatting rules (see above)
 # ---- feature-zero string-feature family -----------------------------------
 # (reference: hybridse/src/udf/default_defs/feature_zero_def.cc:558-676 —
 # split / split_by_key / split_by_value / join, fz_* aliases)
-register("split", lambda s, delim: pc.split_pattern(s, pattern=delim), "fz_split")
+def _split(s, delim):
+    """fz_split: NULL input yields an EMPTY list, not NULL
+    (test_feature_zero_function.yaml id 2: fz_join(fz_split(NULL)) = '')."""
+    out = pc.split_pattern(s, pattern=delim)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    if out.null_count:
+        vals = out.to_pylist()
+        out = pa.array([v if v is not None else [] for v in vals], out.type)
+    return out
+
+
+register("split", _split, "fz_split")
 
 
 def _split_kv(s, delim: str, kv_delim: str, want: int) -> pa.Array:
@@ -402,7 +417,7 @@ def _split_kv(s, delim: str, kv_delim: str, want: int) -> pa.Array:
     out = []
     for v in vals:
         if v is None:
-            out.append(None)
+            out.append([])  # NULL -> empty list (fz semantics)
             continue
         parts = []
         for item in str(v).split(delim):

@@ -493,9 +493,14 @@ def _lower_from(node, tables, ctx) -> tuple:
             sub = _lower_select(node.subquery, tables, dict(ctx, keep_rid=True))
             ds = sub
             cols = list(ds.schema().names)
+            visible = [c for c in cols if not c.startswith("__")]
+            if len(set(visible)) != len(visible):
+                raise SqlLowerError(
+                    "duplicate column names in subquery output are "
+                    "unsupported (test_sub_select.yaml id 10)")
             sc = Scope()
             qual = node.alias or node.name
-            sc.add_table(qual, {c: c for c in cols if not c.startswith("__")})
+            sc.add_table(qual, {c: c for c in visible})
             if RID in cols:
                 sc.quals[qual].pop(RID, None)
             return ds, sc
@@ -586,6 +591,14 @@ def _lower_join(node: Join, tables, ctx):
         if _side_of(node.order_by, lscope, rqual) != "right":
             raise SqlLowerError("LAST JOIN ORDER BY must be a right column")
         jorder_col = node.order_by.name
+        rtypes = {n: t for n, t in zip(rds.schema().names, rds.schema().types)}
+        jt = rtypes.get(jorder_col)
+        if jt is not None and hasattr(jt, "id") and not (
+                pa.types.is_integer(jt) or pa.types.is_timestamp(jt)):
+            raise SqlLowerError(
+                f"LAST JOIN ORDER BY column must be integer or timestamp, "
+                f"got {jt} (matches reference, test_lastjoin_simple.yaml "
+                f"ids 7-10/29)")
 
     for cj in conjs:
         if isinstance(cj, BinaryOp) and cj.op == "=" \
@@ -790,9 +803,17 @@ def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
 
     # final projection ---------------------------------------------------
     proj_items = []
+    seen: dict = {}
     for it in items:
         e = rewrite(it.expr, replacements)
         name = it.alias or _default_name(it.expr)
+        if name in seen:
+            # Ray Data blocks cannot carry duplicate column names; mark
+            # dups with a __dupN suffix (consumers strip it for display)
+            seen[name] += 1
+            name = f"{name}__dup{seen[name]}"
+        else:
+            seen[name] = 0
         proj_items.append((name, e))
     keep_rid = ctx.get("keep_rid") and RID in ds.schema().names
     if keep_rid:

@@ -126,7 +126,8 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
     # with c7/c8/c1 -> compile error)
     a_ts = pa.types.is_timestamp(a.type)
     b_ts = pa.types.is_timestamp(b.type)
-    ts_arith = (op == "+" and (a_ts or b_ts)) or (op == "-" and a_ts)
+    ts_arith = (op == "+" and (a_ts != b_ts)) or (op == "-" and a_ts
+                                                  and not b_ts)
     if ts_arith:
         # timestamp + int / int + timestamp / timestamp - int -> timestamp
         # (test_arithmetic.yaml ids 5/8; int - timestamp stays an error, id 9)
@@ -457,6 +458,9 @@ class Evaluator:
             if pat is None:
                 raise SqlEvalError("LIKE requires a literal pattern")
             esc = e.escape.value if isinstance(e.escape, Literal) else None
+            if e.escape is not None and esc is None:
+                raise SqlEvalError("LIKE ESCAPE NULL is invalid "
+                                   "(matches reference, test_like.yaml id 18)")
             if esc is not None and len(esc) > 1:
                 raise SqlEvalError(
                     "LIKE ESCAPE must be a single character "

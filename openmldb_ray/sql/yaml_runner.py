@@ -261,8 +261,9 @@ def compare_result(expect: dict, actual: pd.DataFrame) -> str | None:
     if len(actual) == 0 and not exp_rows:
         return None   # empty result: schema may be absent from empty datasets
     if exp_cols is not None:
+        import re as _re
         actual_names = [c for c in actual.columns if c != "__rid"]
-        norm = lambda n: n.lower().replace(" ", "")
+        norm = lambda n: _re.sub(r"__dup\d+$", "", n.lower().replace(" ", ""))
         if [norm(n) for n in actual_names] != [norm(n) for n in names]:
             return f"columns {actual_names} != {names}"
     if exp_rows is None:
@@ -328,6 +329,9 @@ def should_skip(case: dict) -> str | None:
     for kw in ("insert ", "create ", "deploy ", "load data", "delete "):
         if low.strip().startswith(kw.strip()):
             return f"non-select:{kw.strip()}"
+    # cases whose setup mutates state we cannot replay (DELETE side effects)
+    if "delete" in str(case.get("sqls") or "").lower():
+        return "delete side effects"
     return None
 
 

@@ -6,8 +6,9 @@ Reference semantics (java/openmldb-batch/.../nodes/JoinPlan.scala):
   ``right.order <= left.ts``), keep the one with the MAX order value —
   exactly one output row per left row; no match → right columns NULL.
 - unsorted LAST JOIN (:190-196): an arbitrary surviving match
-  (Spark ``dropDuplicates``); we define it deterministically as the FIRST
-  matching right row in right-table storage order.
+  (Spark ``dropDuplicates``); the reference's conformance expectations pin
+  the LAST matching right row in right-table storage order
+  (cases/function/join/test_lastjoin_simple.yaml id 4-5).
 - LEFT JOIN (:39-151): plain left outer equi-join.
 
 Two execution strategies:
@@ -100,7 +101,7 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
 
     Full equi-match → vectorized residual mask over the joined frame (and
     the point-in-time bound when ``left_ts`` is set) → per left row keep the
-    match with max (order, tiebreak) (sorted) or min storage rid (unsorted).
+    match with max (order, tiebreak) (sorted) or max storage rid (unsorted).
     O(matches) per call — use only when a residual prevents merge_asof."""
     ldf = ldf.reset_index(drop=True).assign(__lorder=np.arange(len(ldf)))
     m = ldf.merge(rdf, how="inner", left_on=left_key, right_on=right_key,
@@ -116,7 +117,7 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
             sort_cols = [right_order, tiebreak_col or RID_COL]
             m = m.sort_values(sort_cols, kind="stable").groupby("__lorder", sort=False).tail(1)
         else:
-            m = m.sort_values(RID_COL, kind="stable").groupby("__lorder", sort=False).head(1)
+            m = m.sort_values(RID_COL, kind="stable").groupby("__lorder", sort=False).tail(1)
     right_out = [c for c in rdf.columns if c not in ldf.columns]
     merged = ldf.merge(m[["__lorder", *[c for c in right_out if c in m.columns]]],
                        on="__lorder", how="left", suffixes=("", "__r"))
@@ -205,13 +206,14 @@ def _project_out(out: pd.DataFrame, left_cols: list[str],
 def _reduce_single_match(rdf: pd.DataFrame, key: str, order_by: str | None,
                          tiebreak: str | None) -> pd.DataFrame:
     """One surviving right row per key: max (order, tiebreak) for sorted
-    LAST JOIN, min storage rid for unsorted."""
+    LAST JOIN, max storage rid (last stored row) for unsorted
+    (test_lastjoin_simple.yaml id 4-5)."""
     if order_by is not None:
         sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [RID_COL])
         rs = rdf.sort_values(sort_cols, kind="stable")
         return rs.groupby(key, sort=False).tail(1)
     rs = rdf.sort_values([key, RID_COL], kind="stable")
-    return rs.groupby(key, sort=False).head(1)
+    return rs.groupby(key, sort=False).tail(1)
 
 
 def last_join(
@@ -235,7 +237,7 @@ def last_join(
 
     on: join key — a str (same name both sides) or (left_key, right_key).
     order_by: right order column; max wins (sorted LAST JOIN). None → the
-        first right row in storage order (unsorted LAST JOIN).
+        last stored right row (unsorted LAST JOIN).
     asof_left_ts: when set, adds the point-in-time residual condition
         ``right.order_by <= left.asof_left_ts`` (requires order_by) — the
         zero-temporal-leakage join of the north rule.
