@@ -838,6 +838,80 @@ def q_flagship(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# SQL front-end surface (openmldb_ray.sql): the same pipelines expressed as
+# OpenMLDB SQL text, parsed + lowered by the engine (parser.py/engine.py) —
+# machine-checked against DuckDB like every other query. The reference YAML
+# conformance corpus runs through the same path (tests/test_sql_conformance).
+
+
+def _sql_tables(sf_dir: str, names):
+    """Tables for sql_query with an explicit arrival-order tiebreak: the
+    SQL window kernel breaks ts ties by __rid, so derive it from a unique
+    key column to keep results reproducible across block orders."""
+    import pyarrow as pa
+
+    from openmldb_ray.sources.io import read_table
+
+    rid_src = {"events": "event_id", "orders": "o_orderkey",
+               "customer": "c_custkey", "lineitem": None}
+    out = {}
+    for n in names:
+        if n == "events":
+            ds = _events_ms(sf_dir)
+        else:
+            ds = read_table(sf_dir, n)
+        src_col = rid_src.get(n)
+        if src_col:
+            def add_rid(t: "pa.Table", c=src_col) -> "pa.Table":
+                import pyarrow.compute as pc
+                return t.append_column("__rid", pc.cast(t[c], pa.int64()))
+            ds = ds.map_batches(add_rid, batch_format="pyarrow", batch_size=None)
+        out[n] = ds
+    return out
+
+
+def q_sql_window(sf_dir: str):
+    """SQL text -> window_agg lowering (sql/engine.py): ROWS window with
+    sum/count over events, tie-broken by event_id."""
+    from openmldb_ray.sql import sql_query
+
+    out = sql_query(
+        "SELECT event_id, user_id, ts_ms, "
+        "sum(value) OVER w AS sum_v, count(*) OVER w AS cnt "
+        "FROM events WINDOW w AS (PARTITION BY events.user_id "
+        "ORDER BY events.ts_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+        _sql_tables(sf_dir, ["events"]),
+    ).to_pandas()
+    return _round_cols(out, ["sum_v"])
+
+
+def q_sql_lastjoin(sf_dir: str):
+    """SQL text -> last_join lowering: sorted LAST JOIN (max order key)."""
+    from openmldb_ray.sql import sql_query
+
+    out = sql_query(
+        "SELECT c.c_custkey, c.c_name, o.o_totalprice AS last_price "
+        "FROM customer c LAST JOIN orders o ORDER BY o.o_orderkey "
+        "ON c.c_custkey = o.o_custkey",
+        _sql_tables(sf_dir, ["customer", "orders"]),
+    ).to_pandas()
+    return _round_cols(out, ["last_price"])
+
+
+def q_sql_groupby(sf_dir: str):
+    """SQL text -> group_aggregate lowering with WHERE + HAVING."""
+    from openmldb_ray.sql import sql_query
+
+    out = sql_query(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "count(*) AS n FROM lineitem WHERE l_quantity > 10 "
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 5",
+        _sql_tables(sf_dir, ["lineitem"]),
+    ).to_pandas()
+    return _round_cols(out, ["sum_qty"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from openmldb_ray.pipelines.flagship import flagship
@@ -888,6 +962,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
+        "sql_window": q_sql_window,
+        "sql_lastjoin": q_sql_lastjoin,
+        "sql_groupby": q_sql_groupby,
     }
 
 
@@ -1245,5 +1322,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS mismatched_cols,
                    CAST(0 AS BIGINT) AS pit_violations,
                    CAST(0 AS BIGINT) AS token_mismatches
+        """,
+        "sql_window": f"""
+            SELECT event_id, user_id, {TS} AS ts_ms,
+                   ROUND(SUM(value) OVER w, 6) AS sum_v,
+                   COUNT(*) OVER w AS cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_ms(ts), event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "sql_lastjoin": """
+            SELECT c.c_custkey, c.c_name,
+                   ROUND(CAST(o.o_totalprice AS DOUBLE), 6) AS last_price
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
+                PARTITION BY c.c_custkey ORDER BY o.o_orderkey DESC) = 1
+        """,
+        "sql_groupby": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem WHERE l_quantity > 10
+            GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 5
         """,
     }
