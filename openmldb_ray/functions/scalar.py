@@ -355,18 +355,21 @@ def _if_null(x, d):
         t = getattr(v, "type", None)
         if t is not None:
             return t
+        if isinstance(v, bool):
+            return pa.bool_()
+        if isinstance(v, int):
+            # SQL literal typing: int32 unless it overflows (parser rule)
+            return pa.int32() if -2**31 <= v < 2**31 else pa.int64()
         return pa.scalar(v).type
     tx, td = _ty(x), _ty(d)
     if not tx.equals(td):
-        # int32 literals pair with int32 columns only — even smallint vs a
-        # bare int literal is a compile error (test_condition.yaml id 12);
-        # allow int32->int64 literal widening (bare literals type as int32
-        # or int64 depending on magnitude, bigint columns are common)
-        ok = pa.types.is_int64(tx) and pa.types.is_int32(td)
-        if not ok:
-            raise ValueError(
-                "ifnull: value/default type mismatch (reference parity)")
-        d = pc.cast(d if hasattr(d, "type") else pa.scalar(d), tx)
+        # strictly same type: even int32 vs bigint is a compile error
+        # (test_condition.yaml id 12 bigint col + int literal -> fail,
+        # id 10 int col + int literal -> ok)
+        raise ValueError(
+            "ifnull: value/default type mismatch (reference parity)")
+    if not hasattr(d, "type"):
+        d = pa.scalar(d, td)
     return pc.coalesce(x, d)
 
 

@@ -12,7 +12,7 @@ Semantics re-derived from the reference's conformance expectations
   the result of ``a op b`` keeps the wider operand's type (no SQL widening)
 - ``/`` always yields double; a zero or NULL divisor yields NULL
 - ``%`` / ``DIV`` on integers yield NULL on zero divisor; ``%`` on floats
-  is C fmod
+  is C fmod with x % 0 -> NULL
 - comparison/logic are SQL three-valued (Kleene)
 - LIKE/ILIKE translate %/_ (with optional ESCAPE) to RE2; RLIKE is a full
   match (reference zetasql semantics)
@@ -126,7 +126,10 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
     # with c7/c8/c1 -> compile error)
     a_ts = pa.types.is_timestamp(a.type)
     b_ts = pa.types.is_timestamp(b.type)
-    ts_arith = (op == "+" and (a_ts != b_ts)) or (op == "-" and a_ts
+    # + accepts timestamps on either or both sides (ts+ts sums epochs,
+    # test_arithmetic.yaml id 7); - only timestamp-left minus numeric (id 8
+    # vs ids 9/12/16)
+    ts_arith = (op == "+" and (a_ts or b_ts)) or (op == "-" and a_ts
                                                   and not b_ts)
     if ts_arith:
         # timestamp + int / int + timestamp / timestamp - int -> timestamp
@@ -167,6 +170,8 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
             q = pc.divide(a2, b2)
             out = pc.subtract(a2, pc.multiply(q, b2))
         else:
+            # float fmod, but x % 0 -> NULL (test_arithmetic.yaml ids 3/4)
+            b2 = _null_where(b2, pc.equal(b2, 0.0))
             q = pc.trunc(pc.divide(a2, b2))
             out = pc.subtract(a2, pc.multiply(q, b2))
     elif op in ("&and", "&or", "&xor", "<<", ">>"):

@@ -27,6 +27,26 @@ import pyarrow as pa
 _SKIP_MODES = ("offline-unsupport", "batch-unsupport", "hybridse-only",
                "rtidb-batch-unsupport", "batch-request-unsupport")
 
+# Documented divergences from the reference corpus, keyed by
+# (file-name substring, case id).  Each maps to (status, reason).
+_KNOWN_DIVERGENCES = {
+    # Expects sum over an EMPTY union-window frame (ROWS 4 PREC..1 PREC,
+    # union rows all later than the primary row) to be 0, contradicting
+    # the same file's id 7 (identical frame, no union -> NULL) and the
+    # sum UDAF's own output codegen (default_udf_library.cc:123-132:
+    # flag-set -> CAST(NULL)).  We follow id 7's NULL semantics.
+    ("test_window.yaml", 31): (
+        "skip", "reference-quirk: empty union-window sum expected 0, "
+        "corpus-inconsistent with id 7 (NULL)"),
+    # Expected compile failure because the join key is not covered by a
+    # storage index of the right-side table.  A Ray Data engine has no
+    # storage indexes — LAST JOIN shuffles/broadcasts on any key — so
+    # the physical-plan index requirement is deliberately relaxed.
+    ("test_lastjoin_complex.yaml", 16): (
+        "unsupported", "index-requirement not modeled: Ray engine joins "
+        "on arbitrary keys (reference requires right-side index)"),
+}
+
 _TYPE_BUILDERS = {
     "smallint": pa.int16(), "int16": pa.int16(),
     "int": pa.int32(), "int32": pa.int32(),
@@ -349,6 +369,10 @@ def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
     reason = should_skip(case)
     if reason:
         return [CaseOutcome(file_label, cid, desc, "", "skip", reason)]
+
+    for (fsub, kid), (status, why) in _KNOWN_DIVERGENCES.items():
+        if fsub in file_label and cid == kid:
+            return [CaseOutcome(file_label, cid, desc, "", status, why)]
 
     scalar_fns.set_timezone_offset_ms(8 * 3600 * 1000)
     try:

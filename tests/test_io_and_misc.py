@@ -104,13 +104,15 @@ def test_feature_zero_string_family():
     (feature_zero_def.cc:558-676)."""
     from openmldb_ray.functions.scalar import get
 
+    # NULL input -> EMPTY list, reference parity
+    # (test_feature_zero_function.yaml id 2: fz_join(fz_split(NULL)) = '')
     s = pa.array(["a,b,c", "x", None])
-    assert get("split")(s, ",").to_pylist() == [["a", "b", "c"], ["x"], None]
+    assert get("split")(s, ",").to_pylist() == [["a", "b", "c"], ["x"], []]
     kv = pa.array(["k1:1,k2:2", "k3:3", None])
-    assert get("split_by_key")(kv, ",", ":").to_pylist() == [["k1", "k2"], ["k3"], None]
-    assert get("split_by_value")(kv, ",", ":").to_pylist() == [["1", "2"], ["3"], None]
+    assert get("split_by_key")(kv, ",", ":").to_pylist() == [["k1", "k2"], ["k3"], []]
+    assert get("split_by_value")(kv, ",", ":").to_pylist() == [["1", "2"], ["3"], []]
     lst = get("split")(s, ",")
-    assert get("join")(lst, "-").to_pylist() == ["a-b-c", "x", None]
-    assert get("fz_join")(lst, "|").to_pylist() == ["a|b|c", "x", None]
+    assert get("join")(lst, "-").to_pylist() == ["a-b-c", "x", ""]
+    assert get("fz_join")(lst, "|").to_pylist() == ["a|b|c", "x", ""]
     # round-trip through a projection stage shape
-    assert get("size")(lst).to_pylist() == [3, 1, None]
+    assert get("size")(lst).to_pylist() == [3, 1, 0]

@@ -132,8 +132,9 @@ def test_last_join_unsorted(ray_session):
 
     cust = read_table(SF, "customer").select_columns(["c_custkey", "c_name", "c_nationkey"])
     orders = read_table(SF, "orders").select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
-    # deterministic "unsorted": first right row in storage order == min o_orderkey
-    # (orders.parquet is written in o_orderkey order)
+    # deterministic "unsorted": LAST stored right row == max o_orderkey
+    # (orders.parquet is written in o_orderkey order; reference LAST JOIN
+    # without ORDER BY keeps the last matched row in storage order)
     out = last_join(
         cust, orders, ("c_custkey", "o_custkey"),
         right_cols={"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"},
@@ -143,7 +144,7 @@ def test_last_join_unsorted(ray_session):
         SELECT c.c_custkey, c.c_name, c.c_nationkey, o.o_orderkey, o.o_totalprice
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
-            PARTITION BY c.c_custkey ORDER BY o.o_orderkey) = 1
+            PARTITION BY c.c_custkey ORDER BY o.o_orderkey DESC) = 1
     """)
     assert_frames_match(out, oracle, ["c_custkey"])
 
