@@ -84,6 +84,11 @@ class Case:
 class Cast:
     operand: object
     type_name: str               # "int","bigint","float","double","string","timestamp","date","bool","smallint"
+    # True when written as the type-function form ``bool(x)`` instead of
+    # CAST(x AS bool): the reference routes the former through the bool()
+    # UDF (token parse: udf.cc StringToBool) and the latter through codegen
+    # BoolCast (size != 0) — test_type.yaml ids 1 vs 23
+    via_fn: bool = False
 
 
 @dataclass(frozen=True)

@@ -180,7 +180,8 @@ def rewrite(e, mapping: dict):
                           for c, r in e.whens),
                     rewrite(e.default, mapping) if e.default is not None else None)
     if isinstance(e, Cast):
-        return Cast(rewrite(e.operand, mapping), e.type_name)
+        return Cast(rewrite(e.operand, mapping), e.type_name,
+                    via_fn=getattr(e, "via_fn", False))
     if isinstance(e, FuncCall):
         return FuncCall(e.name, tuple(rewrite(a, mapping) for a in e.args),
                         e.over, e.distinct)

@@ -174,11 +174,24 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
             b2 = _null_where(b2, pc.equal(b2, 0.0))
             q = pc.trunc(pc.divide(a2, b2))
             out = pc.subtract(a2, pc.multiply(q, b2))
-    elif op in ("&and", "&or", "&xor", "<<", ">>"):
-        # the reference SQL surface has no bitwise operators at all
-        # (test_arithmetic.yaml bitwise_operators_fail expects failure on
-        # every operand type, including ints)
-        raise SqlEvalError("bitwise operators unsupported (matches reference)")
+    elif op in ("&and", "&or", "&xor"):
+        # integral operands only; result keeps the wider type; NULL operand
+        # (incl. the NULL literal) propagates (test_arithmetic.yaml
+        # bitwise_operators / bitwise_operators_fail / bitwise_*_null_operands)
+        for side in (a, b):
+            if not (pa.types.is_integer(side.type)
+                    or pa.types.is_null(side.type)):
+                raise SqlEvalError(
+                    f"bitwise op on {side.type} (matches reference)")
+        if pa.types.is_null(a.type) or pa.types.is_null(b.type):
+            t = b.type if pa.types.is_null(a.type) else a.type
+            return pa.nulls(len(a), t if pa.types.is_integer(t) else pa.int64())
+        a2, b2, _ = _promote_pair(a, b)
+        fn = {"&and": pc.bit_wise_and, "&or": pc.bit_wise_or,
+              "&xor": pc.bit_wise_xor}[op]
+        out = fn(a2, b2)
+    elif op in ("<<", ">>"):
+        raise SqlEvalError("shift operators unsupported (matches reference)")
     else:  # pragma: no cover
         raise SqlEvalError(f"unknown arithmetic op {op!r}")
     return out
@@ -300,8 +313,18 @@ def sql_cast(a: pa.Array, target: pa.DataType) -> pa.Array:
             return scalar_fns.to_string_sql(a)
         if pa.types.is_boolean(src) and pa.types.is_string(target):
             return scalar_fns.to_string_sql(a)
-        if pa.types.is_string(src) and pa.types.is_boolean(target):
-            return _parse_bool_strings(a)
+        if pa.types.is_boolean(target):
+            # reference BoolCast (cast_expr_ir_builder.cc:271-274):
+            # number -> value != 0, string -> size != 0,
+            # timestamp -> ts != 0, date -> date code != 0
+            if pa.types.is_string(src):
+                return pc.greater(pc.utf8_length(a), 0)
+            if pa.types.is_timestamp(src):
+                return pc.not_equal(pc.cast(a, pa.int64()), 0)
+            if pa.types.is_date(src):
+                return pc.not_equal(pc.cast(a, pa.int32()), 0)
+            if _is_num(src):
+                return pc.not_equal(a, 0)
         if pa.types.is_string(src) and _is_num(target):
             return _parse_num_strings(a, target)
         if pa.types.is_floating(src) and pa.types.is_integer(target):
@@ -329,6 +352,17 @@ def _float_to_string(a: pa.Array) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+def _parse_bool_strings(a: pa.Array) -> pa.Array:
+    # udf.cc StringToBool token sets (test_type.yaml id 23): unparseable
+    # (including empty) -> NULL
+    lower = pc.utf8_lower(a)
+    true = pc.is_in(lower, value_set=pa.array(["true", "t", "1", "yes", "y"]))
+    false = pc.is_in(lower, value_set=pa.array(["false", "f", "0", "no", "n"]))
+    return pc.if_else(true, pa.repeat(pa.scalar(True), len(a)),
+                      pc.if_else(false, pa.repeat(pa.scalar(False), len(a)),
+                                 pa.nulls(len(a), pa.bool_())))
+
+
 def _parse_num_strings(a: pa.Array, target: pa.DataType) -> pa.Array:
     import pandas as pd
 
@@ -342,15 +376,6 @@ def _parse_num_strings(a: pa.Array, target: pa.DataType) -> pa.Array:
         arr = pa.array(ints, pa.float64())
         return pc.cast(arr, target, safe=False)
     return pc.cast(pa.array(num, pa.float64()), target)
-
-
-def _parse_bool_strings(a: pa.Array) -> pa.Array:
-    lower = pc.utf8_lower(a)
-    true = pc.is_in(lower, value_set=pa.array(["true", "t", "1", "yes", "y"]))
-    false = pc.is_in(lower, value_set=pa.array(["false", "f", "0", "no", "n"]))
-    return pc.if_else(true, pa.repeat(pa.scalar(True), len(a)),
-                      pc.if_else(false, pa.repeat(pa.scalar(False), len(a)),
-                                 pa.nulls(len(a), pa.bool_())))
 
 
 def _parse_ts_strings(a: pa.Array) -> pa.Array:
@@ -439,6 +464,13 @@ class Evaluator:
                     v = sql_cast(v, pa.bool_())
                 return pc.invert(v)
             if e.op == "~":
+                if pa.types.is_null(v.type):
+                    # ~NULL literal types as bool NULL
+                    # (test_arithmetic.yaml bitwise_const_null_operands)
+                    return pa.nulls(n, pa.bool_())
+                if not pa.types.is_integer(v.type):
+                    raise SqlEvalError(
+                        f"bitwise not on {v.type} (matches reference)")
                 return pc.bit_wise_not(v)
             raise SqlEvalError(f"unary {e.op!r}?")
         if isinstance(e, BinaryOp):
@@ -515,6 +547,16 @@ class Evaluator:
             ty = TYPE_NAMES.get(e.type_name)
             if ty is None:
                 raise SqlEvalError(f"unknown cast type {e.type_name!r}")
+            if getattr(e, "via_fn", False):
+                if pa.types.is_boolean(ty) and pa.types.is_string(v.type):
+                    # bool(string) UDF parses tokens (udf.cc StringToBool),
+                    # unlike CAST's size!=0 — test_type.yaml id 23
+                    return _parse_bool_strings(v)
+                if pa.types.is_date(v.type) and (
+                        _is_num(ty) or pa.types.is_boolean(ty)):
+                    # int16(date)/float(date)/bool(date) UDFs -> NULL
+                    # (test_type.yaml id 32), unlike CAST which errors
+                    return pa.nulls(len(v), ty)
             return sql_cast(v, ty)
         if isinstance(e, FuncCall):
             return self._eval_func(e, batch)

@@ -635,10 +635,10 @@ class Parser:
             self.take()
             self.take()  # (
             if word in _TYPE_NAMES:
-                # type(x) cast form
+                # type(x) cast form (UDF semantics, see Cast.via_fn)
                 operand = self.parse_expr()
                 self.expect_op(")")
-                return Cast(operand, word)
+                return Cast(operand, word, via_fn=True)
             distinct = False
             args: list = []
             if self.at_kw("distinct"):
