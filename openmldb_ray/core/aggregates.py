@@ -52,6 +52,67 @@ class AggSpec:
     val_t: str | None = None
     cat_t: str | None = None
     tz_ms: int = 0
+    # composite window expressions (reference: nested UDAF codegen,
+    # test_udaf_function.yaml ids 42/43/49/53): when set, the value /
+    # condition role is a per-frame expression instead of a plain column.
+    # Inside one output row's frame, inner aggregates reduce the SAME frame
+    # to constants; the expression then evaluates element-wise over the
+    # frame rows and the outer ``kind`` reduces the result. Exact-kernel
+    # only (fast path rejects these).
+    expr: "FrameExpr | None" = None       # value role
+    cond_expr: "FrameExpr | None" = None  # condition role
+
+
+@dataclass(frozen=True)
+class FrameExpr:
+    """A per-frame expression for a composite aggregate argument.
+
+    ``fn(sliced_cols, consts, n) -> (vals ndarray, valid ndarray)`` where
+    ``sliced_cols`` maps each name in ``cols`` to that column's
+    (values, valid) pair restricted to the frame, ``consts`` maps each
+    inner spec's name to its frame-reduced python scalar, and ``n`` is the
+    frame length. ``inner`` are the nested AggSpecs. ``seq`` names a
+    sequence-valued inner (window_split family) whose token list IS the
+    value sequence (fused UDAF-of-UDAF composition, e.g.
+    ``distinct_count(fz_window_split(c1, ","))``); ``fn`` is unused then.
+    """
+
+    fn: object = None
+    cols: tuple = ()
+    inner: tuple = ()
+    seq: str | None = None
+    # (name, pyarrow.DataType) pairs typing each inner constant — needed so
+    # a NULL inner result (e.g. first_value over strings) keeps its column
+    # type through strict-typed fns like ifnull (test_udaf ids 47/48).
+    # Filled by the SQL layer once input types are known.
+    const_types: tuple = ()
+
+
+SEQ_KINDS = {"window_split", "window_split_by_key", "window_split_by_value"}
+
+
+def spec_has_expr(spec: AggSpec) -> bool:
+    return spec.expr is not None or spec.cond_expr is not None
+
+
+def iter_specs_deep(aggs):
+    """Yield every spec including nested inner specs (recursive)."""
+    for a in aggs:
+        yield a
+        for fe in (a.expr, a.cond_expr):
+            if fe is not None:
+                yield from iter_specs_deep(fe.inner)
+
+
+def spec_columns(spec: AggSpec):
+    """Physical input columns this spec (incl. nested exprs) reads."""
+    for a in iter_specs_deep([spec]):
+        for c in (a.col, a.cond, a.cat):
+            if c:
+                yield c
+        for fe in (a.expr, a.cond_expr):
+            if fe is not None:
+                yield from fe.cols
 
 
 KINDS = {
@@ -283,8 +344,68 @@ def _agg_scalar(kind, arr):
     raise AssertionError(kind)
 
 
+def _make_inner_evals(fe: FrameExpr):
+    out = []
+    for ispec in fe.inner:
+        mode = ("pos" if ispec.kind in ("lag", "at")
+                else "expr" if spec_has_expr(ispec) else "frame")
+        out.append((ispec.name, mode, make_evaluator(ispec)))
+    return out
+
+
+def _eval_frame_expr(fe: FrameExpr, inner_evals, cols, idx, idx_pos):
+    consts = {}
+    for name, mode, iev in inner_evals:
+        if mode == "pos":
+            consts[name] = iev(cols, idx_pos if idx_pos is not None else idx)
+        elif mode == "expr":
+            consts[name] = iev(cols, idx, idx_pos)
+        else:
+            consts[name] = iev(cols, idx)
+    if fe.seq is not None:
+        tokens = consts[fe.seq] or []
+        vals = np.asarray(tokens, dtype=object)
+        valid = np.asarray([t is not None for t in tokens], dtype=bool)
+        return vals, valid
+    sliced = {c: (cols[c][0][idx], cols[c][1][idx]) for c in fe.cols}
+    return fe.fn(sliced, consts, int(idx.size), dict(fe.const_types))
+
+
 def make_evaluator(spec: AggSpec):
-    """Return fn(cols, idx) -> python scalar (None = NULL)."""
+    """Return fn(cols, idx) -> python scalar (None = NULL).
+
+    Specs with a FrameExpr (composite window expressions) take
+    ``fn(cols, idx, idx_pos=None)`` instead: the expression evaluates over
+    the frame view, then the base kind reduces it."""
+    if spec_has_expr(spec):
+        import dataclasses
+
+        base = dataclasses.replace(
+            spec, expr=None, cond_expr=None,
+            col="__fe_v" if spec.expr is not None else spec.col,
+            cond="__fe_c" if spec.cond_expr is not None else spec.cond)
+        base_ev = make_evaluator(base)
+        v_in = (_make_inner_evals(spec.expr)
+                if spec.expr is not None else None)
+        c_in = (_make_inner_evals(spec.cond_expr)
+                if spec.cond_expr is not None else None)
+        plain = [c for c in (base.col, base.cond, base.cat)
+                 if c and not c.startswith("__fe_")]
+
+        def ev(cols, idx, idx_pos=None):
+            ncols = {c: (cols[c][0][idx], cols[c][1][idx]) for c in plain}
+            n = int(idx.size)
+            if spec.expr is not None:
+                v, ok = _eval_frame_expr(spec.expr, v_in, cols, idx, idx_pos)
+                ncols["__fe_v"] = (v, ok)
+                n = len(v)
+            if spec.cond_expr is not None:
+                cv, cok = _eval_frame_expr(spec.cond_expr, c_in, cols, idx,
+                                           idx_pos)
+                ncols["__fe_c"] = (cv, cok)
+            return base_ev(ncols, np.arange(n, dtype=np.int64))
+        return ev
+
     kind, col, cond, cat, k = spec.kind, spec.col, spec.cond, spec.cat, spec.k
 
     if kind == "count_star":
@@ -344,19 +465,33 @@ def make_evaluator(spec: AggSpec):
 
     if kind == "topn_frequency":
         def ev(cols, idx):
+            # reference FZTopNFrequency::Output (feature_zero_def.cc:483-554):
+            # result is ALWAYS top_n entries, padded with literal "NULL" when
+            # fewer distinct values exist (test_udaf_function.yaml id 53:
+            # 2-row window, topn_frequency(id, 3) -> "1,NULL,NULL"); an empty
+            # frame never ran Update, so top_n_ stays 0 -> empty string
+            if idx.size == 0:
+                return ""
             arr = _vals(cols, col, idx)
-            if arr.size == 0:
-                return None
             uniq, cnt = np.unique(arr, return_counts=True)
             order = np.lexsort((uniq, -cnt))  # count desc, value asc
-            return ",".join(_fmt_num(uniq[i]) for i in order[:k])
+            # values render via v1::format_string: floats as printf %f
+            # (fz id 4: float32 1.1 -> "1.100000", double 2.1 -> "2.100000");
+            # the source-type hint keeps nullable ints (stored as float64
+            # in pandas) printing bare
+            vals = [_fmt_typed(uniq[i], spec.val_t, spec.tz_ms)
+                    for i in order[:k]]
+            vals += ["NULL"] * (k - len(vals))
+            return ",".join(vals)
         return ev
 
     if kind == "top1_ratio":
         def ev(cols, idx):
+            # empty map (no non-null values) -> 0.0, not NULL
+            # (feature_zero_def.cc FZTop1Ratio::Output: map.empty() -> 0)
             arr = _vals(cols, col, idx)
             if arr.size == 0:
-                return None
+                return 0.0
             _, cnt = np.unique(arr, return_counts=True)
             return float(cnt.max()) / float(arr.size)
         return ev
@@ -391,6 +526,8 @@ def make_evaluator(spec: AggSpec):
         def ev(cols, idx):
             v, ok = cols[col]
             out = []
+            if not delim or (kind != "window_split" and not kvd):
+                return out  # empty delimiter -> no segments (fz id 5)
             for j in idx:
                 if not ok[j]:
                     continue

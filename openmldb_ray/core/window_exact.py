@@ -31,7 +31,7 @@ from collections import deque
 
 import numpy as np
 
-from .aggregates import AggSpec, make_evaluator
+from .aggregates import AggSpec, iter_specs_deep, make_evaluator, spec_has_expr
 from .frames import FrameSpec
 
 
@@ -50,8 +50,9 @@ def window_project_exact(
     in order), ``outputs`` dict name -> list of python scalars (None=NULL).
     """
     n = ts.shape[0]
-    evals = [(a.name, a.kind, make_evaluator(a)) for a in aggs]
-    outputs: dict[str, list] = {name: [] for name, _, _ in evals}
+    evals = [(a.name, a.kind, spec_has_expr(a), make_evaluator(a))
+             for a in aggs]
+    outputs: dict[str, list] = {name: [] for name, _, _, _ in evals}
     emit: list[int] = []
 
     buf: deque[int] = deque()  # newest first
@@ -162,19 +163,25 @@ def window_project_exact(
     # (window_attributes.yaml batch_plan blocks: "PROJECT(type=
     # WindowAggregation, NEED_APPEND_INPUT) +-WINDOW(rows=(ts, k PRECEDING,
     # 0 CURRENT))"). History holds only the deepest offset needed.
-    kmax = max((a.k or 0) for a in aggs if a.kind in ("lag", "at"))         if any(a.kind in ("lag", "at") for a in aggs) else 0
+    _deep = list(iter_specs_deep(aggs))
+    has_pos = any(a.kind in ("lag", "at") for a in _deep)
+    kmax = (max((a.k or 0) for a in _deep if a.kind in ("lag", "at"))
+            if has_pos else 0)
     hist: deque[int] = deque(maxlen=max(kmax, 1))  # newest first
 
     def compute(i: int, staged: bool) -> None:
         idx = view(i, staged=staged)
         emit.append(i)
-        if kmax:
+        if has_pos:
             idx_pos = np.asarray([i] + list(hist), dtype=np.int64)
         else:
             idx_pos = None
-        for name, kind, ev in evals:
-            outputs[name].append(ev(cols, idx_pos if kind in ("lag", "at")
-                                     else idx))
+        for name, kind, has_expr, ev in evals:
+            if has_expr:
+                outputs[name].append(ev(cols, idx, idx_pos))
+            else:
+                outputs[name].append(ev(cols, idx_pos if kind in ("lag", "at")
+                                         else idx))
 
     for i in range(n):
         if not ts_valid[i] or ts[i] < 0:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .aggregates import FAST_KINDS, AggSpec
+from .aggregates import FAST_KINDS, AggSpec, spec_columns, spec_has_expr
 from .frames import FrameSpec
 from .window_exact import window_project_exact
 
@@ -37,6 +37,8 @@ def fast_eligible(g: pd.DataFrame, aggs: list[AggSpec], frame: FrameSpec) -> boo
     if not frame.fast_path_eligible():
         return False
     for a in aggs:
+        if spec_has_expr(a):
+            return False  # composite frame expressions are exact-kernel only
         if a.kind in SLIDING_KINDS:
             continue
         if a.kind not in FAST_KINDS:
@@ -122,7 +124,7 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
     """Vectorized frequency windows for a small-cardinality column:
     C[i, v] = #occurrences of value v in window [lo_i, i] via per-value
     prefix sums — no Python row loop."""
-    from .aggregates import _fmt_num
+    from .aggregates import _fmt_typed
 
     n = vals.shape[0]
     uniq, codes = np.unique(vals[valid], return_inverse=True)
@@ -136,7 +138,6 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
     cumnull = np.cumsum(np.concatenate([[0], (~valid).astype(np.int64)]))
     null_in_win = (cumnull[np.arange(1, n + 1)] - cumnull[lo]) > 0
     out: dict[str, np.ndarray] = {}
-    labels = np.asarray([_fmt_num(u) for u in uniq], dtype=object)
     present = C > 0
     totals = C.sum(axis=1)
     for a in aggs_for_col:
@@ -145,16 +146,22 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
                          else null_in_win.astype(np.int64))
             out[a.name] = (present.sum(axis=1) + nulls_add).astype(object)
         elif a.kind == "top1_ratio":
-            r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), np.nan)
-            out[a.name] = np.asarray([None if np.isnan(x) else float(x) for x in r],
-                                     dtype=object)
+            # empty window (all-null) -> 0.0, matching the exact kernel
+            r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), 0.0)
+            out[a.name] = np.asarray([float(x) for x in r], dtype=object)
         else:  # topn_frequency: count desc, value asc — stable argsort on -C
+            labels = np.asarray(
+                [_fmt_typed(u, a.val_t, a.tz_ms) for u in uniq], dtype=object)
             order = np.argsort(-C, axis=1, kind="stable")  # ties → lower value index first
             res = np.empty(n, dtype=object)
             kk = a.k
+            pres_cnt = present.sum(axis=1)
             for i in range(n):  # string assembly only; O(n·k) tiny
-                sel = order[i][: min(kk, int(present[i].sum()))]
-                res[i] = ",".join(labels[j] for j in sel) if sel.size else None
+                sel = order[i][: min(kk, int(pres_cnt[i]))]
+                # always pad to k entries with literal "NULL" (exact-kernel
+                # parity; reference FZTopNFrequency::Output)
+                parts = [labels[j] for j in sel] + ["NULL"] * (kk - sel.size)
+                res[i] = ",".join(parts)
             out[a.name] = res
     return out
 
@@ -169,7 +176,7 @@ def window_project_sliding(
     (parity-tested); requires fast-path frames."""
     from collections import Counter
 
-    from .aggregates import _fmt_num
+    from .aggregates import _fmt_typed
 
     ts = g[order_col].to_numpy(np.int64)
     n = ts.shape[0]
@@ -230,13 +237,13 @@ def window_project_sliding(
                 out[a.name].append(len(cnt) + extra)
             elif a.kind == "top1_ratio":
                 out[a.name].append(
-                    None if totals[a.col] == 0 else max(cnt.values()) / totals[a.col])
-            else:  # topn_frequency: count desc, value asc
-                if not cnt:
-                    out[a.name].append(None)
-                else:
-                    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
-                    out[a.name].append(",".join(_fmt_num(k) for k, _ in items[: a.k]))
+                    0.0 if totals[a.col] == 0 else max(cnt.values()) / totals[a.col])
+            else:  # topn_frequency: count desc, value asc, NULL-padded to k
+                items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                parts = [_fmt_typed(k, a.val_t, a.tz_ms)
+                         for k, _ in items[: a.k]]
+                parts += ["NULL"] * (a.k - len(parts))
+                out[a.name].append(",".join(parts))
     merged = {k: np.asarray(v, dtype=object) for k, v in out.items()}
     merged.update(out_fast)
     return merged
@@ -294,7 +301,7 @@ def compute_window_features(
         ts = g[order_col].to_numpy(np.float64)
         ts_valid = np.ones(len(g), bool)  # invalid already dropped
         cols: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        needed = {c for a in win_aggs for c in (a.col, a.cond, a.cat) if c}
+        needed = {c for a in win_aggs for c in spec_columns(a)}
         for c in needed:
             s = g[c]
             valid = s.notna().to_numpy()

@@ -83,15 +83,52 @@ register("degrees", lambda x: pc.multiply(pc.cast(x, pa.float64()), 180.0 / np.p
 
 
 def _hash64(x) -> pa.Array:
-    """hash64 / farm_fingerprint equivalent: deterministic 64-bit hash of the
-    string form (not the reference's exact farmhash bits — documented delta)."""
-    import hashlib
+    """hash64 / farm_fingerprint: bit-exact FarmHash Fingerprint64 over the
+    value's raw little-endian bytes (udf.cc:1418 + literal_traits.h:462-527:
+    numerics by sizeof, Timestamp -> int64 ms, Date -> packed
+    (y-1900)<<16|(m-1)<<8|d int32, string -> utf8 bytes). Fixed-width types
+    take the vectorized numpy path; strings hash per row.
+    Verified against test_udf_function.yaml ids 4/5 vectors."""
+    from .farmhash import fingerprint64, fingerprint64_fixed
 
-    vals = pc.cast(x, pa.string()).to_pylist() if isinstance(x, (pa.Array, pa.ChunkedArray)) else [str(x)]
-    out = [None if v is None else
-           int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big") - (1 << 63)
-           for v in vals]
-    return pa.array(out, type=pa.int64())
+    if not isinstance(x, (pa.Array, pa.ChunkedArray)):
+        x = pa.array([x])
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    t = x.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        out = [None if v is None else _u2i64(fingerprint64(v.encode()))
+               for v in x.to_pylist()]
+        return pa.array(out, type=pa.int64())
+
+    if pa.types.is_date32(t):
+        packed = pc.add(pc.add(
+            pc.shift_left(pc.subtract(pc.year(x), 1900), 16),
+            pc.shift_left(pc.subtract(pc.month(x), 1), 8)), pc.day(x))
+        x, t = pc.cast(packed, pa.int32()), pa.int32()
+    elif pa.types.is_timestamp(t):
+        x, t = pc.cast(pc.cast(x, pa.timestamp("ms")), pa.int64()), pa.int64()
+
+    _widths = {pa.int16(): (np.int16, np.uint16, 2),
+               pa.int32(): (np.int32, np.uint32, 4),
+               pa.int64(): (np.int64, np.uint64, 8),
+               pa.float32(): (np.float32, np.uint32, 4),
+               pa.float64(): (np.float64, np.uint64, 8),
+               pa.bool_(): (np.bool_, np.uint8, 1)}
+    if t not in _widths:  # e.g. int8 widened by SQL layer; fall back to int32
+        x, t = pc.cast(x, pa.int32()), pa.int32()
+    dt, ut, w = _widths[t]
+    nulls = pc.is_null(x)
+    vals = x.fill_null(False if t == pa.bool_() else 0) \
+            .to_numpy(zero_copy_only=False).astype(dt).view(ut) \
+            .astype(np.uint64)
+    h = fingerprint64_fixed(vals, w).view(np.int64)
+    return pa.array(h, type=pa.int64(), mask=np.asarray(nulls.to_pylist(),
+                                                        dtype=bool))
+
+
+def _u2i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 register("hash64", _hash64, "farm_fingerprint")
@@ -102,10 +139,41 @@ register("concat", lambda *xs: pc.binary_join_element_wise(
 register("concat_ws", lambda sep, *xs: pc.binary_join_element_wise(
     *[to_string_sql(x) for x in xs],
     to_string_sql(sep) if not isinstance(sep, str) else sep))
-register("substr", lambda s, pos, length=None:
-         pc.utf8_slice_codeunits(s, start=pos - 1,
-                                 stop=(pos - 1 + length) if length is not None else None),
-         "substring")
+def _substr(s, pos, length=None):
+    """substr/substring (udf.cc:1048-1097): 1-based ``pos``; ``pos == 0``,
+    ``len < 1`` or out-of-range ``pos`` -> EMPTY string (not NULL); negative
+    ``pos`` counts from the end; NULL input or NULL pos/len -> NULL.
+    Column-valued pos/len supported (test_udf_function.yaml id 0)."""
+    pos_arr = isinstance(pos, (pa.Array, pa.ChunkedArray))
+    len_arr = isinstance(length, (pa.Array, pa.ChunkedArray))
+    if (not pos_arr and not len_arr and pos is not None
+            and pos > 0 and (length is None or length >= 1)):
+        # vectorized fast path for the common literal case
+        return pc.utf8_slice_codeunits(
+            s, start=pos - 1,
+            stop=(pos - 1 + length) if length is not None else None)
+    n = len(s)
+    vals = s.to_pylist()
+    poss = pos.to_pylist() if pos_arr else [pos] * n
+    lens = (length.to_pylist() if len_arr
+            else [length] * n)
+    has_len = length is not None or len_arr
+    out = []
+    for v, p, L in zip(vals, poss, lens):
+        if v is None or p is None or (has_len and L is None):
+            out.append(None)
+            continue
+        sz = len(v)
+        if p == 0 or (has_len and L < 1) or p > sz or p < -sz:
+            out.append("")
+            continue
+        start = sz + p if p < 0 else p - 1
+        stop = min(start + L, sz) if has_len else sz
+        out.append(v[start:stop])
+    return pa.array(out, pa.string())
+
+
+register("substr", _substr, "substring")
 def _strcmp(a, b):
     for v in (a, b):
         t = getattr(v, "type", None)
@@ -346,6 +414,9 @@ register("timestamp", lambda x: pc.cast(_as_ts(x), pa.timestamp("ms")))
 
 # ---- null / conditional ---------------------------------------------------
 register("is_null", pc.is_null, "isnull")
+# identity(x): pass-through (hybridse/src/udf/default_udf_library.cc; used
+# by feature-zero generated SQL to pin an expression's evaluation)
+register("identity", lambda x: x)
 def _if_null(x, d):
     """ifnull/nvl: the reference requires value and default to have the
     SAME type — even int vs double is a compile error
@@ -402,7 +473,12 @@ register("string", to_string_sql)  # SQL formatting rules (see above)
 # split / split_by_key / split_by_value / join, fz_* aliases)
 def _split(s, delim):
     """fz_split: NULL input yields an EMPTY list, not NULL
-    (test_feature_zero_function.yaml id 2: fz_join(fz_split(NULL)) = '')."""
+    (test_feature_zero_function.yaml id 2: fz_join(fz_split(NULL)) = '');
+    an empty delimiter yields empty lists (id 5: every fz_join over a
+    ""-delimited split renders '')."""
+    if delim == "":
+        n = len(s)
+        return pa.array([[]] * n, type=pa.list_(pa.string()))
     out = pc.split_pattern(s, pattern=delim)
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
@@ -419,8 +495,8 @@ def _split_kv(s, delim: str, kv_delim: str, want: int) -> pa.Array:
     vals = s.to_pylist() if hasattr(s, "to_pylist") else list(s)
     out = []
     for v in vals:
-        if v is None:
-            out.append([])  # NULL -> empty list (fz semantics)
+        if v is None or delim == "" or kv_delim == "":
+            out.append([])  # NULL / empty delimiter -> empty list
             continue
         parts = []
         for item in str(v).split(delim):

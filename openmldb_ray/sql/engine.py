@@ -28,7 +28,9 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.aggregates import AggSpec
+import numpy as np
+
+from ..core.aggregates import AggSpec, FrameExpr, SEQ_KINDS
 from ..core.frames import FrameSpec
 from .ast_nodes import (
     Between, BinaryOp, Case, Cast, Column, FrameBound, FuncCall, InList,
@@ -118,41 +120,82 @@ def _freeze_scope(scope: Scope) -> _Resolver:
 
 # ---- AST utilities --------------------------------------------------------
 
+def _children(e) -> tuple:
+    if isinstance(e, UnaryOp):
+        return (e.operand,)
+    if isinstance(e, BinaryOp):
+        return (e.left, e.right)
+    if isinstance(e, Like):
+        return ((e.operand, e.pattern, e.escape) if e.escape is not None
+                else (e.operand, e.pattern))
+    if isinstance(e, IsNull):
+        return (e.operand,)
+    if isinstance(e, InList):
+        return (e.operand, *e.items)
+    if isinstance(e, Between):
+        return (e.operand, e.low, e.high)
+    if isinstance(e, Case):
+        out = [] if e.operand is None else [e.operand]
+        for c, r in e.whens:
+            out += [c, r]
+        if e.default is not None:
+            out.append(e.default)
+        return tuple(out)
+    if isinstance(e, Cast):
+        return (e.operand,)
+    if isinstance(e, FuncCall):
+        return tuple(e.args)
+    return ()
+
+
 def walk(e):
     yield e
-    if isinstance(e, UnaryOp):
-        yield from walk(e.operand)
-    elif isinstance(e, BinaryOp):
-        yield from walk(e.left)
-        yield from walk(e.right)
-    elif isinstance(e, Like):
-        yield from walk(e.operand)
-        yield from walk(e.pattern)
-        if e.escape is not None:
-            yield from walk(e.escape)
-    elif isinstance(e, IsNull):
-        yield from walk(e.operand)
-    elif isinstance(e, InList):
-        yield from walk(e.operand)
-        for it in e.items:
-            yield from walk(it)
-    elif isinstance(e, Between):
-        yield from walk(e.operand)
-        yield from walk(e.low)
-        yield from walk(e.high)
-    elif isinstance(e, Case):
-        if e.operand is not None:
-            yield from walk(e.operand)
-        for c, r in e.whens:
-            yield from walk(c)
-            yield from walk(r)
-        if e.default is not None:
-            yield from walk(e.default)
-    elif isinstance(e, Cast):
-        yield from walk(e.operand)
-    elif isinstance(e, FuncCall):
-        for a in e.args:
-            yield from walk(a)
+    for c in _children(e):
+        yield from walk(c)
+
+
+def _top_agg_calls(nodes) -> list:
+    """Top-most aggregate FuncCalls in ``nodes`` (no descent into them)."""
+    out = []
+
+    def visit(e):
+        if is_agg_call(e):
+            out.append(e)
+            return
+        for c in _children(e):
+            visit(c)
+
+    for n in nodes:
+        visit(n)
+    return out
+
+
+def _push_scalar_over(expr):
+    """Composite window expressions (test_udaf_function.yaml id 42:
+    ``abs(sum(c3)) OVER w1``, ``log((sum(c1)+sum(c2))/c3) OVER w1``): the
+    parser attaches OVER to the outermost call. When that call is NOT an
+    aggregate, push the window down onto each top-most aggregate inside;
+    the scalar structure then evaluates per emitted row in the final
+    projection (non-aggregate columns read the current row, matching the
+    reference's row-project-over-window codegen)."""
+    while True:
+        targets = [n for n in walk(expr)
+                   if isinstance(n, FuncCall) and n.over is not None
+                   and n.name.lower() not in AGG_NAMES]
+        if not targets:
+            return expr
+        mapping = {}
+        for t in targets:
+            subs = _top_agg_calls(t.args)
+            # no aggregate inside: a pure scalar call with OVER evaluates
+            # per row, window irrelevant (test_feature_zero_function.yaml
+            # id 5: fz_join(fz_split(c1, ""), "") OVER w1)
+            smap = {s: FuncCall(s.name, s.args, t.over, s.distinct)
+                    for s in subs}
+            mapping[t] = FuncCall(
+                t.name, tuple(rewrite(a, smap) for a in t.args),
+                None, t.distinct)
+        expr = rewrite(expr, mapping)
 
 
 def rewrite(e, mapping: dict):
@@ -251,6 +294,54 @@ def _lit_str(e) -> str:
     raise SqlLowerError(f"expected string literal, got {e}")
 
 
+def _make_frame_expr_fn(expr_ast):
+    """Compile a frame expression into the kernel-facing callable
+    ``fn(sliced_cols, consts, n) -> (vals, valid)`` (see FrameExpr).
+    Columns arrive as the exact kernel's (values, valid) numpy pairs;
+    inner-aggregate constants broadcast to the frame length. Evaluation
+    reuses the Arrow expression evaluator over a tiny per-frame table —
+    O(frame) per output row, exact-kernel-only by design."""
+    ev = Evaluator(None)  # column names are physical already
+
+    def fn(sliced: dict, consts: dict, n: int, const_types: dict):
+        names, arrays = [], []
+        for cname, (v, ok) in sliced.items():
+            mask = ~np.asarray(ok, dtype=bool)
+            if v.dtype == object:
+                arrays.append(pa.array(
+                    [None if m else x for x, m in zip(v, mask)]))
+            else:
+                arrays.append(pa.array(v, mask=mask))
+            names.append(cname)
+        for cname, cval in consts.items():
+            if isinstance(cval, np.generic):
+                cval = cval.item()
+            ctype = const_types.get(cname)
+            if cval is None:
+                arrays.append(pa.nulls(n, ctype) if ctype is not None
+                              else pa.nulls(n))
+            else:
+                arrays.append(pa.array([cval] * n, type=ctype))
+            names.append(cname)
+        t = pa.Table.from_arrays(arrays, names=names)
+        out = ev.eval(expr_ast, t)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        valid = pc.is_valid(out).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(out.type):
+            vals = pc.fill_null(out, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        elif pa.types.is_floating(out.type):
+            vals = pc.fill_null(out, 0.0).to_numpy(zero_copy_only=False)
+        elif pa.types.is_boolean(out.type):
+            vals = pc.fill_null(out, False).to_numpy(zero_copy_only=False)
+        else:
+            vals = np.asarray(out.to_pylist(), dtype=object)
+        return vals, valid
+
+    return fn
+
+
 class AggCollector:
     """Turns aggregate FuncCalls into AggSpecs + temp-column exprs."""
 
@@ -260,6 +351,7 @@ class AggCollector:
         self.specs: list[AggSpec] = []
         self.replacements: dict = {}              # FuncCall -> Column
         self._n = 0
+        self._ni = 0
 
     def _temp(self, expr) -> str:
         if isinstance(expr, Column):
@@ -274,58 +366,106 @@ class AggCollector:
     def add(self, call: FuncCall, resolve) -> Column:
         if call in self.replacements:
             return self.replacements[call]
-        name = call.name.lower()
         out_col = f"{self.prefix}{self._n}"
         self._n += 1
-
-        if name == "count" and len(call.args) == 1 and isinstance(call.args[0], Star):
-            spec = AggSpec(kind="count_star", name=out_col)
-        elif name == "count_where" and len(call.args) == 2 \
-                and isinstance(call.args[0], Star):
-            # count_where(*, cond): row count over the condition
-            spec = AggSpec(kind="count_where", name=out_col, col=None,
-                           cond=self._arg_col(call.args[1], resolve,
-                                              want_bool=True))
-        elif name == "count" and call.distinct:
-            col = self._arg_col(call.args[0], resolve)
-            spec = AggSpec(kind="distinct_count", name=out_col, col=col)
-        else:
-            sig = _AGG_SIGS.get(name)
-            if sig is None:
-                raise SqlLowerError(f"unknown aggregate {name!r}")
-            kind, roles = sig
-            args = list(call.args)
-            if len(args) != len(roles):
-                raise SqlLowerError(
-                    f"{name} expects {len(roles)} args, got {len(args)}")
-            kw: dict = {}
-            for role, arg in zip(roles, args):
-                if role == "v":
-                    kw["col"] = self._arg_col(arg, resolve)
-                elif role == "c":
-                    kw["cond"] = self._arg_col(arg, resolve, want_bool=True)
-                elif role == "g":
-                    kw["cat"] = self._arg_col(arg, resolve)
-                elif role == "k":
-                    kw["k"] = _lit_int(arg)
-                elif role == "d":
-                    kw["delim"] = _lit_str(arg)
-                elif role == "e":
-                    kw["kv_delim"] = _lit_str(arg)
-            spec = AggSpec(kind=kind, name=out_col, **kw)
+        spec = self._make_spec(call, resolve, out_col)
         self.specs.append(spec)
         repl = Column(out_col)
         self.replacements[call] = repl
         return repl
+
+    def _make_spec(self, call: FuncCall, resolve, out_col: str) -> AggSpec:
+        name = call.name.lower()
+
+        if name == "count" and len(call.args) == 1 and isinstance(call.args[0], Star):
+            return AggSpec(kind="count_star", name=out_col)
+        if name == "count_where" and len(call.args) == 2 \
+                and isinstance(call.args[0], Star):
+            # count_where(*, cond): row count over the condition
+            kw = self._role_arg(call.args[1], resolve, "cond")
+            return AggSpec(kind="count_where", name=out_col, col=None, **kw)
+        if name == "count" and call.distinct:
+            kw = self._role_arg(call.args[0], resolve, "col")
+            return AggSpec(kind="distinct_count", name=out_col, **kw)
+
+        sig = _AGG_SIGS.get(name)
+        if sig is None:
+            raise SqlLowerError(f"unknown aggregate {name!r}")
+        kind, roles = sig
+        args = list(call.args)
+        if len(args) != len(roles):
+            raise SqlLowerError(
+                f"{name} expects {len(roles)} args, got {len(args)}")
+        kw: dict = {}
+        for role, arg in zip(roles, args):
+            if role == "v":
+                kw.update(self._role_arg(arg, resolve, "col"))
+            elif role == "c":
+                kw.update(self._role_arg(arg, resolve, "cond"))
+            elif role == "g":
+                kw["cat"] = self._arg_col(arg, resolve)
+            elif role == "k":
+                kw["k"] = _lit_int(arg)
+            elif role == "d":
+                kw["delim"] = _lit_str(arg)
+            elif role == "e":
+                kw["kv_delim"] = _lit_str(arg)
+        spec = AggSpec(kind=kind, name=out_col, **kw)
+        if spec.expr is not None and spec.expr.seq is not None \
+                and kind in ("lag", "at", "lead", "first_value"):
+            raise SqlLowerError(
+                f"{kind} over a window_split sequence is unsupported")
+        return spec
+
+    def _role_arg(self, arg, resolve, field: str) -> dict:
+        """Value/condition role: a plain column/temp, or — when the
+        argument itself contains aggregate calls — a per-frame expression
+        (reference nested-UDAF codegen, test_udaf_function.yaml ids
+        42/43/49/53; see core.aggregates.FrameExpr)."""
+        if not any(is_agg_call(n) for n in walk(arg)):
+            return {field: self._arg_col(arg, resolve,
+                                         want_bool=field == "cond")}
+        return {f"{field}_expr" if field == "cond" else "expr":
+                self._frame_expr(arg, resolve)}
+
+    def _frame_expr(self, arg, resolve) -> FrameExpr:
+        subs = []
+        mapping: dict = {}
+        inner = []
+        for s in _top_agg_calls([arg]):
+            if s in mapping:
+                continue
+            iname = f"{self.prefix}i{self._ni}"
+            self._ni += 1
+            ispec = self._make_spec(s, resolve, iname)
+            inner.append(ispec)
+            mapping[s] = Column(iname)
+            subs.append(s)
+        # fused UDAF-of-UDAF: the argument IS a list-producing aggregate
+        # (distinct_count(fz_window_split(c1, ","))): the token sequence is
+        # the value sequence, no element-wise expression in between
+        if len(subs) == 1 and arg == subs[0] and inner[0].kind in SEQ_KINDS:
+            return FrameExpr(inner=tuple(inner), seq=inner[0].name)
+        if any(i.kind in SEQ_KINDS for i in inner):
+            raise SqlLowerError(
+                "window_split inside an arithmetic aggregate argument "
+                "is unsupported")
+        expr_ast = rewrite(arg, mapping)
+        colmap = {}
+        for n2 in walk(expr_ast):
+            if isinstance(n2, Column) and not n2.name.startswith(self.prefix):
+                colmap[n2] = Column(resolve(n2))
+        expr_ast = rewrite(expr_ast, colmap)
+        phys = tuple(sorted({c.name for c in colmap.values()}))
+        return FrameExpr(fn=_make_frame_expr_fn(expr_ast), cols=phys,
+                         inner=tuple(inner))
 
     def _arg_col(self, arg, resolve, want_bool: bool = False) -> str:
         if isinstance(arg, Column):
             return resolve(arg)
         if any(is_agg_call(n) for n in walk(arg)):
             raise SqlLowerError(
-                "aggregate call inside an aggregate argument is unsupported "
-                "(reference computes these per-row over window state; "
-                "test_udaf_function.yaml ids 47/48)")
+                "aggregate call inside a category argument is unsupported")
         name = self._temp(arg)
         return name
 
@@ -767,6 +907,7 @@ def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
         else:
             items.append(SelectItem(e, alias))
 
+    items = [SelectItem(_push_scalar_over(it.expr), it.alias) for it in items]
     window_calls = [n for it in items for n in walk(it.expr)
                     if isinstance(n, FuncCall) and n.over is not None]
     for it in items:
@@ -958,7 +1099,7 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
 
     tiebreak = RID if RID in ds.schema().names else None
     in_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
-    specs = [_with_type_hints(s, in_types) for s in coll.specs]
+    specs = [_with_type_hints_deep(s, in_types) for s in coll.specs]
     ds = window_agg(ds, part_cols, ord_col, specs, frame,
                     union=union_ds, tiebreak=tiebreak)
     # restore OpenMLDB UDAF result types (the vectorized kernel computes
@@ -1032,6 +1173,27 @@ def _with_type_hints(spec: AggSpec, in_types: dict) -> AggSpec:
         cat_t=ck,
         tz_ms=scalar_fns.get_timezone_offset_ms(),
     )
+
+
+def _with_type_hints_deep(spec: AggSpec, in_types: dict) -> AggSpec:
+    import dataclasses
+
+    spec = _with_type_hints(spec, in_types)
+
+    def fix(fe):
+        if fe is None:
+            return None
+        return dataclasses.replace(
+            fe,
+            inner=tuple(_with_type_hints_deep(i, in_types)
+                        for i in fe.inner),
+            const_types=tuple((i.name, _agg_result_type(i, in_types))
+                              for i in fe.inner))
+
+    if spec.expr is not None or spec.cond_expr is not None:
+        spec = dataclasses.replace(spec, expr=fix(spec.expr),
+                                   cond_expr=fix(spec.cond_expr))
+    return spec
 
 
 _PRESERVE_KINDS = {"sum", "min", "max", "lag", "at", "first_value", "lead",

@@ -94,8 +94,8 @@ class Parser:
         items = [self.parse_select_item()]
         while self.at_op(","):
             self.take()
-            if self.at_kw("from"):   # trailing comma (accepted by reference)
-                break
+            if self.at_kw("from") or self.peek() is None or self.at_op(";"):
+                break   # trailing comma (accepted by reference), incl. FROM-less
             items.append(self.parse_select_item())
 
         from_ = None

@@ -125,6 +125,122 @@ def build_table(columns: list[str], rows: list | None) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _cols_from_create(create_sql: str) -> list[str]:
+    """Column defs from a CREATE TABLE statement (dml/multi_insert.yaml
+    style inputs); index(...) entries are ignored (no index modeling)."""
+    import re
+
+    m = re.search(r"\((.*)\)\s*;?\s*$", create_sql, re.S)
+    if not m:
+        raise Unsupported(f"unparsed create: {create_sql[:60]!r}")
+    parts, depth, cur = [], 0, ""
+    for ch in m.group(1):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    cols = []
+    for p in parts:
+        t = p.strip()
+        if not t or t.lower().startswith(("index", "primary", "key")):
+            continue
+        toks = t.split()
+        cols.append(f"{toks[0]} {toks[1].lower()}")
+    return cols
+
+
+def _insert_lit(tok: str):
+    t = tok.strip()
+    low = t.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    if t == "?":
+        return "?"
+    t2 = t.rstrip("fFlLdD")  # numeric literal suffixes (3.3f, 5L)
+    try:
+        if "." in t2 or "e" in t2.lower():
+            return float(t2)
+        return int(t2)
+    except ValueError:
+        return t
+
+
+def _parse_value_tuples(s: str) -> list[list]:
+    tuples: list[list] = []
+    cur = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "(":
+            cur = []
+            i += 1
+        elif ch == ")":
+            if cur is not None:
+                tuples.append(cur)
+            cur = None
+            i += 1
+        elif ch in ", \t\r\n;":
+            i += 1
+        elif ch in "\"'":
+            q = ch
+            i += 1
+            buf = ""
+            while i < n and s[i] != q:
+                if s[i] == "\\" and i + 1 < n:
+                    i += 1
+                buf += s[i]
+                i += 1
+            i += 1
+            if cur is not None:
+                cur.append(buf)
+        else:
+            j = i
+            while j < n and s[j] not in ",) \t\r\n":
+                j += 1
+            if cur is not None:
+                cur.append(_insert_lit(s[i:j]))
+            i = j
+    return tuples
+
+
+def _rows_from_insert(stmts: str, cols: list[str],
+                      param_rows: list | None) -> list:
+    """Rows from INSERT INTO ... VALUES statements; '?' placeholders take
+    one parameter row each (test_insert_prepared.yaml)."""
+    import re
+
+    names = [c.split()[0] for c in cols]
+    out: list = []
+    for stmt in re.split(r";", stmts):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        m = re.match(r"insert\s+into\s+\S+\s*(?:\(([^)]*)\))?\s*"
+                     r"values\s*(.*)$", stmt, re.I | re.S)
+        if not m:
+            raise Unsupported(f"unparsed insert: {stmt[:60]!r}")
+        collist = ([c.strip() for c in m.group(1).split(",")]
+                   if m.group(1) else names)
+        for tup in _parse_value_tuples(m.group(2)):
+            if any(v == "?" for v in tup):
+                for prow in (param_rows or []):
+                    d = dict(zip(collist, list(prow)))
+                    out.append([d.get(nm) for nm in names])
+            else:
+                d = dict(zip(collist, tup))
+                out.append([d.get(nm) for nm in names])
+    return out
+
+
 def build_tables(case: dict):
     import ray.data as rd
 
@@ -132,6 +248,20 @@ def build_tables(case: dict):
     for i, inp in enumerate(case.get("inputs") or []):
         cols = inp.get("columns")
         rows = inp.get("rows")
+        if cols is None and inp.get("schema") is not None:
+            # "schema: col0:string, col1:int32" + "data:" CSV inputs
+            # (select/test_where.yaml style)
+            cols = [c.strip().replace(":", " ", 1)
+                    for c in str(inp["schema"]).split(",")]
+        elif cols is None and inp.get("create") is not None:
+            cols = _cols_from_create(str(inp["create"]))
+            ins = inp.get("insert") or inp.get("inserts")
+            if isinstance(ins, list):
+                ins = ";".join(str(x) for x in ins)
+            if ins:
+                rows = _rows_from_insert(str(ins), cols, rows)
+            elif rows is None:
+                rows = []
         if rows is None and inp.get("data") is not None:
             # CSV-ish "data: |" blocks (window_attributes.yaml style)
             rows = []
@@ -140,7 +270,7 @@ def build_tables(case: dict):
                 rows.append([None if c in ("NULL", "null", "") else c
                              for c in cells])
         if cols is None:
-            # "create" DDL-style input (create table ...): unsupported here
+            # no columns/schema/create on the input
             raise Unsupported("input without columns (DDL create)")
         repeat = int(inp.get("repeat", 1))
         if repeat > 1 and rows:

@@ -156,3 +156,88 @@ def test_minhash_rejects_bad_band_split():
 
     with pytest.raises(ValueError):
         minhash_lsh_dedup(None, "t", "i", num_perm=64, bands=10)
+
+
+def test_farmhash_bit_exact():
+    """hash64 == farmhash::Fingerprint64 over raw LE bytes — reference
+    vectors from cases/function/function/test_udf_function.yaml ids 4/5."""
+    import struct
+
+    import numpy as np
+
+    from openmldb_ray.functions.farmhash import (fingerprint64,
+                                                 fingerprint64_fixed)
+
+    def sgn(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert sgn(fingerprint64(struct.pack("<h", 90))) == -9205917472348398353
+    assert sgn(fingerprint64(struct.pack("<i", 90))) == -3754664774081171349
+    assert sgn(fingerprint64(struct.pack("<q", 90))) == -6110541762027922508
+    assert sgn(fingerprint64(struct.pack("<d", 90.0))) == 42123122574000053
+    assert sgn(fingerprint64(struct.pack("<f", 90.0))) == 3717229009355585768
+    assert sgn(fingerprint64(b"g1")) == 3208330103598489124
+    assert sgn(fingerprint64(struct.pack("<q", 1590115420000))) \
+        == 4361965398422314040
+    d = ((2020 - 1900) << 16) | ((7 - 1) << 8) | 15  # OpenMLDB Date packing
+    assert sgn(fingerprint64(struct.pack("<i", d))) == -8740639806462273876
+    assert sgn(fingerprint64(b"\x01")) == 5161771770385946686   # bool true
+    assert fingerprint64(b"abc") == 2640714258260161385  # published vector
+    assert fingerprint64(b"") == 11160318154034397263
+    # vectorized fixed-width path parity with the scalar path
+    for width, fmt, vals in [(8, "<q", [1, -7, 1590115420000]),
+                             (4, "<i", [0, -1, 7865871]),
+                             (2, "<h", [55, -90]), (1, "<b", [0, 1])]:
+        le = np.array([int.from_bytes(struct.pack(fmt, v), "little")
+                       for v in vals], dtype=np.uint64)
+        vec = fingerprint64_fixed(le, width)
+        assert [int(x) for x in vec] == [
+            fingerprint64(struct.pack(fmt, v)) for v in vals]
+
+
+def test_hash64_typed_arrays():
+    """hash64 dispatches on the Arrow type (same value, different bytes)."""
+    import pyarrow as pa
+
+    from openmldb_ray.functions.scalar import REGISTRY
+
+    h = REGISTRY["hash64"]
+    assert h(pa.array([90], pa.int16())).to_pylist() == [-9205917472348398353]
+    assert h(pa.array([90], pa.int32())).to_pylist() == [-3754664774081171349]
+    assert h(pa.array([90], pa.int64())).to_pylist() == [-6110541762027922508]
+    assert h(pa.array([90.0], pa.float64())).to_pylist() == [42123122574000053]
+    assert h(pa.array([90.0], pa.float32())).to_pylist() == [3717229009355585768]
+    assert h(pa.array(["g1", None])).to_pylist() == [3208330103598489124, None]
+    assert h(pa.array([None, True, False], pa.bool_())).to_pylist() == \
+        [None, 5161771770385946686, -4728684028706075820]
+    import datetime
+    assert h(pa.array([datetime.date(2020, 7, 15)])).to_pylist() == \
+        [-8740639806462273876]
+    assert h(pa.array([1590115420000], pa.timestamp("ms"))).to_pylist() == \
+        [4361965398422314040]
+
+
+def test_substr_reference_semantics():
+    """sub_string edge cases (udf.cc:1048-1097) incl. column-valued args."""
+    import pyarrow as pa
+
+    from openmldb_ray.functions.scalar import REGISTRY
+
+    sub = REGISTRY["substring"]
+    s = pa.array(["hello world", None, "abc"])
+    # scalar fast path
+    assert sub(s, 1, 5).to_pylist() == ["hello", None, "abc"]
+    # pos == 0 -> empty string, not NULL
+    assert sub(s, 0, 3).to_pylist() == ["", None, ""]
+    # len < 1 -> empty
+    assert sub(s, 2, 0).to_pylist() == ["", None, ""]
+    # negative pos counts from end
+    assert sub(s, -3, 3).to_pylist() == ["rld", None, "abc"]
+    # pos out of range -> empty
+    assert sub(s, 99, 2).to_pylist() == ["", None, ""]
+    # column-valued length with NULLs -> NULL rows
+    lens = pa.array([5, 2, None], pa.int32())
+    assert sub(s, 1, lens).to_pylist() == ["hello", None, None]
+    # column-valued pos
+    poss = pa.array([7, 1, -2], pa.int32())
+    assert sub(s, poss, 2).to_pylist() == ["wo", None, "bc"]

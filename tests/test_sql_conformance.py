@@ -36,6 +36,7 @@ GREEN_FILES = [
     "expression/test_type.yaml",
     "expression/test_predicate.yaml",
     "function/test_calculate.yaml",
+    "function/test_udf_function.yaml",
     "function/test_date.yaml",
     "function/test_like_match.yaml",
     "function/test_string.yaml",
