@@ -63,15 +63,16 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
     per key — high-cardinality scale path); each key is windowed
     independently inside."""
 
-    def one_key(g: pd.DataFrame):
-        sort_cols = [order_by]
-        if has_union:
-            # ts ties: union rows (False) before primary rows (True),
-            # WindowAggPlan.scala:78-91
-            sort_cols.append(UNION_FLAG)
-        if tiebreak:
-            sort_cols.append(tiebreak)
-        g = g.sort_values(sort_cols, kind="stable")
+    def one_key(g: pd.DataFrame, presorted: bool = False):
+        if not presorted:
+            sort_cols = [order_by]
+            if has_union:
+                # ts ties: union rows (False) before primary rows (True),
+                # WindowAggPlan.scala:78-91
+                sort_cols.append(UNION_FLAG)
+            if tiebreak:
+                sort_cols.append(tiebreak)
+            g = g.sort_values(sort_cols, kind="stable")
         if hook is not None:
             hook("pre", g)
         out = compute_window_features(
@@ -87,11 +88,43 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
     if keys is None:
         return lambda g: _to_arrow(one_key(g))
 
-    def bucket_fn(bucket: pd.DataFrame):
-        bucket = bucket.drop(columns="__wb", errors="ignore")
-        parts = [one_key(g) for _, g in bucket.groupby(keys, sort=False, dropna=False)]
-        out = pd.concat(parts, ignore_index=True) if parts else one_key(bucket)
-        return _to_arrow(out)
+    def bucket_fn(bucket: "pa.Table"):
+        """Arrow-native bucket kernel: ONE stable Arrow sort over
+        (keys…, order, flags), zero-copy per-key slicing via vectorized
+        boundary detection, pandas conversion only for the slice handed to
+        the window kernel (no whole-block object-dtype round trip)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if "__wb" in bucket.column_names:
+            bucket = bucket.drop_columns(["__wb"])
+        if bucket.num_rows == 0:
+            return _to_arrow(one_key(bucket.to_pandas(), presorted=True))
+        spec = [(k, "ascending") for k in keys] + [(order_by, "ascending")]
+        if has_union:
+            spec.append((UNION_FLAG, "ascending"))
+        if tiebreak:
+            spec.append((tiebreak, "ascending"))
+        t = bucket.sort_by(spec)  # Arrow sorts are stable; ties keep order
+        n = t.num_rows
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for kcol in keys:
+            col = t[kcol].combine_chunks()
+            a, b = col.slice(0, n - 1), col.slice(1)
+            # null == null -> same group (pandas dropna=False parity);
+            # validity flip -> boundary
+            neq = pc.fill_null(pc.not_equal(a, b), False) \
+                    .to_numpy(zero_copy_only=False)
+            vchg = pc.xor(pc.is_null(a), pc.is_null(b)) \
+                     .to_numpy(zero_copy_only=False)
+            change[1:] |= neq | vchg
+        starts = np.nonzero(change)[0]
+        bounds = np.append(starts, n)
+        parts = [one_key(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                          .to_pandas(), presorted=True)
+                 for i in range(starts.size)]
+        return _to_arrow(pd.concat(parts, ignore_index=True))
 
     return bucket_fn
 
@@ -140,7 +173,7 @@ def window_agg(
                         hook=hook, keys=keys)
     return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
               .groupby("__wb", num_partitions=num_partitions)
-              .map_groups(fn, batch_format="pandas"))
+              .map_groups(fn, batch_format="pyarrow"))
 
 
 def _flag_adder(value: bool):
