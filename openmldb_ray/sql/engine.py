@@ -765,7 +765,7 @@ def _lower_join(node: Join, tables, ctx):
                 continue
         residual_parts.append(cj)
 
-    if not equi:
+    if not equi and node.kind != "last":
         raise SqlLowerError("join requires at least one equi condition")
 
     # merged scope for residual evaluation / downstream
@@ -781,8 +781,22 @@ def _lower_join(node: Join, tables, ctx):
             pred = BinaryOp("and", pred, p)
         residual = _ResidualPred(pred, _freeze_scope(out_scope))
 
+    # keyless (pure non-equi) LAST JOIN: nested-loop semantics via a
+    # constant join key — every (left, right) pair is a candidate, the
+    # residual predicate filters, max-ORDER-BY / last-stored picks one
+    # (test_lastjoin_simple.yaml id 17-1). Inherently a broadcast of the
+    # whole right side; fine for dimension-sized right tables only.
+    if not equi:
+        lds = lds.map_batches(_ConstKey("__jkl"),
+                              batch_format="pyarrow", batch_size=None)
+        rds = rds.map_batches(_ConstKey("__jkr"),
+                              batch_format="pyarrow", batch_size=None)
+        on = ("__jkl", "__jkr")
+        right_cols2 = dict(right_cols)
+        right_cols2["__jkr"] = "__jkr"
+        jorder = jorder_col
     # multi-key: synthesize composite key columns on both sides
-    if len(equi) > 1:
+    elif len(equi) > 1:
         lkeys = [lk for lk, _ in equi]
         rkeys = [rk for _, rk in equi]
         lds = lds.map_batches(_CompositeKey("__jkl", lkeys),
@@ -816,6 +830,19 @@ def _lower_join(node: Join, tables, ctx):
             raise SqlLowerError("LEFT JOIN with non-equi residual unsupported")
         out = left_join(lds, rds, on, right_cols=right_cols2)
     return out, out_scope
+
+
+class _ConstKey:
+    """Adds a constant int8 join key (keyless nested-loop LAST JOIN)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        if self.name in t.column_names:
+            return t.set_column(t.column_names.index(self.name), self.name, arr)
+        return t.append_column(self.name, arr)
 
 
 class _CompositeKey:

@@ -21,6 +21,10 @@ REF = "/root/reference/cases/function"
 GREEN_FILES = [
     "select/test_select_sample.yaml",
     "select/test_sub_select.yaml",
+    "select/test_where.yaml",
+    "dml/multi_insert.yaml",
+    "dml/test_insert.yaml",
+    "dml/test_insert_prepared.yaml",
     "window/test_window_row.yaml",
     "window/test_window_row_range.yaml",
     "window/test_maxsize.yaml",
