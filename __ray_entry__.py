@@ -259,6 +259,40 @@ def q_session_agg(sf_dir: str):
     return _round_cols(out, ["sum_value"])
 
 
+def q_request_window(sf_dir: str):
+    """Long-window request aggregates (reference pre-agg analog:
+    hybridse/src/vm/aggregator.h) — 30-day per-customer spend stats at
+    every order, via one key co-shuffle + per-key prefix/sliding states."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from openmldb_ray.core.aggregates import AggSpec
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.request_window import request_window_agg
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        ms = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("ms")), pa.int64())
+        return t.append_column("o_ts", ms)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                                 "o_orderdate"]) \
+        .map_batches(add_ts, batch_format="pyarrow", batch_size=None)
+    reqs = orders.select_columns(["o_orderkey", "o_custkey", "o_ts"])
+    hist = orders.select_columns(["o_custkey", "o_ts", "o_totalprice"])
+    out = request_window_agg(
+        reqs, hist, "o_custkey", "o_ts",
+        [AggSpec(name="spend_30d", kind="sum", col="o_totalprice"),
+         AggSpec(name="avg_30d", kind="avg", col="o_totalprice"),
+         AggSpec(name="min_30d", kind="min", col="o_totalprice"),
+         AggSpec(name="max_30d", kind="max", col="o_totalprice"),
+         AggSpec(name="n_30d", kind="count_star")],
+        preceding_ms=30 * 24 * 3600 * 1000,
+    ).to_pandas()
+    out["spend_30d"] = pd.to_numeric(out["spend_30d"]).astype(float).round(2)
+    return _round_cols(out, ["avg_30d", "min_30d", "max_30d"])
+
+
 def q_group_agg(sf_dir: str):
     """GroupByAggregationPlan: TPC-H Q1-ish grouped aggregate."""
     from openmldb_ray.core.aggregates import Agg
@@ -939,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lastjoin_window": q_lastjoin_window,
         "sessionize": q_sessionize,
         "session_agg": q_session_agg,
+        "request_window": q_request_window,
         "group_agg": q_group_agg,
         "group_agg_where": q_group_agg_where,
         "group_stats": q_group_stats,
@@ -1114,6 +1149,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS is_new
                 FROM events) a) b
             GROUP BY user_id, session_id
+        """,
+        "request_window": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_ts,
+                   ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+                   ROUND(AVG(o_totalprice) OVER w, 6) AS avg_30d,
+                   ROUND(MIN(o_totalprice) OVER w, 6) AS min_30d,
+                   ROUND(MAX(o_totalprice) OVER w, 6) AS max_30d,
+                   COUNT(*) OVER w AS n_30d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                         RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
         """,
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
