@@ -82,11 +82,17 @@ def run_bench() -> dict:
     timings["flagship"] = round(headline, 3)
 
     if not os.environ.get("GRAFT_FLAGSHIP_ONLY"):
+        import gc
+
         qs = E.queries()
+        gc.collect()  # release flagship's dataset refs before per-query timing
         for name in BENCH_QUERIES:
             t0 = time.time()
             _consume(qs[name](SF_DIR))
             timings[name] = round(time.time() - t0, 3)
+            # drop this query's Dataset/object-store refs so later queries
+            # aren't taxed by spill pressure from earlier ones
+            gc.collect()
 
     ray.shutdown()
     return {
