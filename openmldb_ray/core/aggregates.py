@@ -129,7 +129,7 @@ KINDS = {
 }
 
 #: aggregates the vectorized kernel (window_fast) implements
-FAST_KINDS = {"sum", "count", "count_star", "avg", "min", "max",
+FAST_KINDS = {"sum", "count", "count_star", "avg", "min", "max", "median",
               "lag", "at", "first_value", "lead"}
 
 

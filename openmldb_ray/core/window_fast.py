@@ -79,10 +79,11 @@ def window_project_vectorized(
         if a.kind == "count_star":
             ones = pd.Series(np.ones(n))
             out[a.name] = _rolling(ones, ts, frame).count().to_numpy(np.float64)
-        elif a.kind in ("sum", "count", "avg", "min", "max"):
+        elif a.kind in ("sum", "count", "avg", "min", "max", "median"):
             s = pd.to_numeric(g[a.col], errors="coerce").astype(np.float64)
             r = _rolling(s, ts, frame)
-            fn = {"sum": "sum", "count": "count", "avg": "mean", "min": "min", "max": "max"}[a.kind]
+            fn = {"sum": "sum", "count": "count", "avg": "mean", "min": "min",
+                  "max": "max", "median": "median"}[a.kind]
             vals = getattr(r, fn)().to_numpy(np.float64)
             if a.kind == "sum":
                 # rolling.sum with min_periods=1 yields 0.0 for all-NaN windows

@@ -371,8 +371,15 @@ def flagship(
     # ---- payload split: tokens stay out of every shuffle -------------------
     # ONLY the narrow feature columns are generated/read for the shuffle
     # stages; the token payload is produced exactly once, in the final
-    # partition-aligned attach (SURVEY §7.5 "wide token rows")
-    narrow = make_narrow(num_docs, seed).materialize()
+    # partition-aligned attach (SURVEY §7.5 "wide token rows").
+    # narrow is consumed TWICE (window shuffle + daily partial agg): at
+    # bench scale pinning it via materialize() is cheapest, but at
+    # north-rule scale (10^12 rows) that is tens of TB of object store —
+    # generation is pure and partition-parallel, so each consumer streams
+    # its own regeneration pass instead (recompute-per-consumer).
+    narrow = make_narrow(num_docs, seed)
+    if num_docs <= 50_000_000:
+        narrow = narrow.materialize()
 
     # ---- WINDOW UNION backfill: warm-up history feeds state only ----------
     # primary/union membership is a row-level predicate of ONE stream, so
@@ -434,7 +441,9 @@ def flagship(
     if out_dir is not None:
         from ..state.lineage import write_partitioned_with_lineage
 
-        out = out.materialize()
+        # no materialize: the fresh-run path is ONE streaming write pass;
+        # pinning the full feature table in the object store to save a
+        # recompute on the (rare) resume path is the wrong trade at scale
         write_partitioned_with_lineage(out, out_dir, "source",
                                        checksum_col="n_tok", resume=resume)
     return out

@@ -49,7 +49,14 @@ def load_data(path: str, fmt: str = "parquet", *, columns=None,
               deep_copy_to: str | None = None) -> rd.Dataset:
     """LOAD DATA INFILE. ``deep_copy_to`` mirrors the reference's deep-copy
     mode (materialize into the offline store); default is soft copy (read
-    in place — LoadDataPlan.scala:60-62 path-register)."""
+    in place — LoadDataPlan.scala:60-62 path-register). ``hive://db.table``
+    / ``catalog://db.table`` URIs resolve through the registered catalog
+    (LoadDataPlan.scala:30-134 hive branch; see sources/catalog.py)."""
+    from .catalog import is_catalog_uri, resolve
+
+    if is_catalog_uri(path):
+        entry = resolve(path)
+        path, fmt = entry.path, entry.fmt
     if fmt == "parquet":
         ds = rd.read_parquet(path, columns=columns)
     elif fmt == "csv":

@@ -1127,8 +1127,6 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
     tiebreak = RID if RID in ds.schema().names else None
     in_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
     specs = [_with_type_hints_deep(s, in_types) for s in coll.specs]
-    ds = window_agg(ds, part_cols, ord_col, specs, frame,
-                    union=union_ds, tiebreak=tiebreak)
     # restore OpenMLDB UDAF result types (the vectorized kernel computes
     # sums/extremes in float64 for NaN-propagation; sum(int) must come back
     # int, count -> int64, avg -> double: udf/default_udf_library.cc)
@@ -1137,6 +1135,33 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
         ty = _agg_result_type(spec, in_types)
         if ty is not None:
             casts[spec.name] = ty
+    # sum(timestamp) is valid in the reference (args_in<..., Timestamp>,
+    # default_udf_library.cc:2560) but pandas Timestamps don't add —
+    # aggregate over a derived int64-ms view on BOTH streams and let the
+    # result cast (already timestamp via _PRESERVE_KINDS) restore the type
+    ts_sum_cols = sorted({s.col for s in specs
+                          if s.kind == "sum" and s.col in in_types
+                          and pa.types.is_timestamp(in_types[s.col])})
+    if ts_sum_cols:
+        import dataclasses
+
+        def _add_ms_view(t: pa.Table, cols=tuple(ts_sum_cols)) -> pa.Table:
+            import pyarrow.compute as pc
+            for c in cols:
+                t = t.append_column(f"__ms_{c}", pc.cast(t[c], pa.int64()))
+            return t
+
+        ds = ds.map_batches(_add_ms_view, batch_format="pyarrow",
+                            batch_size=None)
+        if union_ds is not None:
+            union_ds = union_ds.map_batches(_add_ms_view,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+        specs = [dataclasses.replace(s, col=f"__ms_{s.col}")
+                 if (s.kind == "sum" and s.col in ts_sum_cols) else s
+                 for s in specs]
+    ds = window_agg(ds, part_cols, ord_col, specs, frame,
+                    union=union_ds, tiebreak=tiebreak)
     if casts:
         ds = ds.map_batches(_CastCols(casts), batch_format="pyarrow",
                             batch_size=None)
@@ -1186,10 +1211,18 @@ def _with_type_hints(spec: AggSpec, in_types: dict) -> AggSpec:
             and vk not in ("int", "float"):
         raise SqlLowerError(
             f"{spec.kind} value must be numeric, got {vk} (matches reference)")
-    if spec.kind in ("sum", "avg") and vk in ("string", "timestamp", "date"):
-        # plain sum/avg reject non-numeric values (test_udaf id 10 sum-string)
+    if spec.kind == "avg" and vk in ("string", "timestamp", "date"):
+        # avg rejects non-numeric values (args_in<int16..double>,
+        # default_udf_library.cc:2680)
         raise SqlLowerError(
             f"{spec.kind} value must be numeric, got {vk} (matches reference)")
+    if spec.kind == "sum" and vk in ("string", "date"):
+        # sum accepts Timestamp but not string/date
+        # (args_in<..., Timestamp>, default_udf_library.cc:2560;
+        # test_udaf_function.yaml id 7 sum-timestamp expects success)
+        raise SqlLowerError(
+            f"{spec.kind} value must be numeric or timestamp, got {vk} "
+            "(matches reference)")
     # category restrictions (ids 25/32/39: float/bool categories invalid)
     if spec.cat is not None and ck in ("float", "bool"):
         raise SqlLowerError(

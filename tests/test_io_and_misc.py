@@ -22,6 +22,26 @@ def test_load_data_soft_and_deep_copy(ray_session, tmp_path):
     assert os.path.isdir(deep) and os.listdir(deep)
 
 
+def test_load_data_catalog_source(ray_session, tmp_path):
+    """hive://db.table resolves through the registered catalog and follows
+    the same soft/deep copy modes (LoadDataPlan.scala:30-134 hive branch)."""
+    from openmldb_ray.sources.catalog import register_table, unregister_table
+    from openmldb_ray.sources.io import load_data
+
+    register_table("tpch", "nation", f"{SF}/nation.parquet")
+    try:
+        ds = load_data("hive://tpch.nation", columns=["n_nationkey"])
+        assert ds.count() == 25
+        assert ds.schema().names == ["n_nationkey"]
+        deep = str(tmp_path / "cat_deep")
+        assert load_data("catalog://tpch.nation", deep_copy_to=deep).count() == 25
+        assert os.listdir(deep)
+        with pytest.raises(KeyError, match="not registered"):
+            load_data("hive://tpch.missing")
+    finally:
+        unregister_table("tpch", "nation")
+
+
 def test_select_into_write_modes(ray_session, tmp_path):
     import ray.data as rd
 

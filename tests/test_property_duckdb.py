@@ -50,7 +50,7 @@ def test_window_vs_duckdb(ray_session, seed, frame_name, force_exact):
     aggs = [Agg.sum("v", "s"), Agg.count("v", "c"), Agg.avg("v", "a"),
             Agg.min("v", "mn"), Agg.max("v", "mx"), Agg.lag("v", 2, "l2")]
     if force_exact:
-        aggs.append(Agg.median("v", "_med"))  # pushes dispatch to the exact kernel
+        aggs.append(Agg.top("v", 2, "_med"))  # pushes dispatch to the exact kernel
 
     out = window_agg(rd.from_pandas(df), "k", "ts", aggs, frame,
                      tiebreak="rid").to_pandas()

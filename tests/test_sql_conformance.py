@@ -63,6 +63,23 @@ KNOWN_DIFFS = {
 }
 
 
+def test_udaf_sum_timestamp(ray_session):
+    """sum over TIMESTAMP values is valid (args_in<..., Timestamp>,
+    default_udf_library.cc:2560) — test_udaf_function.yaml case 7 (the full
+    file is not pinned: it alone takes ~3 min)."""
+    import yaml
+
+    from openmldb_ray.sql.yaml_runner import run_case
+
+    path = os.path.join(REF, "function/test_udaf_function.yaml")
+    if not os.path.exists(path):
+        pytest.skip("reference corpus not present")
+    case = next(c for c in yaml.safe_load(open(path))["cases"]
+                if c.get("id") == 7)
+    outcomes = run_case(case, "udaf")
+    assert outcomes and all(o.status == "pass" for o in outcomes), outcomes
+
+
 @pytest.mark.parametrize("relpath", GREEN_FILES)
 def test_yaml_file_green(ray_session, relpath):
     from openmldb_ray.sql.yaml_runner import run_file

@@ -220,9 +220,10 @@ def test_fast_matches_exact(seed, frame):
         Agg.lag("v", 2, "l2"),
         Agg.first_value("v", "fv"),
     ]
+    aggs = aggs + [Agg.median("v", "md")]
     fast = compute_window_features(df, "ts", aggs, frame)
     # force the exact path by adding an agg outside FAST_KINDS, then drop it
-    exact = compute_window_features(df, "ts", aggs + [Agg.median("v", "_force")], frame)
+    exact = compute_window_features(df, "ts", aggs + [Agg.top("v", 2, "_force")], frame)
     for a in aggs:
         f = pd.to_numeric(fast[a.name], errors="coerce").to_numpy(np.float64)
         e = pd.to_numeric(exact[a.name], errors="coerce").to_numpy(np.float64)
@@ -242,7 +243,7 @@ def test_sliding_kernel_matches_exact(card):
     aggs = [Agg.distinct_count("c", "dc"), Agg.topn_frequency("c", 3, "tf"),
             Agg.top1_ratio("c", "t1")]
     fast = compute_window_features(df, "ts", aggs, rows_range(500))
-    exact = compute_window_features(df, "ts", aggs + [Agg.median("v", "_f")], rows_range(500))
+    exact = compute_window_features(df, "ts", aggs + [Agg.top("v", 2, "_f")], rows_range(500))
     assert fast["dc"].tolist() == exact["dc"].tolist()
     assert [str(x) for x in fast["tf"]] == [str(x) for x in exact["tf"]]
     a = pd.to_numeric(fast["t1"], errors="coerce").astype(float)
