@@ -189,7 +189,29 @@ register("strcmp", _strcmp)
 register("lower", pc.utf8_lower, "lcase")
 register("upper", pc.utf8_upper, "ucase")
 register("char_length", pc.utf8_length, "character_length")
-register("replace", lambda s, pat, rep="": pc.replace_substring(s, pattern=pat, replacement=rep))
+def _broadcast_list(v, n: int) -> list:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v.to_pylist()
+    return [v] * n
+
+
+def _replace(s, pat, rep=""):
+    """replace(str, search[, replacement]) — 2-arg form removes. Runtime
+    (column / NULL-valued expression) search/replacement args propagate
+    NULL per row (cases/query/udf_query.yaml udf_replace rp4/rp5)."""
+    if (pat is None or rep is None
+            or isinstance(pat, (pa.Array, pa.ChunkedArray))
+            or isinstance(rep, (pa.Array, pa.ChunkedArray))):
+        sv = s.to_pylist()
+        n = len(sv)
+        pv, rv = _broadcast_list(pat, n), _broadcast_list(rep, n)
+        return pa.array([None if (a is None or p is None or r is None)
+                         else a.replace(p, r)
+                         for a, p, r in zip(sv, pv, rv)], pa.string())
+    return pc.replace_substring(s, pattern=pat, replacement=rep)
+
+
+register("replace", _replace)
 register("reverse", pc.utf8_reverse)
 
 
@@ -241,9 +263,35 @@ def _like_rx(pattern, escape, ci: bool) -> str:
     return ("(?i)" if ci else "") + "^(?:" + body + ")$"
 
 
+def _like_match_rows(s, pattern, escape, ci: bool) -> pa.Array:
+    """Per-row like_match for runtime (array / NULL-valued) pattern or
+    escape args: each NULL argument yields NULL for that row (udf_query.yaml
+    like_udf_const_null_string; literal-NULL args stay compile errors in
+    _like_rx, matching test_like_match ids 17/18)."""
+    import re as _re
+
+    sv = s.to_pylist()
+    n = len(sv)
+    pv, ev = _broadcast_list(pattern, n), _broadcast_list(escape, n)
+    out = []
+    rx_cache: dict = {}
+    for a, p, esc in zip(sv, pv, ev):
+        if a is None or p is None or esc is None:
+            out.append(None)
+            continue
+        rx = rx_cache.get((p, esc))
+        if rx is None:
+            rx = rx_cache[(p, esc)] = _re.compile(_like_rx(p, esc, ci))
+        out.append(bool(rx.match(a)))
+    return pa.array(out, pa.bool_())
+
+
 def _like_match(s, pattern, escape="\\"):
     """like_match(str, pattern[, escape]) — default escape backslash;
     empty-string escape disables escaping (reference udf docs)."""
+    if isinstance(pattern, (pa.Array, pa.ChunkedArray)) or \
+            isinstance(escape, (pa.Array, pa.ChunkedArray)):
+        return _like_match_rows(s, pattern, escape, False)
     return pc.match_substring_regex(s, _like_rx(pattern, escape, False))
 
 
@@ -287,6 +335,9 @@ def to_string_sql(x):
 
 
 def _ilike_match(s, pattern, escape="\\"):
+    if isinstance(pattern, (pa.Array, pa.ChunkedArray)) or \
+            isinstance(escape, (pa.Array, pa.ChunkedArray)):
+        return _like_match_rows(s, pattern, escape, True)
     return pc.match_substring_regex(s, _like_rx(pattern, escape, True))
 
 
@@ -488,7 +539,7 @@ def _split(s, delim):
     return out
 
 
-register("split", _split, "fz_split")
+register("split", _split, "fz_split", "split_array")
 
 
 def _split_kv(s, delim: str, kv_delim: str, want: int) -> pa.Array:
@@ -525,9 +576,16 @@ register("size", lambda x: pc.cast(pc.list_value_length(x), pa.int32()))
 
 
 def _array_contains(lst, val) -> pa.Array:
-    idx = pc.index_in(pc.list_flatten(lst), value_set=pa.array([val]))
-    # fall back to python for correctness across nested offsets
+    """array_contains(array, value): python `in` gives the reference's
+    NULL semantics for free — a NULL search value matches only arrays
+    holding a NULL element (udf_query.yaml array_contains c9/c10)."""
     pys = lst.to_pylist() if hasattr(lst, "to_pylist") else lst
+    if isinstance(val, (pa.Array, pa.ChunkedArray)):
+        vv = val.to_pylist()
+        return pa.array([None if l is None else (x in l)
+                         for l, x in zip(pys, vv)], type=pa.bool_())
+    if hasattr(val, "as_py"):
+        val = val.as_py()
     return pa.array([None if v is None else (val in v) for v in pys], type=pa.bool_())
 
 

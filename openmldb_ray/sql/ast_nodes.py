@@ -20,6 +20,13 @@ class Literal:
 
 
 @dataclass(frozen=True)
+class ArrayLiteral:
+    """`[e1, e2, ...]` / `ARRAY<type>[...]` array literal (array_def.cc)."""
+    items: tuple
+    elem_type: str | None = None   # declared element type, None = inferred
+
+
+@dataclass(frozen=True)
 class Column:
     name: str
     table: str | None = None   # qualifier ({0}.c1 -> table "t0")
@@ -143,6 +150,7 @@ class Join:
     right: TableRef
     condition: object            # ON expression
     order_by: Column | None = None   # LAST JOIN ORDER BY
+    order_desc: bool = False     # ORDER BY ... DESC → min order wins
 
 
 @dataclass(frozen=True)

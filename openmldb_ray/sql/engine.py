@@ -41,6 +41,31 @@ from .eval_expr import Evaluator, SqlEvalError, TYPE_NAMES
 from .parser import parse_sql
 
 RID = "__rid"  # deterministic arrival-order tiebreak, added by attach_rid
+UTB = "__utb"  # multi-table WINDOW UNION tiebreak: (source_rank<<40) + rid
+
+
+class _EncodeUnionTb:
+    """Appends the int64 union tiebreak (source_rank << 40) + row-id.
+    Higher rank sorts later (= buffers nearer the primary row); the primary
+    stream gets the highest rank, union sources rank by REVERSE SQL-list
+    position (WindowAggPlanUtil.scala union ordering;
+    test_window_union.yaml 19-1/19-2)."""
+
+    def __init__(self, rank: int):
+        self.rank = rank
+
+    def __call__(self, t):
+        import numpy as np
+        import pyarrow as pa
+
+        base = np.full(t.num_rows, self.rank << 40, dtype=np.int64)
+        if RID in t.column_names:
+            rid = t[RID].to_numpy(zero_copy_only=False)
+            base = base + np.asarray(rid, dtype=np.int64)
+        arr = pa.array(base)
+        if UTB in t.column_names:
+            return t.set_column(t.column_names.index(UTB), UTB, arr)
+        return t.append_column(UTB, arr)
 
 
 class SqlLowerError(ValueError):
@@ -765,6 +790,26 @@ def _lower_join(node: Join, tables, ctx):
                 continue
         residual_parts.append(cj)
 
+    # ORDER BY ... DESC: min order value wins (JoinPlan.scala:153-189 —
+    # max for asc / min for desc) — negate into a derived int64 column so
+    # every join path keeps its max-wins logic
+    if jorder_col is not None and getattr(node, "order_desc", False):
+        if asof_pair is not None:
+            raise SqlLowerError("LAST JOIN ORDER BY DESC with point-in-time "
+                                "bound unsupported")
+        neg_src = jorder_col
+
+        def _neg_order(t: pa.Table, src=neg_src) -> pa.Table:
+            v = t[src]
+            if not pa.types.is_integer(v.type):
+                v = pc.cast(v, pa.int64())
+            v = pc.multiply(pc.cast(v, pa.int64()), pa.scalar(-1, pa.int64()))
+            return t.append_column("__jord_desc", v)
+
+        rds = rds.map_batches(_neg_order, batch_format="pyarrow",
+                              batch_size=None)
+        jorder_col = "__jord_desc"
+
     if not equi and node.kind != "last":
         raise SqlLowerError("join requires at least one equi condition")
 
@@ -1079,10 +1124,18 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
 
     union_ds = None
     if wdef.union_tables:
+        # same-ts tie order across MULTIPLE union tables is the SQL list
+        # order with the FIRST-listed table's rows buffering nearest the
+        # primary row (test_window_union.yaml 19-1/19-2) — encode
+        # (source_rank << 40) + per-table row-id as one int64 tiebreak
+        # (insertion order within a table, reverse list order across)
+        num_u = len(wdef.union_tables)
+        ds = ds.map_batches(_EncodeUnionTb(num_u + 1),
+                            batch_format="pyarrow", batch_size=None)
         primary_phys = [c for c in ds.schema().names]
         needed = [c for c in primary_phys if not c.startswith("__")]
         parts = []
-        for ut in wdef.union_tables:
+        for uidx, ut in enumerate(wdef.union_tables):
             if isinstance(ut, SelectStmt):
                 uds = _lower_select(ut, tables, dict(ctx, keep_rid=True))
             else:
@@ -1103,7 +1156,10 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
                     raise SqlLowerError(
                         f"WINDOW UNION column {c!r} type mismatch: "
                         f"{ut} vs {pt} (matches reference)")
+            uds = uds.map_batches(_EncodeUnionTb(num_u - uidx),
+                                  batch_format="pyarrow", batch_size=None)
             pairs = [(c, Column(c)) for c in needed]
+            pairs.append((UTB, Column(UTB)))
             uds = uds.map_batches(_Project(pairs, _Resolver({})),
                                   batch_format="pyarrow", batch_size=None)
             # temps + order key for the union side
@@ -1124,7 +1180,10 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
         union_ds = union_ds.map_batches(_AlignSchema(target),
                                         batch_format="pyarrow", batch_size=None)
 
-    tiebreak = RID if RID in ds.schema().names else None
+    if union_ds is not None and UTB in ds.schema().names:
+        tiebreak = UTB
+    else:
+        tiebreak = RID if RID in ds.schema().names else None
     in_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
     specs = [_with_type_hints_deep(s, in_types) for s in coll.specs]
     # restore OpenMLDB UDAF result types (the vectorized kernel computes

@@ -30,8 +30,8 @@ import pyarrow.compute as pc
 
 from ..functions import scalar as scalar_fns
 from .ast_nodes import (
-    Between, BinaryOp, Case, Cast, Column, FuncCall, InList, IsNull, Like,
-    Literal, Star, UnaryOp,
+    ArrayLiteral, Between, BinaryOp, Case, Cast, Column, FuncCall, InList,
+    IsNull, Like, Literal, Star, UnaryOp,
 )
 
 
@@ -492,6 +492,25 @@ class Evaluator:
         if isinstance(e, Like):
             a = _as_array(self._eval(e.operand, batch), n)
             pat = e.pattern.value if isinstance(e.pattern, Literal) else None
+            if pat is None and not isinstance(e.pattern, Literal):
+                # column-valued pattern (simple_query.yaml like_predicate_7/
+                # 11): one regex per DISTINCT pattern, applied by mask;
+                # NULL pattern → NULL
+                esc0 = e.escape.value if isinstance(e.escape, Literal) else None
+                pats = _as_array(self._eval(e.pattern, batch), n).to_pylist()
+                res: list = [None] * n
+                for p in {x for x in pats if x is not None}:
+                    if e.kind == "rlike":
+                        m = pc.match_substring_regex(a, f"^(?:{p})$")
+                    else:
+                        m = _like(a, p, esc0,
+                                  case_insensitive=(e.kind == "ilike"))
+                    mv = m.to_pylist()
+                    for i, x in enumerate(pats):
+                        if x == p:
+                            res[i] = mv[i]
+                out = pa.array(res, pa.bool_())
+                return pc.invert(out) if e.negated else out
             if pat is None:
                 raise SqlEvalError("LIKE requires a literal pattern")
             esc = e.escape.value if isinstance(e.escape, Literal) else None
@@ -510,29 +529,41 @@ class Evaluator:
         if isinstance(e, IsNull):
             v = _as_array(self._eval(e.operand, batch), n)
             return pc.is_valid(v) if e.negated else pc.is_null(v)
+        if isinstance(e, ArrayLiteral):
+            # row-constant array literal: each element is a constant
+            # expression (literals / casts / timestamp()-style calls);
+            # evaluate once and broadcast one list value to every row
+            vals = []
+            for it in e.items:
+                v = self._eval(it, batch)
+                if isinstance(v, pa.ChunkedArray):
+                    v = v.combine_chunks()
+                if isinstance(v, pa.Array):
+                    v = v[0].as_py() if len(v) else None
+                elif isinstance(v, pa.Scalar):
+                    v = v.as_py()
+                vals.append(v)
+            ety = TYPE_NAMES.get(e.elem_type) if e.elem_type else None
+            one = pa.array([vals], pa.list_(ety) if ety else None)
+            if n == 1:
+                return one
+            idx = pa.array(np.zeros(n, dtype=np.int64))
+            return one.take(idx)
         if isinstance(e, InList):
             v = _as_array(self._eval(e.operand, batch), n)
-            items = [self._eval(it, batch) for it in e.items]
-            lits = []
-            for it in items:
-                if isinstance(it, pa.Scalar):
-                    lits.append(it.as_py())
-                elif it is None:
-                    lits.append(None)
-                else:
-                    raise SqlEvalError("IN list must be literals")
-            target = v.type if _is_num(v.type) or pa.types.is_string(v.type) else None
-            vs = pa.array(lits, target) if target else pa.array(lits)
-            if _is_num(v.type) and _is_num(vs.type):
-                v2, vs2, _ = _promote_pair(v, vs)
-            else:
-                v2, vs2 = v, vs
-            out = pc.is_in(v2, value_set=vs2, skip_nulls=True)
-            # SQL semantics: NULL operand → NULL, not false
-            out = pc.if_else(pc.is_null(v), pa.nulls(n, pa.bool_()), out)
-            if e.negated:
-                out = pc.invert(out)
-            return out
+            # IN is `(v = e1) OR (v = e2) OR ...` under the engine's
+            # comparison-coercion matrix and Kleene OR — so mixed-type
+            # lists coerce per element (`1 IN (1.0, '2')` → true) and a
+            # NULL element yields NULL unless some element matched
+            # (cases/query/simple_query.yaml in_predicate_* family)
+            acc = None
+            for it in e.items:
+                b = _as_array(self._eval(it, batch), n)
+                eq = _compare("=", v, b)
+                acc = eq if acc is None else pc.or_kleene(acc, eq)
+            if acc is None:
+                acc = pa.nulls(n, pa.bool_())
+            return pc.invert(acc) if e.negated else acc
         if isinstance(e, Between):
             v = Between  # noqa: F841 (clarity)
             a = _as_array(self._eval(e.operand, batch), n)

@@ -16,9 +16,9 @@ rules here are re-derived from the SQL text in the cases, not ported.
 from __future__ import annotations
 
 from .ast_nodes import (
-    Between, BinaryOp, Case, Cast, Column, FrameBound, FuncCall, InList,
-    IsNull, Join, Like, Literal, OrderItem, SelectItem, SelectStmt, Star,
-    TableRef, UnaryOp, WindowDef,
+    ArrayLiteral, Between, BinaryOp, Case, Cast, Column, FrameBound,
+    FuncCall, InList, IsNull, Join, Like, Literal, OrderItem, SelectItem,
+    SelectStmt, Star, TableRef, UnaryOp, WindowDef,
 )
 from .lexer import SqlSyntaxError, Token, tokenize
 
@@ -229,13 +229,19 @@ class Parser:
                 self.take(); self.take()
                 right = self.parse_table_primary()
                 jorder = None
+                jdesc = False
                 if self.at_kw("order"):
                     self.take()
                     self.expect_kw("by")
                     jorder = self.parse_column_ref()
+                    if self.at_kw("asc"):
+                        self.take()
+                    elif self.at_kw("desc"):
+                        self.take()
+                        jdesc = True
                 self.expect_kw("on")
                 cond = self.parse_expr()
-                left = Join("last", left, right, cond, jorder)
+                left = Join("last", left, right, cond, jorder, jdesc)
             elif self.at_kw("left"):
                 self.take()
                 if self.at_kw("outer"):
@@ -578,6 +584,17 @@ class Parser:
             return UnaryOp("~", self.parse_unary())
         return self.parse_primary()
 
+    def _parse_array_literal(self, elem_type: str | None):
+        self.expect_op("[")
+        items: list = []
+        if not self.at_op("]"):
+            items.append(self.parse_expr())
+            while self.at_op(","):
+                self.take()
+                items.append(self.parse_expr())
+        self.expect_op("]")
+        return ArrayLiteral(tuple(items), elem_type)
+
     def parse_primary(self):
         t = self.peek()
         if t is None:
@@ -589,8 +606,13 @@ class Parser:
             self.take()
             return Literal(t.value, "float" if t.text.rstrip("fF") != t.text else "double")
         if t.kind == "interval":
-            self.take()
-            return Literal(t.value, "bigint")
+            # interval literals are only valid as frame bounds, which are
+            # parsed by parse_frame_bound — the reference rejects them in
+            # projections/expressions ("un-support const node kInterval",
+            # cases/query/fail_query.yaml)
+            raise SqlSyntaxError(
+                f"interval literal {t.text!r} outside a window frame bound "
+                "(matches reference)")
         if t.kind == "string":
             self.take()
             return Literal(t.value, "string")
@@ -603,10 +625,19 @@ class Parser:
             # only valid inside count(*) — callers handle
             self.take()
             return Star()
+        if t.kind == "op" and t.text == "[":
+            return self._parse_array_literal(None)
         if t.kind != "ident":
             raise SqlSyntaxError(f"unexpected token {t.text!r} in expression")
 
         word = t.text.lower()
+        if word == "array" and self.at_op("<", ahead=1):
+            # ARRAY<type>[e1, ...] typed array literal (array_def.cc)
+            self.take()
+            self.expect_op("<")
+            ety = self.take().text.lower()
+            self.expect_op(">")
+            return self._parse_array_literal(ety)
         if word == "null":
             self.take()
             return Literal(None)

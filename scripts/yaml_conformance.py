@@ -26,6 +26,12 @@ DEFAULT_GLOBS = [
     "/root/reference/cases/function/dml/*.yaml",
     "/root/reference/cases/function/cluster/*.yaml",
     "/root/reference/cases/function/test_feature_zero_function.yaml",
+    "/root/reference/cases/query/*.yaml",
+    "/root/reference/cases/integration_test/select/*.yaml",
+    "/root/reference/cases/integration_test/expression/*.yaml",
+    "/root/reference/cases/integration_test/window/*.yaml",
+    "/root/reference/cases/integration_test/join/*.yaml",
+    "/root/reference/cases/integration_test/function/*.yaml",
 ]
 
 # excluded: request-mode-only files, DDL/deploy/out_in (no SELECT surface),

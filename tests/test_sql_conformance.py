@@ -15,6 +15,7 @@ import os
 import pytest
 
 REF = "/root/reference/cases/function"
+REF_ROOT = "/root/reference/cases"
 
 # files where every non-skipped case must pass (status pass/xfail_pass/skip;
 # "unsupported" allowed only where noted)
@@ -48,6 +49,25 @@ GREEN_FILES = [
     "cluster/test_window_row.yaml",
     "cluster/test_window_row_range.yaml",
     "cluster/window_and_lastjoin.yaml",
+    # cases/query corpus (resource-file inputs, colon schemas, `?` params,
+    # array literals, LAST JOIN ASC/DESC) — paths relative to cases/
+    "../query/simple_query.yaml",
+    "../query/const_query.yaml",
+    "../query/operator_query.yaml",
+    "../query/udf_query.yaml",
+    "../query/udaf_query.yaml",
+    "../query/group_query.yaml",
+    "../query/having_query.yaml",
+    "../query/where_group_query.yaml",
+    "../query/last_join_query.yaml",
+    "../query/last_join_window_query.yaml",
+    "../query/window_query.yaml",
+    "../query/window_with_union_query.yaml",
+    "../query/limit.yaml",
+    "../query/fail_query.yaml",
+    "../query/extream_query.yaml",
+    "../query/parameterized_query.yaml",
+    "../query/fz_sql.yaml",
 ]
 
 ALLOWED = {"pass", "xfail_pass", "skip", "unsupported"}
