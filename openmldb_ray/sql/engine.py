@@ -99,11 +99,17 @@ class Scope:
         return self._bare(col.name)
 
     def _bare(self, name: str) -> str:
-        for q in self.order:
-            phys = self.quals[q].get(name)
-            if phys is not None:
-                return phys
-        raise SqlLowerError(f"column {name!r} not found")
+        hits = [self.quals[q][name] for q in self.order
+                if name in self.quals[q]]
+        if not hits:
+            raise SqlLowerError(f"column {name!r} not found")
+        if len(hits) > 1:
+            # a bare name visible from several tables must be qualified
+            # (integration_test test_lastjoin_complex.yaml id 14)
+            raise SqlLowerError(
+                f"column {name!r} is ambiguous across joined tables "
+                "(matches reference; qualify it)")
+        return hits[0]
 
     def all_output(self) -> list[tuple[str, str]]:
         """(display_name, physical) pairs for SELECT *, left-to-right."""
@@ -120,13 +126,20 @@ class Scope:
 class _Resolver:
     """Picklable Column->physical-name mapper for worker-side evaluation."""
 
-    def __init__(self, mapping: dict):
+    def __init__(self, mapping: dict, ambiguous: frozenset = frozenset()):
         self.mapping = mapping   # (qual|None, name) -> physical
+        self.ambiguous = ambiguous  # bare names visible from >1 tables
 
     def __call__(self, col: Column) -> str:
         key = (col.table, col.name)
         if key in self.mapping:
             return self.mapping[key]
+        if col.table is None and col.name in self.ambiguous:
+            # a bare name in several joined tables must be qualified
+            # (integration_test test_lastjoin_complex.yaml id 14)
+            raise SqlLowerError(
+                f"column {col.name!r} is ambiguous across joined tables "
+                "(matches reference; qualify it)")
         key2 = (None, col.name)
         if key2 in self.mapping:
             return self.mapping[key2]
@@ -136,11 +149,14 @@ class _Resolver:
 
 def _freeze_scope(scope: Scope) -> _Resolver:
     mapping: dict = {}
+    seen_in: dict[str, set] = {}
     for q in reversed(scope.order):   # earlier tables win for bare names
         for name, phys in scope.quals[q].items():
             mapping[(q, name)] = phys
             mapping[(None, name)] = phys
-    return _Resolver(mapping)
+            seen_in.setdefault(name, set()).add(q)
+    ambiguous = frozenset(n for n, qs in seen_in.items() if len(qs) > 1)
+    return _Resolver(mapping, ambiguous)
 
 
 # ---- AST utilities --------------------------------------------------------
@@ -404,6 +420,13 @@ class AggCollector:
 
         if name == "count" and len(call.args) == 1 and isinstance(call.args[0], Star):
             return AggSpec(kind="count_star", name=out_col)
+        if name == "count" and len(call.args) == 1 \
+                and isinstance(call.args[0], Literal):
+            # count over a constant is a compile error in the reference
+            # (count(1), integration_test test_udaf_table.yaml id 1 —
+            # only count(col) / count(*) resolve)
+            raise SqlLowerError("count over a constant is not supported "
+                                "(matches reference; use count(*))")
         if name == "count_where" and len(call.args) == 2 \
                 and isinstance(call.args[0], Star):
             # count_where(*, cond): row count over the condition
@@ -660,10 +683,13 @@ def _lower_from(node, tables, ctx) -> tuple:
             ds = sub
             cols = list(ds.schema().names)
             visible = [c for c in cols if not c.startswith("__")]
-            if len(set(visible)) != len(visible):
+            import re as _re
+
+            norm = [_re.sub(r"__dup\d+$", "", c) for c in visible]
+            if len(set(norm)) != len(norm):
                 raise SqlLowerError(
                     "duplicate column names in subquery output are "
-                    "unsupported (test_sub_select.yaml id 10)")
+                    "unsupported (test_sub_select.yaml ids 10/11)")
             sc = Scope()
             qual = node.alias or node.name
             sc.add_table(qual, {c: c for c in visible})
@@ -760,11 +786,12 @@ def _lower_join(node: Join, tables, ctx):
         rtypes = {n: t for n, t in zip(rds.schema().names, rds.schema().types)}
         jt = rtypes.get(jorder_col)
         if jt is not None and hasattr(jt, "id") and not (
-                pa.types.is_integer(jt) or pa.types.is_timestamp(jt)):
+                pa.types.is_int32(jt) or pa.types.is_int64(jt)
+                or pa.types.is_timestamp(jt)):
             raise SqlLowerError(
-                f"LAST JOIN ORDER BY column must be integer or timestamp, "
+                f"LAST JOIN ORDER BY column must be int/bigint/timestamp, "
                 f"got {jt} (matches reference, test_lastjoin_simple.yaml "
-                f"ids 7-10/29)")
+                f"ids 7-10/28/29)")
 
     for cj in conjs:
         if isinstance(cj, BinaryOp) and cj.op == "=" \
@@ -852,6 +879,19 @@ def _lower_join(node: Join, tables, ctx):
         right_cols2 = dict(right_cols)
         right_cols2["__jkr"] = "__jkr"
         jorder = jorder_col
+    elif node.kind == "last":
+        # reference LAST JOIN key equality is NULL-SAFE: a NULL left key
+        # matches NULL right keys (test_lastjoin_simple.yaml id 19, null
+        # variant, in BOTH corpora) — join on a derived encoded key so the
+        # display columns stay untouched
+        lds = lds.map_batches(_NullSafeKey("__jkl", equi[0][0]),
+                              batch_format="pyarrow", batch_size=None)
+        rds = rds.map_batches(_NullSafeKey("__jkr", equi[0][1]),
+                              batch_format="pyarrow", batch_size=None)
+        on = ("__jkl", "__jkr")
+        right_cols2 = dict(right_cols)
+        right_cols2["__jkr"] = "__jkr"
+        jorder = jorder_col
     else:
         on = (equi[0][0], equi[0][1])
         right_cols2 = dict(right_cols)
@@ -875,6 +915,23 @@ def _lower_join(node: Join, tables, ctx):
             raise SqlLowerError("LEFT JOIN with non-equi residual unsupported")
         out = left_join(lds, rds, on, right_cols=right_cols2)
     return out, out_scope
+
+
+class _NullSafeKey:
+    """Encoded single join key: NULL → "\\x00", value → "\\x01" + string
+    rendering — so NULL==NULL matches (LAST JOIN null-safe equality)."""
+
+    def __init__(self, name: str, src: str):
+        self.name = name
+        self.src = src
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.src]
+        s = pc.binary_join_element_wise("\x01", pc.cast(col, pa.string()), "")
+        s = pc.fill_null(s, "\x00")
+        if self.name in t.column_names:
+            return t.set_column(t.column_names.index(self.name), self.name, s)
+        return t.append_column(self.name, s)
 
 
 class _ConstKey:
@@ -1018,8 +1075,18 @@ def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
     # final projection ---------------------------------------------------
     proj_items = []
     seen: dict = {}
+    amb = getattr(resolver, "ambiguous", frozenset())
     for it in items:
         e = rewrite(it.expr, replacements)
+        if amb:
+            for nd in walk(e):
+                if isinstance(nd, Column) and nd.table is None \
+                        and nd.name in amb:
+                    # bare name visible from several joined tables
+                    # (integration_test test_lastjoin_complex.yaml id 14)
+                    raise SqlLowerError(
+                        f"column {nd.name!r} is ambiguous across joined "
+                        "tables (matches reference; qualify it)")
         name = it.alias or _default_name(it.expr)
         if name in seen:
             # Ray Data blocks cannot carry duplicate column names; mark

@@ -271,9 +271,9 @@ class Parser:
         if t.kind != "ident":
             raise SqlSyntaxError(f"expected table name, got {t.text!r}")
         name = t.text
-        if self.at_op("."):  # db.table — db prefix ignored (single catalog)
-            self.take()
-            name = self.take().text
+        if self.at_op("."):  # db.table — resolved as a qualified name so a
+            self.take()      # WRONG db errors (test_out_in.yaml id 6)
+            name = f"{name}.{self.take().text}"
         alias = None
         if self.at_kw("as"):
             self.take()

@@ -46,6 +46,17 @@ _KNOWN_DIVERGENCES = {
     ("test_lastjoin_complex.yaml", 16): (
         "unsupported", "index-requirement not modeled: Ray engine joins "
         "on arbitrary keys (reference requires right-side index)"),
+    # Same index/physical-plan restriction family: joins over DERIVED
+    # tables (subquery output has no storage index; the reference's
+    # planner rejects them, a Ray shuffle join runs them fine)
+    ("test_lastjoin_complex.yaml", "11-2"): (
+        "unsupported", "index-requirement not modeled: LAST JOIN over a "
+        "derived (subquery) left table runs here; reference requires an "
+        "indexed physical table"),
+    ("test_lastjoin_complex.yaml", "13-2"): (
+        "unsupported", "index-requirement not modeled: right-subquery join "
+        "key and order ts from different source tables is fine for a "
+        "shuffle join; reference requires one indexed main table"),
 }
 
 _TYPE_BUILDERS = {
@@ -310,8 +321,17 @@ def build_tables(case: dict):
         ds = rd.from_arrow(t)
         tables[f"__tbl{i}__"] = ds
         tables.setdefault(f"t{i}", ds)   # bare tN refs used by some cases
+        names = [f"t{i}"]
         if inp.get("name"):
             tables[str(inp["name"])] = ds
+            names.append(str(inp["name"]))
+        # own-db qualified refs resolve; a WRONG db prefix stays
+        # unresolved and errors (test_out_in.yaml ids 4/6) — inputs may
+        # override the case db per table (cross-database queries)
+        db = inp.get("db") or case.get("db")
+        if db:
+            for nm in names:
+                tables[f"{db}.{nm}"] = ds
     return tables
 
 
@@ -426,7 +446,9 @@ def _cells_equal(exp, act, ty: str) -> bool:
     if ty == "double":
         if math.isnan(exp) and math.isnan(act):
             return True
-        return math.isclose(float(exp), float(act), rel_tol=1e-9, abs_tol=1e-9)
+        # corpus double literals are sometimes hand-rounded (e.g. 30.66667
+        # for 92/3, integration_test test_window_union.yaml id 23)
+        return math.isclose(float(exp), float(act), rel_tol=1e-6, abs_tol=1e-6)
     return exp == act
 
 
@@ -512,7 +534,20 @@ def should_skip(case: dict) -> str | None:
     if case.get("sql") is None and not case.get("sqls"):
         return "no sql"
     if case.get("sqls") and not case.get("sql"):
-        return "multi-statement"
+        # multi-statement scripts run when every statement is offline-
+        # expressible (SELECT / SELECT INTO OUTFILE / LOAD DATA / catalog
+        # no-ops); online-state statements make the case inapplicable
+        for s in case["sqls"]:
+            head = str(s).strip().split()[0].lower() if str(s).strip() else ""
+            if head in ("delete", "insert"):
+                return f"multi-statement {head} side effects"
+            if head not in ("select", "load", "create", "desc", "show",
+                            "set", "deploy", "drop"):
+                return f"multi-statement:{head}"
+        if not any(str(s).strip().lower().startswith("select")
+                   for s in case["sqls"]):
+            return "multi-statement: no query statement"
+        return None
     if case.get("standard_sql") is False:
         pass
     tags = case.get("tags") or []
@@ -581,6 +616,40 @@ def _run_case_variants(case, file_label, out):
              if (nm := _input_name(inp))}
     for label, sql, expect in expand_variants(case):
         expect_fail = expect.get("success") is False
+        if sql is None and case.get("sqls"):
+            stmts = [str(st) for st in case["sqls"]]
+            for i in range(len(case.get("inputs") or [])):
+                nm = named.get(i, f"t{i}")
+                stmts = [st.replace(f"{{{i}}}", nm) for st in stmts]
+            try:
+                tables = build_tables(case)
+                actual = _run_script(stmts, tables)
+            except Unsupported as e:
+                out.append(CaseOutcome(file_label, cid, desc, label,
+                                       "unsupported", str(e)))
+                continue
+            except Exception as e:
+                if expect_fail:
+                    out.append(CaseOutcome(file_label, cid, desc, label,
+                                           "xfail_pass", type(e).__name__))
+                    continue
+                detail = f"{type(e).__name__}: {e}"
+                out.append(CaseOutcome(file_label, cid, desc, label,
+                                       "error", detail[:400]))
+                continue
+            if expect_fail:
+                out.append(CaseOutcome(file_label, cid, desc, label, "fail",
+                                       "expected failure but script succeeded"))
+                continue
+            if actual is None:
+                out.append(CaseOutcome(file_label, cid, desc, label,
+                                       "unsupported", "script yielded no result"))
+                continue
+            diff = compare_result(expect, actual)
+            out.append(CaseOutcome(file_label, cid, desc, label,
+                                   "pass" if diff is None else "fail",
+                                   (diff or "")[:400]))
+            continue
         for i, nm in named.items():
             sql = sql.replace(f"{{{i}}}", nm)
         if case.get("parameters") and "?" in sql:
@@ -618,6 +687,226 @@ def _run_case_variants(case, file_label, out):
             out.append(CaseOutcome(file_label, cid, desc, label, "fail",
                                    diff[:400]))
     return out
+
+
+_PA_TY_NAME = {
+    str(pa.int16()): "smallint", str(pa.int32()): "int",
+    str(pa.int64()): "bigint", str(pa.float32()): "float",
+    str(pa.float64()): "double", str(pa.string()): "string",
+    str(pa.timestamp("ms")): "timestamp", str(pa.date32()): "date",
+    str(pa.bool_()): "bool",
+}
+
+
+def _parse_options(s: str | None) -> dict:
+    """``OPTIONS(mode='append', header=false, delimiter=',')`` → dict
+    (quote-aware: a delimiter value of ',' must not split the list)."""
+    import re as _re
+
+    opts: dict = {}
+    if not s:
+        return opts
+    quoted: set = set()
+    for m in _re.finditer(r"(\w+)\s*=\s*('([^']*)'|\"([^\"]*)\"|[^,\s)]+)", s):
+        k = m.group(1).lower()
+        if m.group(3) is not None or m.group(4) is not None:
+            quoted.add(k)
+            v = m.group(3) if m.group(3) is not None else m.group(4)
+        else:
+            v = m.group(2)
+        opts[k] = v
+    opts.pop("options", None)
+    opts["__quoted"] = quoted
+    return opts
+
+
+_IO_OPT_KEYS = {"mode", "header", "delimiter", "quote", "null_value",
+                "format", "coalesce", "deep_copy"}
+
+
+def _validate_io_options(opts: dict) -> None:
+    """Option validation per the reference's WriteOptions/ReadOptions
+    (test_out_in.yaml ids 12/13/14/28/38): unknown keys, quoted booleans,
+    and non-csv/parquet formats are errors."""
+    q = opts.get("__quoted", set())
+    for k in opts:
+        if k != "__quoted" and k not in _IO_OPT_KEYS:
+            raise ValueError(f"unknown option key {k!r}")
+    h = opts.get("header")
+    if h is not None and (h not in ("true", "false") or "header" in q):
+        raise ValueError(f"header option must be bare true/false, got {h!r}")
+    fmt = opts.get("format", "csv")
+    if fmt not in ("csv", "parquet"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    m = opts.get("mode")
+    if m is not None and m.lower() not in ("overwrite", "append",
+                                           "error_if_exists", "errorifexists"):
+        raise ValueError(f"unsupported mode {m!r}")
+
+
+def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
+    """SELECT ... INTO OUTFILE csv writer (SelectIntoPlan.scala defaults:
+    header, comma delimiter, nulls as the literal ``null``, no quoting;
+    options: mode=overwrite|append|error_if_exists, header, delimiter).
+    Timestamps are written as epoch-ms ints so LOAD DATA round-trips
+    bit-exactly; other types use the engine's SQL string rendering."""
+    import ray
+
+    from ..functions.scalar import to_string_sql
+
+    opts = opts or {}
+    _validate_io_options(opts)
+    delim = opts.get("delimiter", ",")
+    header = str(opts.get("header", "true")).lower() != "false"
+    # default write mode is error_if_exists (SelectIntoPlan.scala:28-56;
+    # test_out_in.yaml id 7)
+    mode = str(opts.get("mode", "error_if_exists")).lower()
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows or t.num_columns]
+    tbl = pa.concat_tables(tbls) if tbls else None
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if mode in ("error_if_exists", "errorifexists") and os.path.exists(path):
+        raise FileExistsError(path)
+    names = [c for c in (tbl.column_names if tbl is not None else [])
+             if c != "__rid"]
+    lines = [delim.join(names)] if header else []
+    cols = []
+    for c in names:
+        col = tbl[c].combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            import pyarrow.compute as pc
+            rendered = pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+            vals = [None if v is None else str(v) for v in rendered.to_pylist()]
+        else:
+            vals = to_string_sql(col).to_pylist()
+        cols.append(["null" if v is None else str(v) for v in vals])
+    for row in zip(*cols):
+        lines.append(delim.join(row))
+    with open(path, "a" if mode == "append" else "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
+    """LOAD DATA INFILE csv reader: the TARGET table's declared schema
+    drives cell parsing (LoadDataPlan.scala:60-62 schema validation);
+    ``null`` is the null literal, empty fields are NULL for non-strings
+    and empty string for strings. A row whose field count disagrees with
+    the header is a load error (matching the reference's strict parse)."""
+    opts = opts or {}
+    _validate_io_options(opts)
+    delim = opts.get("delimiter", ",")
+    has_header = str(opts.get("header", "true")).lower() != "false"
+    schema = target_ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip() != ""]
+    if has_header:
+        header = [h.strip() for h in lines[0].split(delim)]
+        data_lines = lines[1:]
+    else:
+        # headerless csv: the target table's declared column order applies
+        header = [c for c in schema.names if c != "__rid"]
+        data_lines = lines
+    arrays, names = [], []
+    rows = [ln.split(delim) for ln in data_lines]
+    for r in rows:
+        if len(r) != len(header):
+            raise ValueError(
+                f"csv row has {len(r)} fields, header has {len(header)}")
+    for j, name in enumerate(header):
+        ty = types.get(name)
+        tyname = _PA_TY_NAME.get(str(ty), "string")
+        vals = []
+        for r in rows:
+            v = r[j].strip()
+            if v == "null":
+                vals.append(None)
+            elif v == "" and tyname != "string":
+                vals.append(None)
+            else:
+                vals.append(_to_cell(v, tyname))
+        arrays.append(pa.array(vals, _TYPE_BUILDERS[tyname]))
+        names.append(name)
+    arrays.append(pa.array(np.arange(len(rows), dtype=np.int64)))
+    names.append("__rid")
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def _run_script(stmts: list[str], tables: dict) -> pd.DataFrame | None:
+    """Execute a multi-statement case script: catalog/online statements are
+    offline no-ops, LOAD DATA / INTO OUTFILE round-trip through a temp dir,
+    the LAST plain SELECT's result is returned for comparison."""
+    import re as _re
+    import tempfile
+
+    import ray.data as rd
+
+    from .engine import run_sql
+
+    tmpdir = tempfile.mkdtemp(prefix="omr_outin_")
+    last = None
+    for raw in stmts:
+        s = str(raw).strip().rstrip(";").strip()
+        if not s:
+            continue
+        head = s.split()[0].lower()
+        if head == "drop":
+            m = _re.match(r"drop\s+table\s+([\w{}.]+)", s, _re.I)
+            if m:
+                tables.pop(m.group(1), None)
+            continue
+        if head == "create":
+            m = _re.match(r"create\s+table\s+(?:if\s+not\s+exists\s+)?"
+                          r"([\w.]+)", s, _re.I)
+            if m:  # register an EMPTY table with the declared schema
+                body = _re.sub(r"\)\s*options\s*\(.*\)\s*$", ")", s,
+                               flags=_re.I | _re.S)
+                tables[m.group(1)] = rd.from_arrow(
+                    build_table(_cols_from_create(body), []))
+            continue  # create index / other DDL: offline no-op
+        if head in ("desc", "show", "set", "deploy"):
+            continue
+        if head == "load":
+            m = _re.match(r"load\s+data\s+infile\s*'([^']+)'\s+into\s+table\s+"
+                          r"([\w{}.]+)\s*(options\s*\(.*\))?", s, _re.I | _re.S)
+            if not m:
+                raise Unsupported(f"unparsed LOAD DATA: {s[:60]!r}")
+            path, tname = m.group(1), m.group(2)
+            if tname not in tables:
+                raise Unsupported(f"LOAD DATA into unknown table {tname!r}")
+            t = _load_csv_typed(os.path.join(tmpdir, os.path.basename(path)),
+                                tables[tname], _parse_options(m.group(3)))
+            # LOAD DATA appends to the table's existing rows
+            # (test_out_in.yaml ids 31/33); renumber __rid so arrival
+            # order stays the tiebreak
+            import ray as _ray
+
+            old = [x for x in _ray.get(tables[tname].to_arrow_refs())
+                   if x.num_rows]
+            if old:
+                prev = pa.concat_tables(old).select(
+                    [c for c in t.column_names if c != "__rid"])
+                new = t.select(prev.column_names)
+                merged = pa.concat_tables([prev, new])
+                merged = merged.append_column(
+                    "__rid", pa.array(np.arange(merged.num_rows,
+                                                dtype=np.int64)))
+                t = merged
+            tables[tname] = rd.from_arrow(t)
+            continue
+        m = _re.search(r"\binto\s+outfile\s*'([^']+)'\s*(options\s*\(.*\))?\s*$",
+                       s, _re.I | _re.S)
+        if m:
+            orig = m.group(1)
+            if os.path.dirname(orig) and not os.path.isdir(os.path.dirname(orig)):
+                # nonexistent output folder is a write error
+                # (test_out_in.yaml id 21)
+                raise FileNotFoundError(f"output folder missing: {orig!r}")
+            out_path = os.path.join(tmpdir, os.path.basename(orig))
+            _write_csv_typed(run_sql(s[:m.start()].strip(), tables), out_path,
+                             _parse_options(m.group(2)))
+        else:
+            last = _collect_arrow(run_sql(s, tables))
+    return last
 
 
 def _substitute_params(sql: str, params: dict) -> str:
@@ -721,6 +1010,8 @@ def run_file(path: str, only_ids=None) -> list[CaseOutcome]:
     for case in doc.get("cases") or []:
         if only_ids is not None and case.get("id") not in only_ids:
             continue
+        if "db" not in case and doc.get("db"):
+            case = {**case, "db": doc["db"]}
         out.extend(run_case(case, label))
     return out
 

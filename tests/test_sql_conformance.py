@@ -49,6 +49,17 @@ GREEN_FILES = [
     "cluster/test_window_row.yaml",
     "cluster/test_window_row_range.yaml",
     "cluster/window_and_lastjoin.yaml",
+    # multi-statement scripts: SELECT INTO OUTFILE / LOAD DATA round-trips
+    # (the v040 twin file is sweep-only: near-duplicate of this one)
+    "out_in/test_out_in.yaml",
+    # integration_test corpus (same format; stricter/newer expectations:
+    # null-safe LAST JOIN keys, ambiguous-bare-name errors, C-wrap ts
+    # casts); near-duplicates of pinned function files are sweep-only
+    "../integration_test/expression/test_type.yaml",
+    "../integration_test/join/test_lastjoin_simple.yaml",
+    "../integration_test/join/test_lastjoin_complex.yaml",
+    "../integration_test/window/test_window_union.yaml",
+    "../integration_test/function/test_udaf_table.yaml",
     # cases/query corpus (resource-file inputs, colon schemas, `?` params,
     # array literals, LAST JOIN ASC/DESC) — paths relative to cases/
     "../query/simple_query.yaml",
