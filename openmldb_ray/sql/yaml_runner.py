@@ -97,7 +97,14 @@ def _to_cell(v, ty: str):
     if v is None:
         return None
     if isinstance(v, str) and v.strip().upper() == "NULL":
-        return None
+        # for STRING cells only all-caps "NULL" is a null marker — a quoted
+        # lowercase 'null' is the 4-char string (test_out_in.yaml id 17
+        # writes it verbatim while real NULLs take null_value); for typed
+        # cells any case is a marker
+        if ty in ("string", "varchar") and v.strip() != "NULL":
+            pass
+        else:
+            return None
     if isinstance(v, str) and ty in ("smallint", "int", "bigint", "int16",
                                      "int32", "int64", "long"):
         return int(v)
@@ -545,7 +552,8 @@ def should_skip(case: dict) -> str | None:
                             "set", "deploy", "drop"):
                 return f"multi-statement:{head}"
         if not any(str(s).strip().lower().startswith("select")
-                   for s in case["sqls"]):
+                   for s in case["sqls"]) \
+                and not (case.get("expect") or {}).get("cat"):
             return "multi-statement: no query statement"
         return None
     if case.get("standard_sql") is False:
@@ -623,7 +631,7 @@ def _run_case_variants(case, file_label, out):
                 stmts = [st.replace(f"{{{i}}}", nm) for st in stmts]
             try:
                 tables = build_tables(case)
-                actual = _run_script(stmts, tables)
+                actual, script_tmp = _run_script(stmts, tables)
             except Unsupported as e:
                 out.append(CaseOutcome(file_label, cid, desc, label,
                                        "unsupported", str(e)))
@@ -640,6 +648,28 @@ def _run_case_variants(case, file_label, out):
             if expect_fail:
                 out.append(CaseOutcome(file_label, cid, desc, label, "fail",
                                        "expected failure but script succeeded"))
+                continue
+            if expect.get("cat"):
+                # written-file content check (order-insensitive lines)
+                cat = expect["cat"]
+                fpath = os.path.join(script_tmp,
+                                     os.path.basename(str(cat.get("path"))))
+                for i in range(len(case.get("inputs") or [])):
+                    fpath = fpath.replace(f"{{{i}}}", named.get(i, f"t{i}"))
+                try:
+                    with open(fpath) as fh:
+                        got = sorted(ln.rstrip("\n") for ln in fh
+                                     if ln.strip())
+                except OSError as e:
+                    out.append(CaseOutcome(file_label, cid, desc, label,
+                                           "fail", f"cat: {e}"))
+                    continue
+                want = sorted(str(x) for x in cat.get("lines") or [])
+                ok = got == want
+                out.append(CaseOutcome(
+                    file_label, cid, desc, label,
+                    "pass" if ok else "fail",
+                    "" if ok else f"file lines differ:\n got {got[:4]}\nwant {want[:4]}"))
                 continue
             if actual is None:
                 out.append(CaseOutcome(file_label, cid, desc, label,
@@ -758,6 +788,7 @@ def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
     _validate_io_options(opts)
     delim = opts.get("delimiter", ",")
     header = str(opts.get("header", "true")).lower() != "false"
+    null_value = opts.get("null_value", "null")
     # default write mode is error_if_exists (SelectIntoPlan.scala:28-56;
     # test_out_in.yaml id 7)
     mode = str(opts.get("mode", "error_if_exists")).lower()
@@ -776,13 +807,19 @@ def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
             import pyarrow.compute as pc
             rendered = pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
             vals = [None if v is None else str(v) for v in rendered.to_pylist()]
+        elif pa.types.is_floating(col.type):
+            # reference csv float rendering is %f — 6 decimals
+            # (test_out_in.yaml ids 17/18 cat expectations: 1.100000)
+            vals = [None if v is None else "%f" % v for v in col.to_pylist()]
         else:
             vals = to_string_sql(col).to_pylist()
-        cols.append(["null" if v is None else str(v) for v in vals])
+        cols.append([null_value if v is None else str(v) for v in vals])
     for row in zip(*cols):
         lines.append(delim.join(row))
     with open(path, "a" if mode == "append" else "w") as f:
         f.write("\n".join(lines) + "\n")
+    return pd.DataFrame({c: (tbl[c].to_pylist() if tbl is not None else [])
+                         for c in names})
 
 
 def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
@@ -831,10 +868,11 @@ def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
-def _run_script(stmts: list[str], tables: dict) -> pd.DataFrame | None:
+def _run_script(stmts: list[str], tables: dict) -> tuple:
     """Execute a multi-statement case script: catalog/online statements are
     offline no-ops, LOAD DATA / INTO OUTFILE round-trip through a temp dir,
-    the LAST plain SELECT's result is returned for comparison."""
+    the LAST plain SELECT's result is returned for comparison. Returns
+    (last_result_df_or_None, tmpdir) — tmpdir for expect.cat file checks."""
     import re as _re
     import tempfile
 
@@ -872,7 +910,9 @@ def _run_script(stmts: list[str], tables: dict) -> pd.DataFrame | None:
                 raise Unsupported(f"unparsed LOAD DATA: {s[:60]!r}")
             path, tname = m.group(1), m.group(2)
             if tname not in tables:
-                raise Unsupported(f"LOAD DATA into unknown table {tname!r}")
+                # a load error, not a harness gap (test_out_in.yaml id 26
+                # expects failure)
+                raise ValueError(f"LOAD DATA into unknown table {tname!r}")
             t = _load_csv_typed(os.path.join(tmpdir, os.path.basename(path)),
                                 tables[tname], _parse_options(m.group(3)))
             # LOAD DATA appends to the table's existing rows
@@ -902,11 +942,13 @@ def _run_script(stmts: list[str], tables: dict) -> pd.DataFrame | None:
                 # (test_out_in.yaml id 21)
                 raise FileNotFoundError(f"output folder missing: {orig!r}")
             out_path = os.path.join(tmpdir, os.path.basename(orig))
-            _write_csv_typed(run_sql(s[:m.start()].strip(), tables), out_path,
-                             _parse_options(m.group(2)))
+            # INTO OUTFILE yields no result set, but a trailing export's
+            # written rows satisfy count expectations (v040 id 0)
+            last = _write_csv_typed(run_sql(s[:m.start()].strip(), tables),
+                                    out_path, _parse_options(m.group(2)))
         else:
             last = _collect_arrow(run_sql(s, tables))
-    return last
+    return last, tmpdir
 
 
 def _substitute_params(sql: str, params: dict) -> str:

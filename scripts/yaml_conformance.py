@@ -26,6 +26,8 @@ DEFAULT_GLOBS = [
     "/root/reference/cases/function/dml/*.yaml",
     "/root/reference/cases/function/cluster/*.yaml",
     "/root/reference/cases/function/test_feature_zero_function.yaml",
+    "/root/reference/cases/function/out_in/*.yaml",
+    "/root/reference/cases/function/v040/*.yaml",
     "/root/reference/cases/query/*.yaml",
     "/root/reference/cases/integration_test/select/*.yaml",
     "/root/reference/cases/integration_test/expression/*.yaml",
