@@ -85,11 +85,25 @@ class Scope:
         self.quals[qual] = dict(cols)
         self.order.append(qual)
 
+    def add_alias(self, qual: str, cols: dict[str, str]) -> None:
+        """Extra qualifier for an already-added table: resolvable but not
+        part of ``order`` (so SELECT * and bare-name lookup see the table
+        once)."""
+        self.quals.setdefault(qual, dict(cols))
+
     def resolve(self, col: Column) -> str:
         if col.table is not None:
             m = self.quals.get(col.table)
             if m is None:
-                # unknown qualifier: treat as bare (db prefixes, stale aliases)
+                if "." in col.table:
+                    # db.table qualifier that names no catalog table in
+                    # scope — a subquery ALIAS is not a database table
+                    # (test_multiple_databases.yaml id 8)
+                    raise SqlLowerError(
+                        f"table {col.table!r} not found for column "
+                        f"{col.name!r} (matches reference)")
+                # unknown single-part qualifier: treat as bare
+                # (template/stale aliases); _bare errors on ambiguity
                 return self._bare(col.name)
             phys = m.get(col.name)
             if phys is None:
@@ -99,17 +113,18 @@ class Scope:
         return self._bare(col.name)
 
     def _bare(self, name: str) -> str:
-        hits = [self.quals[q][name] for q in self.order
-                if name in self.quals[q]]
+        hits = {self.quals[q][name] for q in self.order
+                if name in self.quals[q]}
         if not hits:
             raise SqlLowerError(f"column {name!r} not found")
         if len(hits) > 1:
-            # a bare name visible from several tables must be qualified
-            # (integration_test test_lastjoin_complex.yaml id 14)
+            # a bare name mapping to several DISTINCT physical columns
+            # must be qualified (integration_test test_lastjoin_complex.yaml
+            # id 14; a table registered under two qualifiers is fine)
             raise SqlLowerError(
                 f"column {name!r} is ambiguous across joined tables "
                 "(matches reference; qualify it)")
-        return hits[0]
+        return next(iter(hits))
 
     def all_output(self) -> list[tuple[str, str]]:
         """(display_name, physical) pairs for SELECT *, left-to-right."""
@@ -131,12 +146,21 @@ class _Resolver:
         self.ambiguous = ambiguous  # bare names visible from >1 tables
 
     def __call__(self, col: Column) -> str:
-        key = (col.table, col.name)
-        if key in self.mapping:
-            return self.mapping[key]
-        if col.table is None and col.name in self.ambiguous:
-            # a bare name in several joined tables must be qualified
-            # (integration_test test_lastjoin_complex.yaml id 14)
+        if col.table is not None:
+            key = (col.table, col.name)
+            if key in self.mapping:
+                return self.mapping[key]
+            if "." in col.table:
+                # db.table qualifier naming no table in scope is an error
+                # (test_multiple_databases.yaml id 8)
+                raise SqlLowerError(
+                    f"table {col.table!r} not found for column {col.name!r} "
+                    "(matches reference)")
+        if col.name in self.ambiguous:
+            # a bare (or unknown-qualifier) name visible from several
+            # joined tables must be qualified
+            # (integration_test test_lastjoin_complex.yaml id 14;
+            # test_multiple_databases.yaml id 3)
             raise SqlLowerError(
                 f"column {col.name!r} is ambiguous across joined tables "
                 "(matches reference; qualify it)")
@@ -154,8 +178,13 @@ def _freeze_scope(scope: Scope) -> _Resolver:
         for name, phys in scope.quals[q].items():
             mapping[(q, name)] = phys
             mapping[(None, name)] = phys
-            seen_in.setdefault(name, set()).add(q)
-    ambiguous = frozenset(n for n, qs in seen_in.items() if len(qs) > 1)
+            # ambiguity = same bare name -> DISTINCT physical columns
+            seen_in.setdefault(name, set()).add(phys)
+    for q, cols in scope.quals.items():   # alias quals: qualified-only
+        if q not in scope.order:
+            for name, phys in cols.items():
+                mapping.setdefault((q, name), phys)
+    ambiguous = frozenset(n for n, ps in seen_in.items() if len(ps) > 1)
     return _Resolver(mapping, ambiguous)
 
 
@@ -695,6 +724,10 @@ def _lower_from(node, tables, ctx) -> tuple:
             sc.add_table(qual, {c: c for c in visible})
             if RID in cols:
                 sc.quals[qual].pop(RID, None)
+            if ctx.get("default_db"):
+                # the session db qualifies aliases too:
+                # `db.t1.c1 FROM (...) as t1` (test_multiple_databases 7/9)
+                sc.add_alias(f"{ctx['default_db']}.{qual}", sc.quals[qual])
             return ds, sc
         if node.name not in tables:
             raise SqlLowerError(f"unknown table {node.name!r}")
@@ -702,7 +735,14 @@ def _lower_from(node, tables, ctx) -> tuple:
         cols = list(ds.schema().names)
         sc = Scope()
         visible = {c: c for c in cols if not c.startswith("__")}
-        sc.add_table(node.alias or node.name, visible)
+        qual = node.alias or node.name
+        sc.add_table(qual, visible)
+        if node.alias is None and "." in node.name:
+            # FROM db.table: `table.col` refs resolve via the short name
+            # (alias qual — not double-counted by SELECT * / bare lookup)
+            sc.add_alias(node.name.split(".", 1)[1], visible)
+        if ctx.get("default_db") and "." not in qual:
+            sc.add_alias(f"{ctx['default_db']}.{qual}", visible)
         if node.alias and node.alias != node.name:
             pass
         elif node.alias is None:
@@ -1075,18 +1115,17 @@ def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
     # final projection ---------------------------------------------------
     proj_items = []
     seen: dict = {}
-    amb = getattr(resolver, "ambiguous", frozenset())
+    validate = isinstance(resolver, _Resolver) and bool(resolver.mapping)
     for it in items:
         e = rewrite(it.expr, replacements)
-        if amb:
+        if validate:
+            # worker-side eval looks columns up by physical name, so
+            # ambiguity / unknown-db-qualifier errors must be raised at
+            # LOWER time (test_lastjoin_complex.yaml id 14,
+            # test_multiple_databases.yaml ids 3/8)
             for nd in walk(e):
-                if isinstance(nd, Column) and nd.table is None \
-                        and nd.name in amb:
-                    # bare name visible from several joined tables
-                    # (integration_test test_lastjoin_complex.yaml id 14)
-                    raise SqlLowerError(
-                        f"column {nd.name!r} is ambiguous across joined "
-                        "tables (matches reference; qualify it)")
+                if isinstance(nd, Column):
+                    resolver(nd)
         name = it.alias or _default_name(it.expr)
         if name in seen:
             # Ray Data blocks cannot carry duplicate column names; mark
@@ -1523,12 +1562,16 @@ def _lower_groupby(ds, stmt, plain_aggs, scope, resolver):
 
 # ---- entry ----------------------------------------------------------------
 
-def run_sql(sql: str, tables: dict, *, keep_rid: bool = False):
+def run_sql(sql: str, tables: dict, *, keep_rid: bool = False,
+            default_db: str | None = None):
     """Parse + lower + return the (lazy) result Dataset.
 
     tables: {name: ray.data.Dataset}. Table names referenced in the SQL
     (including YAML-corpus placeholders ``{0}`` -> ``t0``) must be keys.
+    default_db: scope qualifiers also resolve as ``<default_db>.<name>``
+    (the reference addresses aliases through the session db,
+    test_multiple_databases.yaml ids 7/9).
     """
     stmt = sql if isinstance(sql, SelectStmt) else parse_sql(sql)
-    ctx = {"keep_rid": keep_rid}
+    ctx = {"keep_rid": keep_rid, "default_db": default_db}
     return _lower_select(stmt, tables, ctx)

@@ -427,10 +427,10 @@ class Parser:
         if self.at_op("."):
             self.take()
             col = self.take()
-            if self.at_op("."):  # db.table.col — db qualifier dropped
-                self.take()
-                col2 = self.take()
-                return Column(col2.text, table=col.text)
+            if self.at_op("."):  # db.table.col — keep the db so SAME-named
+                self.take()      # tables in different dbs stay distinct
+                col2 = self.take()  # (test_multiple_databases.yaml id 12)
+                return Column(col2.text, table=f"{t.text}.{col.text}")
             return Column(col.text, table=t.text)
         return Column(t.text)
 

@@ -328,7 +328,7 @@ def build_tables(case: dict):
         ds = rd.from_arrow(t)
         tables[f"__tbl{i}__"] = ds
         tables.setdefault(f"t{i}", ds)   # bare tN refs used by some cases
-        names = [f"t{i}"]
+        names = [f"t{i}", f"__tbl{i}__"]
         if inp.get("name"):
             tables[str(inp["name"])] = ds
             names.append(str(inp["name"]))
@@ -631,7 +631,8 @@ def _run_case_variants(case, file_label, out):
                 stmts = [st.replace(f"{{{i}}}", nm) for st in stmts]
             try:
                 tables = build_tables(case)
-                actual, script_tmp = _run_script(stmts, tables)
+                actual, script_tmp = _run_script(stmts, tables,
+                                                 str(case.get("db") or "") or None)
             except Unsupported as e:
                 out.append(CaseOutcome(file_label, cid, desc, label,
                                        "unsupported", str(e)))
@@ -685,8 +686,11 @@ def _run_case_variants(case, file_label, out):
         if case.get("parameters") and "?" in sql:
             sql = _substitute_params(sql, case["parameters"])
         try:
+            if case.get("longWindow"):
+                _validate_long_window(sql)
             tables = build_tables(case)
-            ds = run_sql(sql, tables)
+            ds = run_sql(sql, tables,
+                         default_db=str(case.get("db") or "") or None)
             actual = _collect_arrow(ds)
         except Unsupported as e:
             out.append(CaseOutcome(file_label, cid, desc, label,
@@ -868,7 +872,8 @@ def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
-def _run_script(stmts: list[str], tables: dict) -> tuple:
+def _run_script(stmts: list[str], tables: dict,
+                default_db: str | None = None) -> tuple:
     """Execute a multi-statement case script: catalog/online statements are
     offline no-ops, LOAD DATA / INTO OUTFILE round-trip through a temp dir,
     the LAST plain SELECT's result is returned for comparison. Returns
@@ -944,10 +949,11 @@ def _run_script(stmts: list[str], tables: dict) -> tuple:
             out_path = os.path.join(tmpdir, os.path.basename(orig))
             # INTO OUTFILE yields no result set, but a trailing export's
             # written rows satisfy count expectations (v040 id 0)
-            last = _write_csv_typed(run_sql(s[:m.start()].strip(), tables),
-                                    out_path, _parse_options(m.group(2)))
+            last = _write_csv_typed(
+                run_sql(s[:m.start()].strip(), tables, default_db=default_db),
+                out_path, _parse_options(m.group(2)))
         else:
-            last = _collect_arrow(run_sql(s, tables))
+            last = _collect_arrow(run_sql(s, tables, default_db=default_db))
     return last, tmpdir
 
 
@@ -991,6 +997,32 @@ def _substitute_params(sql: str, params: dict) -> str:
             out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _validate_long_window(sql: str) -> None:
+    """Cases tagged ``longWindow`` deploy with the long-window pre-agg
+    (RequestAggUnionRunner), which only supports ``*_where`` conditions of
+    the form <col> <cmp> <const> (hybridse long-window pass;
+    long_window/test_count_where.yaml ids 10/17/18 expect rejection)."""
+    from .ast_nodes import BinaryOp, Column, FuncCall, Literal
+    from .engine import walk
+    from .parser import parse_sql
+
+    stmt = parse_sql(sql)
+    for it in stmt.items:
+        expr = it.expr if hasattr(it, "expr") else it
+        for n in walk(expr):
+            if isinstance(n, FuncCall) and n.name.lower().endswith("_where") \
+                    and len(n.args) >= 2:
+                cond = n.args[1]
+                ok = (isinstance(cond, BinaryOp)
+                      and cond.op in ("<", "<=", ">", ">=", "=", "!=")
+                      and {type(cond.left), type(cond.right)}
+                      == {Column, Literal})
+                if not ok:
+                    raise ValueError(
+                        f"long window {n.name}: condition must be "
+                        "<col> <cmp> <const> (matches reference pre-agg)")
 
 
 def _limit_without_order(sql: str) -> bool:

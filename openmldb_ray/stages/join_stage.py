@@ -262,8 +262,19 @@ def last_join(
     elif strategy in ("auto", "broadcast"):
         # materialize ONCE: count comes from block metadata and the
         # broadcast collect re-reads the same materialized blocks instead
-        # of executing the upstream pipeline twice (VERDICT r1 fix #5)
-        right = right.materialize()
+        # of executing the upstream pipeline twice (VERDICT r1 fix #5).
+        # preserve_order pins the block order during this materialization:
+        # the unsorted LAST JOIN's "last stored row" is defined by arrival
+        # order, which must not vary with Ray task scheduling
+        from ray.data import DataContext
+
+        opts = DataContext.get_current().execution_options
+        prev_preserve = opts.preserve_order
+        opts.preserve_order = True
+        try:
+            right = right.materialize()
+        finally:
+            opts.preserve_order = prev_preserve
         if strategy == "auto":
             strategy = "broadcast" if right.count() <= broadcast_limit else "shuffle"
 

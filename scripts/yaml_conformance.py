@@ -28,6 +28,10 @@ DEFAULT_GLOBS = [
     "/root/reference/cases/function/test_feature_zero_function.yaml",
     "/root/reference/cases/function/out_in/*.yaml",
     "/root/reference/cases/function/v040/*.yaml",
+    "/root/reference/cases/function/multiple_databases/*.yaml",
+    "/root/reference/cases/function/long_window/*.yaml",
+    "/root/reference/cases/function/test_fz_sql.yaml",
+    "/root/reference/cases/function/test_index_optimized.yaml",
     "/root/reference/cases/query/*.yaml",
     "/root/reference/cases/integration_test/select/*.yaml",
     "/root/reference/cases/integration_test/expression/*.yaml",

@@ -52,6 +52,12 @@ GREEN_FILES = [
     # multi-statement scripts: SELECT INTO OUTFILE / LOAD DATA round-trips
     # (the v040 twin file is sweep-only: near-duplicate of this one)
     "out_in/test_out_in.yaml",
+    # cross-database queries (db-qualified names, default-db aliasing)
+    "multiple_databases/test_multiple_databases.yaml",
+    # long-window pre-agg condition restrictions
+    "long_window/test_count_where.yaml",
+    "test_fz_sql.yaml",
+    "test_index_optimized.yaml",
     # integration_test corpus (same format; stricter/newer expectations:
     # null-safe LAST JOIN keys, ambiguous-bare-name errors, C-wrap ts
     # casts); near-duplicates of pinned function files are sweep-only
