@@ -1217,6 +1217,15 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
             batch_format="pyarrow", batch_size=None)
 
     part_cols = [resolver(c) for c in wdef.partition_by]
+    ptypes = dict(zip(ds.schema().names, ds.schema().types))
+    for pcn in part_cols:
+        pt = ptypes.get(pcn)
+        if pt is not None and hasattr(pt, "id") and pa.types.is_floating(pt):
+            # float/double partition keys are compile errors (no index can
+            # cover them; test_performance_insensitive.yaml ids 14/15/17/18)
+            raise SqlLowerError(
+                f"window PARTITION BY {pcn!r}: float/double keys are "
+                "invalid (matches reference)")
     if wdef.order_by is None:
         raise SqlLowerError("window requires ORDER BY (matches reference)")
     order_phys = resolver(wdef.order_by)

@@ -32,6 +32,8 @@ DEFAULT_GLOBS = [
     "/root/reference/cases/function/long_window/*.yaml",
     "/root/reference/cases/function/test_fz_sql.yaml",
     "/root/reference/cases/function/test_index_optimized.yaml",
+    "/root/reference/cases/function/spark/*.yaml",
+    "/root/reference/cases/function/test_performance_insensitive/*.yaml",
     "/root/reference/cases/query/*.yaml",
     "/root/reference/cases/integration_test/select/*.yaml",
     "/root/reference/cases/integration_test/expression/*.yaml",

@@ -58,6 +58,14 @@ GREEN_FILES = [
     "long_window/test_count_where.yaml",
     "test_fz_sql.yaml",
     "test_index_optimized.yaml",
+    # real-workload e2e scenarios of the reference's OFFLINE engine
+    # (news / ads / credit / jd / fqz-studio feature pipelines)
+    "spark/test_news.yaml",
+    "spark/test_ads.yaml",
+    "spark/test_jd.yaml",
+    "spark/test_fqz_studio.yaml",
+    "spark/test_credit.yaml",
+    "test_performance_insensitive/test_performance_insensitive.yaml",
     # integration_test corpus (same format; stricter/newer expectations:
     # null-safe LAST JOIN keys, ambiguous-bare-name errors, C-wrap ts
     # casts); near-duplicates of pinned function files are sweep-only
