@@ -1560,6 +1560,14 @@ def _lower_groupby(ds, stmt, plain_aggs, scope, resolver):
     in_types = {n: t for n, t in zip(sch.names, sch.types)}
     coll.specs[:] = [_with_type_hints(s, in_types) for s in coll.specs]
     keys = [resolver(c) for c in stmt.group_by]
+    for k in keys:
+        kt = in_types.get(k)
+        if kt is not None and hasattr(kt, "id") and pa.types.is_floating(kt):
+            # float/double group keys are compile errors (same rule as
+            # window partition keys; v040/test_groupby.yaml ids 6/7)
+            raise SqlLowerError(
+                f"GROUP BY {k!r}: float/double keys are invalid "
+                "(matches reference)")
     if not keys:
         # global aggregate: constant key then drop
         ds = ds.map_batches(_AddColumns([("__gk", Literal(1))], resolver),
