@@ -183,6 +183,96 @@ def _minhash_coeffs(num_perm: int, seed: int):
 
 _minhash_coeffs._cache = {}
 
+# --- mega-group-safe within-bucket verification -----------------------------
+#
+# LSH buckets on real web corpora are wildly skewed: boilerplate (empty pages,
+# templated headers) creates degenerate (band, band_hash) groups holding
+# millions of near-identical docs. A naive O(g²) pairwise verify pins one
+# worker for hours on such a group (the reference's skew machinery,
+# utils/SkewDataFrameUtils.scala:26-143, solves the analogous problem for
+# window groups). The scale-safe shape used by every verify below:
+#
+#   1. exact-key collapse (vectorized np.unique on the raw signature bytes):
+#      byte-identical signatures are certain duplicates of the min-id row —
+#      the degenerate mega-bucket case costs ONE sort, zero pairwise work;
+#   2. bounded greedy verify for the surviving representatives: if more than
+#      _VERIFY_CAP reps remain, sort them by signature bytes (near-identical
+#      signatures sort adjacent) and verify within consecutive cap-sized
+#      chunks only. Pairs spanning chunks are missed — bounded recall loss
+#      on an already-approximate algorithm (other bands/segments/tables give
+#      further chances) in exchange for O(g · cap) worst-case work.
+#
+# Groups at or under the cap run the exact same greedy as before (min-id
+# survivor), so small-scale results are unchanged.
+
+_VERIFY_CAP = 2048
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _collapse_exact(keys_void: np.ndarray, ids: np.ndarray, payload: np.ndarray,
+                    dups: list):
+    """Drop rows whose key equals an earlier (smaller-id) row's key.
+
+    ``keys_void`` is any np.unique-able 1-D key array (void byte view or
+    plain uint64). ``ids`` must be pre-sorted ascending so np.unique's
+    first-occurrence index IS the min-id representative. Appends collapsed
+    ids to ``dups`` and returns (ids, payload, keys) of the reps."""
+    first = np.unique(keys_void, return_index=True)[1]
+    if len(first) == len(ids):
+        return ids, payload, keys_void
+    mask = np.zeros(len(ids), bool)
+    mask[first] = True
+    dups.extend(ids[~mask])
+    first.sort()
+    return ids[first], payload[first], keys_void[first]
+
+
+def _greedy_sig_dups(sigs: np.ndarray, ids: np.ndarray, need: int, dups: list):
+    """Greedy min-id-survivor scan, one vectorized compare per row against
+    the kept set: row i is a dup iff ≥``need`` signature components agree
+    with some kept row."""
+    K = np.empty_like(sigs)
+    K[0] = sigs[0]
+    kn = 1
+    for i in range(1, len(ids)):
+        if int((K[:kn] == sigs[i]).sum(axis=1).max()) >= need:
+            dups.append(ids[i])
+        else:
+            K[kn] = sigs[i]
+            kn += 1
+
+
+def _greedy_hamming_dups(h: np.ndarray, ids: np.ndarray, thresh: int, dups: list):
+    """Greedy min-id-survivor scan under hamming distance (uint64 keys),
+    popcount via byte LUT — no per-pair Python bin()."""
+    K = np.empty_like(h)
+    K[0] = h[0]
+    kn = 1
+    for i in range(1, len(ids)):
+        x = K[:kn] ^ h[i]
+        d = _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(kn, 8)] \
+            .sum(axis=1, dtype=np.int64)
+        if int(d.min()) <= thresh:
+            dups.append(ids[i])
+        else:
+            K[kn] = h[i]
+            kn += 1
+
+
+def _chunked_verify(payload: np.ndarray, ids: np.ndarray, keys_void: np.ndarray,
+                    greedy, dups: list, cap: int = _VERIFY_CAP):
+    """Run ``greedy(payload_chunk, ids_chunk, dups)`` exactly if the group is
+    at most ``cap`` rows, else over key-sorted cap-sized chunks."""
+    if len(ids) <= cap:
+        greedy(payload, ids, dups)
+        return
+    order = np.argsort(keys_void, kind="stable")
+    for s in range(0, len(order), cap):
+        sel = order[s:s + cap]
+        sel = sel[np.argsort(ids[sel], kind="stable")]  # min-id survivor
+        greedy(payload[sel], ids[sel], dups)
+
 # cap on windows × num_perm temp matrix size per vectorized slab — sized so
 # the (windows × num_perm) uint64 temp stays cache-resident (~16 MB at 64
 # perms); larger slabs thrash memory bandwidth and run ~7x slower
@@ -330,20 +420,23 @@ def minhash_lsh_dedup(
         # multi-member groups can yield duplicates
         sizes = g.groupby(["__band", "__bh"])[id_col].transform("size")
         g = g[sizes > 1]
-        dups = []
+        dups: list = []
         for _, sub in g.groupby(["__band", "__bh"], sort=False):
             sub = sub.sort_values(id_col, kind="stable")
             sigs = np.frombuffer(b"".join(sub["__sig"]),
                                  dtype="<i8").reshape(len(sub), -1)
             ids = sub[id_col].to_numpy()
-            kept = [0]
-            for i in range(1, len(ids)):
-                # estimated Jaccard = fraction of agreeing minhash components
-                if any(float((sigs[i] == sigs[j]).mean()) >= jaccard_threshold
-                       for j in kept):
-                    dups.append(ids[i])
-                else:
-                    kept.append(i)
+            # estimated Jaccard = fraction of agreeing minhash components;
+            # byte-identical signatures (est. 1.0) collapse vectorized first,
+            # then bounded greedy verify (see _chunked_verify)
+            sv = np.ascontiguousarray(sigs).view(
+                np.dtype((np.void, sigs.shape[1] * 8))).ravel()
+            ids, sigs, sv = _collapse_exact(sv, ids, sigs, dups)
+            if len(ids) > 1:
+                need = int(np.ceil(jaccard_threshold * sigs.shape[1]))
+                _chunked_verify(
+                    sigs, ids, sv,
+                    lambda p, i, d: _greedy_sig_dups(p, i, need, d), dups)
         # keep the id column's NATIVE dtype (string doc ids work too)
         return pd.DataFrame(
             {id_col: pd.Series(sorted(set(dups)), dtype=g[id_col].dtype)})
@@ -424,18 +517,22 @@ def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str, *,
     def block_dups(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["__seg", "__key"])[id_col].transform("size")
         g = g[sizes > 1]
-        dups = []
+        dups: list = []
         for _, sub in g.groupby(["__seg", "__key"], sort=False):
             sub = sub.sort_values(id_col, kind="stable").drop_duplicates(id_col)
             h = sub["__h"].to_numpy(np.int64).astype(np.uint64)
             ids = sub[id_col].to_numpy()
-            kept = [0]
-            for i in range(1, len(ids)):
-                if any(bin(int(h[j] ^ h[i])).count("1") <= hamming_threshold
-                       for j in kept):
-                    dups.append(ids[i])
-                else:
-                    kept.append(i)
+            if len(ids) < 2:
+                continue
+            # equal fingerprints (hamming 0) collapse vectorized, then
+            # bounded greedy hamming verify (see _chunked_verify); the
+            # fingerprint itself is the collapse/chunk-sort key
+            ids, h, _hk = _collapse_exact(h, ids, h, dups)
+            if len(ids) > 1:
+                _chunked_verify(
+                    h, ids, h,
+                    lambda p, i, d: _greedy_hamming_dups(
+                        p, i, hamming_threshold, d), dups)
         return pd.DataFrame(
             {id_col: pd.Series(sorted(set(dups)), dtype=g[id_col].dtype)})
 

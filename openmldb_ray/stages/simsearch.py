@@ -309,20 +309,36 @@ def embedding_dedup(
         return pd.concat(out, ignore_index=True)
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _chunked_verify, _collapse_exact
+
         if len(g) < 2:
             return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
         g = g.sort_values(id_col, kind="stable")
         v = np.stack(g["__v"].to_numpy())
         ids = g[id_col].to_numpy()
-        # greedy prefix scan, vectorized per candidate: compare each vector
-        # against the currently-kept prefix with one matvec
-        kept = [0]
-        dups = []
-        for i in range(1, len(ids)):
-            if (v[i] @ v[kept].T).max() >= cosine_threshold:
-                dups.append(ids[i])
-            else:
-                kept.append(i)
+        dups: list = []
+        # byte-identical (normalized) vectors are certain dups (cosine 1):
+        # collapse vectorized so a degenerate bucket of millions of equal
+        # embeddings costs one sort, then bounded greedy verify — compare
+        # each vector against the kept prefix with one matvec, capped
+        # chunk-wise for mega-buckets (see dedup._chunked_verify)
+        vv = np.ascontiguousarray(v).view(
+            np.dtype((np.void, v.shape[1] * v.itemsize))).ravel()
+        ids, v, vv = _collapse_exact(vv, ids, v, dups)
+
+        def greedy(vec, idv, out):
+            K = np.empty_like(vec)
+            K[0] = vec[0]
+            kn = 1
+            for i in range(1, len(idv)):
+                if float((K[:kn] @ vec[i]).max()) >= cosine_threshold:
+                    out.append(idv[i])
+                else:
+                    K[kn] = vec[i]
+                    kn += 1
+
+        if len(ids) > 1:
+            _chunked_verify(v, ids, vv, greedy, dups)
         return pd.DataFrame({id_col: pd.Series(dups, dtype=g[id_col].dtype)})
 
     dup_ids = (ds.select_columns([id_col, vec_col])

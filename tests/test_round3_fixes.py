@@ -1,0 +1,200 @@
+"""Round-3 regression tests (VERDICT r2 "next round" items).
+
+Mega-group fallback in the near-dup verify loops: degenerate LSH buckets
+(boilerplate web data — thousands of byte-identical docs sharing one band
+hash) must finish in seconds via vectorized exact-signature collapse, and
+oversized distinct-rep groups must be chunk-capped instead of O(g²).
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------- kernel-level: greedy parity with the old quadratic scan ----------
+
+def _old_greedy_sig(sigs, ids, threshold):
+    """The pre-round-3 O(n²) Python reference: row i is a dup iff its
+    signature agrees with any kept row's on >= threshold fraction."""
+    kept, dups = [0], []
+    for i in range(1, len(ids)):
+        if any(float((sigs[i] == sigs[j]).mean()) >= threshold for j in kept):
+            dups.append(ids[i])
+        else:
+            kept.append(i)
+    return sorted(dups)
+
+
+def test_greedy_sig_parity_small_groups():
+    from openmldb_ray.stages.dedup import (_chunked_verify, _collapse_exact,
+                                           _greedy_sig_dups)
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n, perm = rng.integers(2, 60), 16
+        # clustered signatures → plenty of above-threshold pairs
+        centers = rng.integers(0, 50, size=(4, perm))
+        sigs = centers[rng.integers(0, 4, n)].copy()
+        flip = rng.random((n, perm)) < 0.15
+        sigs[flip] = rng.integers(1000, 2000, int(flip.sum()))
+        sigs = sigs.astype("<i8")
+        ids = np.arange(n)
+        expect = _old_greedy_sig(sigs, ids, 0.7)
+
+        dups: list = []
+        sv = np.ascontiguousarray(sigs).view(
+            np.dtype((np.void, perm * 8))).ravel()
+        ids2, sigs2, sv2 = _collapse_exact(sv, ids, sigs, dups)
+        if len(ids2) > 1:
+            need = int(np.ceil(0.7 * perm))
+            _chunked_verify(sigs2, ids2, sv2,
+                            lambda p, i, d: _greedy_sig_dups(p, i, need, d),
+                            dups)
+        assert sorted(dups) == expect, f"trial {trial}"
+
+
+def _old_greedy_hamming(h, ids, thresh):
+    kept, dups = [0], []
+    for i in range(1, len(ids)):
+        if any(bin(int(h[j] ^ h[i])).count("1") <= thresh for j in kept):
+            dups.append(ids[i])
+        else:
+            kept.append(i)
+    return sorted(dups)
+
+
+def test_greedy_hamming_parity_small_groups():
+    from openmldb_ray.stages.dedup import (_chunked_verify, _collapse_exact,
+                                           _greedy_hamming_dups)
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 80))
+        centers = rng.integers(0, 1 << 63, size=5, dtype=np.uint64)
+        h = centers[rng.integers(0, 5, n)].copy()
+        # flip up to 4 random bits per row
+        for i in range(n):
+            for _ in range(int(rng.integers(0, 5))):
+                h[i] ^= np.uint64(1) << np.uint64(rng.integers(0, 64))
+        ids = np.arange(n)
+        expect = _old_greedy_hamming(h, ids, 3)
+
+        dups: list = []
+        ids2, h2, _ = _collapse_exact(h, ids, h, dups)
+        if len(ids2) > 1:
+            _chunked_verify(h2, ids2, h2,
+                            lambda p, i, d: _greedy_hamming_dups(p, i, 3, d),
+                            dups)
+        assert sorted(dups) == expect, f"trial {trial}"
+
+
+def test_chunked_verify_caps_mega_group():
+    """A group far above _VERIFY_CAP of DISTINCT signatures must still finish
+    fast (bounded chunk work) and near-identical signatures — adjacent under
+    the byte sort — must still dedup to the min id."""
+    from openmldb_ray.stages.dedup import (_VERIFY_CAP, _chunked_verify,
+                                           _greedy_sig_dups)
+
+    perm = 16
+    n = _VERIFY_CAP * 3
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 1 << 40, size=(n, perm)).astype("<i8")
+    # plant pairs: row i and row i+n share a signature except one component
+    pair = sigs.copy()
+    pair[:, 0] += 1
+    all_sigs = np.vstack([sigs, pair])
+    ids = np.arange(2 * n)
+    order = np.argsort(ids)
+    sv = np.ascontiguousarray(all_sigs).view(
+        np.dtype((np.void, perm * 8))).ravel()
+    dups: list = []
+    t0 = time.monotonic()
+    _chunked_verify(all_sigs[order], ids[order], sv[order],
+                    lambda p, i, d: _greedy_sig_dups(
+                        p, i, int(np.ceil(0.9 * perm)), d),
+                    dups)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30, f"mega-group verify took {elapsed:.1f}s"
+    # every planted pair differs in exactly 1/16 components (15/16 = 0.9375
+    # ≥ 0.9) and sorts adjacent by signature bytes except on component 0 —
+    # expect the overwhelming majority caught, survivor = min id
+    dset = set(int(x) for x in dups)
+    caught = sum(1 for i in range(n) if (i + n) in dset or i in dset)
+    assert caught >= int(0.95 * n), f"only {caught}/{n} planted pairs caught"
+    both = sum(1 for i in range(n) if (i + n) in dset and i in dset)
+    assert both == 0, "both members of a pair removed"
+
+
+# ---------- end-to-end: planted mega-buckets through the Ray pipeline --------
+
+def test_minhash_mega_bucket_end_to_end(ray_session):
+    """50k byte-identical docs in one band bucket (the boilerplate case):
+    exact-signature collapse must make this cheap; survivors identical to
+    the semantic expectation (min id + all uniques)."""
+    import ray.data as rd
+
+    from openmldb_ray.stages.dedup import minhash_lsh_dedup
+
+    boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+              "eiusmod tempor incididunt ut labore et dolore magna aliqua")
+    n_dup, n_uniq = 50_000, 200
+    rows = [{"doc_id": 1_000_000 + i, "text": boiler} for i in range(n_dup)]
+    rows += [{"doc_id": i, "text": f"unique {i} " + " ".join(
+        f"w{i * 37 + j}" for j in range(25))} for i in range(n_uniq)]
+    t0 = time.monotonic()
+    out = minhash_lsh_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                            "text", "doc_id",
+                            jaccard_threshold=0.8).to_pandas()
+    elapsed = time.monotonic() - t0
+    ids = set(out["doc_id"])
+    assert 1_000_000 in ids
+    assert len(ids & set(range(1_000_000, 1_000_000 + n_dup))) == 1
+    assert len(ids & set(range(n_uniq))) == n_uniq
+    # generous bound for sandbox noise; the old O(g²) loop would need
+    # ~2.5e9 python-level pair checks here and run for hours
+    assert elapsed < 120, f"mega bucket took {elapsed:.1f}s"
+
+
+def test_simhash_mega_bucket_end_to_end(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.dedup import simhash_dedup
+
+    boiler = "site header navigation copyright footer terms privacy " * 4
+    n_dup = 20_000
+    rows = [{"doc_id": 500_000 + i, "text": boiler} for i in range(n_dup)]
+    rows += [{"doc_id": i, "text": f"doc {i} " + " ".join(
+        f"tok{(i * 13 + j) % 4099}" for j in range(40))} for i in range(100)]
+    t0 = time.monotonic()
+    out = simhash_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                        "text", "doc_id").to_pandas()
+    elapsed = time.monotonic() - t0
+    ids = set(out["doc_id"])
+    assert 500_000 in ids
+    assert len(ids & set(range(500_000, 500_000 + n_dup))) == 1
+    assert elapsed < 120, f"mega bucket took {elapsed:.1f}s"
+
+
+def test_embedding_mega_bucket_end_to_end(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.simsearch import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16).astype(np.float32)
+    n_dup = 10_000
+    rows = [{"vec_id": 100_000 + i, "embedding": base.tolist()}
+            for i in range(n_dup)]
+    uniq = rng.normal(size=(50, 16)).astype(np.float32)
+    rows += [{"vec_id": i, "embedding": uniq[i].tolist()} for i in range(50)]
+    t0 = time.monotonic()
+    out = embedding_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                          cosine_threshold=0.99).to_pandas()
+    elapsed = time.monotonic() - t0
+    ids = set(out["vec_id"])
+    assert 100_000 in ids
+    assert len(ids & set(range(100_000, 100_000 + n_dup))) == 1
+    assert len(ids & set(range(50))) == 50
+    assert elapsed < 120, f"mega bucket took {elapsed:.1f}s"
