@@ -9,8 +9,9 @@ history) by key and per-key prefix/sliding states:
 
     requests.union(history) → coarse-bucket hash shuffle on the key
     → per key: sort history once, prefix sums (sum/count/avg) and a
-      monotonic two-pointer deque (min/max) answer every request in
-      O(h + r) — no O(window) re-scan per request.
+      sparse-table RMQ (min/max) answer every request in O(h log S + r)
+      vectorized numpy work — no O(window) re-scan per request and no
+      per-request Python loop.
 
 This is the reusable operator behind "backfill point-in-time features for
 training rows": requests (the training rows) are typically orders of
@@ -40,27 +41,48 @@ REQ_FLAG = "__is_req"
 
 
 def _sliding_extreme(h: np.ndarray, lo: np.ndarray, hi: np.ndarray,
-                     want_max: bool) -> np.ndarray:
-    """min/max of h[lo_i:hi_i] per request via a monotonic deque —
-    amortized O(len(h) + len(lo)); windows must advance monotonically
-    (requests are processed in ts order)."""
-    from collections import deque
+                     want_max: bool,
+                     valid_in_win: np.ndarray | None = None) -> np.ndarray:
+    """min/max of h[lo_i:hi_i] per request, fully vectorized via a sparse
+    table (range-min/max query): O(n log S) build where S is the largest
+    window span, O(1) per query answered as op(level_k[lo], level_k[hi-2^k])
+    — no per-request Python loop, so dense request streams (r ≈ h) pay
+    numpy constants, not interpreter constants.
 
-    out = np.empty(lo.shape[0], dtype=np.float64)
-    dq: deque[int] = deque()  # candidate indices, best at front
-    nxt = 0
-    better = np.greater_equal if want_max else np.less_equal
-    for i in range(lo.shape[0]):
-        while nxt < hi[i]:
-            v = h[nxt]
-            if not np.isnan(v):
-                while dq and better(v, h[dq[-1]]):
-                    dq.pop()
-                dq.append(nxt)
-            nxt += 1
-        while dq and dq[0] < lo[i]:
-            dq.popleft()
-        out[i] = h[dq[0]] if dq else np.nan
+    NaN history values are masked with ∓inf; ``valid_in_win`` (non-NaN count
+    per window, already computed by the caller's prefix sums) turns all-NaN
+    windows into NaN. Windows need not be monotonic."""
+    out = np.full(lo.shape[0], np.nan, dtype=np.float64)
+    span_all = hi - lo
+    nonempty = span_all > 0
+    if valid_in_win is not None:
+        nonempty &= valid_in_win > 0
+    if h.shape[0] == 0 or not nonempty.any():
+        return out
+    n = h.shape[0]
+    fill = -np.inf if want_max else np.inf
+    op = np.maximum if want_max else np.minimum
+    level = np.where(np.isnan(h), fill, h)
+    span = span_all[nonempty].astype(np.int64)
+    n_levels = int(span.max()).bit_length()  # levels 0..n_levels-1 (2^k rows)
+    tables = [level]
+    for k in range(1, n_levels):
+        step = 1 << (k - 1)
+        prev = tables[-1]
+        tables.append(op(prev[:prev.shape[0] - step], prev[step:])
+                      if prev.shape[0] > step else prev[:0])
+    loq = lo[nonempty].astype(np.int64)
+    hiq = hi[nonempty].astype(np.int64)
+    # per-query level: floor(log2(span)); exact for spans < 2^52
+    kq = np.floor(np.log2(span)).astype(np.int64)
+    res = np.empty(span.shape[0], dtype=np.float64)
+    for k in np.unique(kq):
+        m = kq == k
+        t = tables[k]
+        res[m] = op(t[loq[m]], t[hiq[m] - (1 << k)])
+    if valid_in_win is None:
+        res = np.where(np.isinf(res) & (res == fill), np.nan, res)
+    out[nonempty] = res
     return out
 
 
@@ -194,7 +216,9 @@ def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
         elif a.kind == "avg":
             out[a.name] = np.where(c > 0, s / np.maximum(c, 1), np.nan)
         else:  # min / max
-            out[a.name] = _sliding_extreme(v, lo, hi, want_max=(a.kind == "max"))
+            out[a.name] = _sliding_extreme(v, lo, hi,
+                                           want_max=(a.kind == "max"),
+                                           valid_in_win=c)
     # restore the request rows' original within-key order
     inv = np.empty_like(order_r)
     inv[order_r] = np.arange(order_r.size)

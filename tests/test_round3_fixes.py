@@ -127,6 +127,68 @@ def test_chunked_verify_caps_mega_group():
     assert both == 0, "both members of a pair removed"
 
 
+# ---------- request_window min/max: sparse-table RMQ vs old deque ------------
+
+def _deque_extreme(h, lo, hi, want_max):
+    """The pre-round-3 per-request Python deque (reference for parity +
+    the ≥5× dense-request speedup bar)."""
+    from collections import deque
+    out = np.empty(lo.shape[0], dtype=np.float64)
+    dq: deque = deque()
+    nxt = 0
+    better = np.greater_equal if want_max else np.less_equal
+    for i in range(lo.shape[0]):
+        while nxt < hi[i]:
+            v = h[nxt]
+            if not np.isnan(v):
+                while dq and better(v, h[dq[-1]]):
+                    dq.pop()
+                dq.append(nxt)
+            nxt += 1
+        while dq and dq[0] < lo[i]:
+            dq.popleft()
+        out[i] = h[dq[0]] if dq else np.nan
+    return out
+
+
+def test_sliding_extreme_parity_and_dense_speed():
+    from openmldb_ray.stages.request_window import _sliding_extreme
+
+    rng = np.random.default_rng(13)
+    # parity across random monotone window sets, with NaN runs
+    for trial in range(10):
+        n = int(rng.integers(1, 500))
+        h = rng.normal(size=n)
+        h[rng.random(n) < 0.2] = np.nan
+        ts = np.sort(rng.integers(0, 10_000, n))
+        r = int(rng.integers(1, 300))
+        rts = np.sort(rng.integers(0, 10_000, r))
+        w = int(rng.integers(1, 3_000))
+        lo = np.searchsorted(ts, rts - w, side="left")
+        hi = np.searchsorted(ts, rts, side="right")
+        for want_max in (True, False):
+            got = _sliding_extreme(h, lo, hi, want_max)
+            exp = _deque_extreme(h, lo, hi, want_max)
+            np.testing.assert_array_equal(got, exp, err_msg=f"trial {trial}")
+
+    # dense-request micro-bench: r == h (every history row is a request)
+    import time
+    n = 200_000
+    h = rng.normal(size=n)
+    lo = np.maximum(0, np.arange(n) - 500)
+    hi = np.arange(1, n + 1)
+    t0 = time.monotonic()
+    fast = _sliding_extreme(h, lo, hi, True)
+    t_fast = time.monotonic() - t0
+    t0 = time.monotonic()
+    slow = _deque_extreme(h, lo, hi, True)
+    t_slow = time.monotonic() - t0
+    np.testing.assert_array_equal(fast, slow)
+    assert t_slow / max(t_fast, 1e-9) >= 5, \
+        f"dense speedup only {t_slow / max(t_fast, 1e-9):.1f}x " \
+        f"(fast={t_fast:.3f}s slow={t_slow:.3f}s)"
+
+
 # ---------- end-to-end: planted mega-buckets through the Ray pipeline --------
 
 def test_minhash_mega_bucket_end_to_end(ray_session):
