@@ -482,19 +482,47 @@ def left_join(
     on,
     *,
     right_cols: dict[str, str] | None = None,
-    strategy: str = "broadcast",
-    num_partitions: int = 32,
+    strategy: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Plain LEFT OUTER equi-join (JoinPlan.scala:39-151).
 
-    broadcast: right side collected once + merged per batch (dimension
-    tables — the 100 TB default). shuffle: Ray Data's native hash join.
+    auto (default): materialize the right side ONCE (count from block
+    metadata), broadcast it when it holds at most ``broadcast_limit`` rows
+    (dimension tables — the 100 TB common case), else fall back to the
+    shuffle path — a caller can no longer driver-materialize a large right
+    side silently. broadcast / shuffle force the respective path.
     """
     left_key, right_key = (on, on) if isinstance(on, str) else on
-    if strategy == "shuffle":
-        return left.join(right, join_type="left_outer", num_partitions=num_partitions,
-                         on=(left_key,), right_on=(right_key,))
-    rdf = right.to_pandas()
+    if not isinstance(right, pd.DataFrame):
+        if strategy == "auto":
+            right = right.materialize()
+            strategy = ("broadcast" if right.count() <= broadcast_limit
+                        else "shuffle")
+        if strategy == "shuffle":
+            if right_cols:
+                cols = list(dict.fromkeys([right_key, *right_cols]))
+                new_names = [right_cols.get(c, c) for c in cols]
+
+                def _proj(t):
+                    return t.select(cols).rename_columns(new_names)
+
+                right = right.map_batches(_proj, batch_format="pyarrow",
+                                          batch_size=None)
+                right_key = right_cols.get(right_key, right_key)
+            if num_partitions is None:
+                # the native hash join spawns num_partitions aggregator
+                # actors with CPU reservations — more partitions than CPUs
+                # deadlocks a small local session
+                num_partitions = min(
+                    32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+            return left.join(right, join_type="left_outer",
+                             num_partitions=num_partitions,
+                             on=(left_key,), right_on=(right_key,))
+        rdf = right.to_pandas()
+    else:
+        rdf = right
     if right_cols:
         rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
     rref = ray.put(rdf)

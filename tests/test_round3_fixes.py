@@ -189,6 +189,57 @@ def test_sliding_extreme_parity_and_dense_speed():
         f"(fast={t_fast:.3f}s slow={t_slow:.3f}s)"
 
 
+# ---------- left_join broadcast guard ----------------------------------------
+
+def test_left_join_auto_routes_large_right_to_shuffle(ray_session, monkeypatch):
+    """auto must NOT driver-materialize a right side above broadcast_limit:
+    it falls back to the native shuffle join, and the result matches the
+    broadcast path bit-for-bit."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from openmldb_ray.stages.join_stage import left_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 2, 7], "v": [10, 20, 30, 40, 50]}))
+    rdf = pd.DataFrame({"rk": np.arange(1, 6), "name": list("abcde"),
+                        "extra": np.arange(5)})
+    right = rd.from_pandas(rdf)
+
+    calls = []
+    native_join = Dataset.join
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("join_type"))
+        return native_join(self, *a, **kw)
+
+    monkeypatch.setattr(Dataset, "join", spy)
+
+    bcast = left_join(left, rd.from_pandas(rdf), ("k", "rk"),
+                      right_cols={"name": "nm"},
+                      strategy="broadcast").to_pandas()
+    assert calls == []  # broadcast never touches the native join
+
+    out = left_join(left, right, ("k", "rk"), right_cols={"name": "nm"},
+                    strategy="auto", broadcast_limit=2).to_pandas()
+    assert calls == ["left_outer"]  # auto fell back to shuffle
+
+    key = ["k", "v"]
+    got = out.sort_values(key).reset_index(drop=True)[sorted(out.columns)]
+    exp = bcast.sort_values(key).reset_index(drop=True)[sorted(bcast.columns)]
+    pd.testing.assert_frame_equal(
+        got.astype({"nm": object}), exp.astype({"nm": object}))
+
+    # small right under the limit stays broadcast
+    calls.clear()
+    small = left_join(left, right, ("k", "rk"), right_cols={"name": "nm"},
+                      strategy="auto", broadcast_limit=1000).to_pandas()
+    assert calls == []
+    pd.testing.assert_frame_equal(
+        small.sort_values(key).reset_index(drop=True)[sorted(small.columns)]
+             .astype({"nm": object}), exp.astype({"nm": object}))
+
+
 # ---------- end-to-end: planted mega-buckets through the Ray pipeline --------
 
 def test_minhash_mega_bucket_end_to_end(ray_session):
