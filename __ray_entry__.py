@@ -656,6 +656,48 @@ def q_minhash_dedup(sf_dir: str):
     return _dedup_property(out, "doc_id", planted)
 
 
+def q_minhash_dense(sf_dir: str):
+    """Dense-duplicate corpus: 30% of documents (doc_id % 10 < 3) share ONE
+    boilerplate text — the degenerate web-corpus shape that creates a
+    mega (band, band_hash) bucket and load-tests the verify path's
+    exact-signature collapse + capped chunked greedy (dedup.py). Property
+    oracle: exactly one boilerplate row survives, it is the smallest
+    boilerplate doc_id, and survivors are unique."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.dedup import minhash_lsh_dedup
+
+    boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+              "eiusmod tempor incididunt ut labore et dolore magna aliqua "
+              "enim ad minim veniam quis nostrud exercitation ullamco")
+
+    def densify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array((ids % 10) < 3)
+        text = pc.if_else(mask, pa.scalar(boiler), t["text"])
+        return t.set_column(t.column_names.index("text"), "text", text)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(densify, batch_format="pyarrow", batch_size=None)
+    out = minhash_lsh_dedup(docs, "text", "doc_id")
+    ids = out.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    all_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])["doc_id"].to_numpy()
+    bmin = int(all_ids[(all_ids % 10) < 3].min())
+    bmask = (ids % 10) < 3
+    return pd.DataFrame({
+        "boiler_surviving": [np.int64(bmask.sum())],
+        "boiler_min_kept": [np.int64(int(bmask.sum()) == 1
+                                     and int(ids[bmask].min()) == bmin)],
+        "survivors_unique": [np.int64(pd.Index(ids).is_unique)],
+    })
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup: planted exact copies must all be removed."""
     from openmldb_ray.stages.dedup import simhash_dedup
@@ -995,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dense": q_minhash_dense,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
         "langid": q_langid,
@@ -1336,6 +1379,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": f"""
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "minhash_dense": """
+            SELECT CAST(1 AS BIGINT) AS boiler_surviving,
+                   CAST(1 AS BIGINT) AS boiler_min_kept,
                    CAST(1 AS BIGINT) AS survivors_unique
         """,
         "simhash_dedup": f"""

@@ -29,7 +29,8 @@ BENCH_QUERIES = [
     "window_rows", "window_range", "window_where", "last_join_asof",
     "lastjoin_window", "window_union", "sessionize", "session_agg",
     "group_agg", "group_stats", "multi_window", "scalar_project",
-    "dedup_exact", "text_stats", "knn", "minhash_dedup", "taxi_demo",
+    "dedup_exact", "text_stats", "knn", "minhash_dedup", "minhash_dense",
+    "taxi_demo",
 ]
 
 

@@ -25,6 +25,7 @@ the window/groupby stages always see plain columns.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -697,6 +698,27 @@ def attach_rid(ds):
     return ds
 
 
+def _maybe_empty_shim(ds):
+    """Under grouping.EMPTY_PROBE, represent a rowless base table as an
+    EmptyTypedDataset so its schema survives the lowered pipeline (Ray's map
+    machinery rebuilds empty blocks as zero-column tables — see
+    core/empty_ds.py). Real datasets and non-empty tables pass through."""
+    from ..core.empty_ds import EmptyTypedDataset
+    from ..core.grouping import EMPTY_PROBE
+
+    if not EMPTY_PROBE.get() or isinstance(ds, (EmptyTypedDataset, pd.DataFrame)):
+        return ds
+    try:
+        if ds.count() == 0:
+            sch = ds.schema()
+            base = getattr(sch, "base_schema", sch)
+            if isinstance(base, pa.Schema):
+                return EmptyTypedDataset(base.empty_table())
+    except Exception:
+        pass
+    return ds
+
+
 def _lower_from(node, tables, ctx) -> tuple:
     """Returns (ds, scope)."""
     if node is None:
@@ -731,7 +753,7 @@ def _lower_from(node, tables, ctx) -> tuple:
             return ds, sc
         if node.name not in tables:
             raise SqlLowerError(f"unknown table {node.name!r}")
-        ds = tables[node.name]
+        ds = _maybe_empty_shim(tables[node.name])
         cols = list(ds.schema().names)
         sc = Scope()
         visible = {c: c for c in cols if not c.startswith("__")}
@@ -1157,7 +1179,8 @@ def _lower_select(stmt: SelectStmt, tables: dict, ctx: dict):
     # UNION tail ----------------------------------------------------------
     if stmt.union_all is not None:
         other = _lower_select(stmt.union_all, tables, ctx)
-        ds = ds.union(other)
+        from ..core.empty_ds import union_any
+        ds = union_any(ds, other)
         if stmt.union_distinct:
             from ..stages.relational import distinct as distinct_stage
             ds = distinct_stage(ds)
@@ -1287,7 +1310,8 @@ def _run_one_window(ds, wdef: WindowDef, calls, scope, resolver,
             parts.append(uds)
         union_ds = parts[0]
         for p in parts[1:]:
-            union_ds = union_ds.union(p)
+            from ..core.empty_ds import union_any
+            union_ds = union_any(union_ds, p)
         # align to the primary's full schema: columns the union source lacks
         # (earlier windows' features, __rid) become typed nulls — they are
         # never read by this window's aggs
@@ -1591,4 +1615,29 @@ def run_sql(sql: str, tables: dict, *, keep_rid: bool = False,
     """
     stmt = sql if isinstance(sql, SelectStmt) else parse_sql(sql)
     ctx = {"keep_rid": keep_rid, "default_db": default_db}
-    return _lower_select(stmt, tables, ctx)
+    from ..core.grouping import EMPTY_PROBE
+    token = EMPTY_PROBE.set(_tables_are_tiny(tables))
+    try:
+        return _lower_select(stmt, tables, ctx)
+    finally:
+        EMPTY_PROBE.reset(token)
+
+
+def _tables_are_tiny(tables: dict, limit: int = 100_000) -> bool:
+    """True when every input is already in memory and small — the gate for
+    grouping.EMPTY_PROBE (empty-input schema probing costs a count() per
+    grouped stage, affordable only at conformance scale; a read_parquet
+    input disables it so 100 TB pipelines never pay it)."""
+    from ray.data.dataset import MaterializedDataset
+
+    total = 0
+    for t in tables.values():
+        if isinstance(t, pd.DataFrame):
+            total += len(t)
+        elif isinstance(t, MaterializedDataset):
+            total += t.count()
+        else:
+            return False
+        if total > limit:
+            return False
+    return True

@@ -57,6 +57,82 @@ _KNOWN_DIVERGENCES = {
         "unsupported", "index-requirement not modeled: right-subquery join "
         "key and order ts from different source tables is fine for a "
         "shuffle join; reference requires one indexed main table"),
+    # Online storage deletes per-INDEX entries: a row deleted through one
+    # index stays visible to windows scanning another index (dml/
+    # test_delete.yaml id 17 expects the c1-deleted row to still feed the
+    # c2-partitioned window). Offline DELETE removes whole rows.
+    ("test_delete.yaml", 17): (
+        "unsupported", "per-index delete visibility not modeled: offline "
+        "DELETE removes whole rows (online index-entry semantics)"),
+    # The reference harness treats an input cell spelled "null" (quoted
+    # string) and SQL NULL as the same value after a csv round trip; we
+    # keep the 4-char string distinct (function/out_in/test_out_in.yaml
+    # id 17's cat expectation REQUIRES the string to survive — the corpus
+    # is inconsistent between the two files).
+    ("test_select_into_load_data.yaml", 1): (
+        "unsupported", "quoted-'null' string vs NULL equivalence after csv "
+        "round trip (corpus-inconsistent with test_out_in id 17)"),
+    ("test_select_into_load_data.yaml", "17-2"): (
+        "unsupported", "quoted-'null' string vs NULL equivalence after csv "
+        "round trip (corpus-inconsistent with test_out_in id 17)"),
+    # Spark writes csv exports as part-file DIRECTORIES; mode=append adds
+    # part files, and a header=true read then consumes the first line of
+    # EVERY part (losing one data row per headerless part). We model a
+    # single csv file per export.
+    ("test_select_into_load_data.yaml", "9-2"): (
+        "unsupported", "Spark part-file-per-append header consumption not "
+        "modeled (single-file csv exports)"),
+    ("test_select_into_load_data.yaml", "10-1"): (
+        "unsupported", "Spark part-file-per-append header consumption not "
+        "modeled (single-file csv exports)"),
+    ("test_select_into_load_data.yaml", "10-2"): (
+        "unsupported", "Spark part-file-per-append header consumption not "
+        "modeled (single-file csv exports)"),
+    # id 37-1 (standalone) expects an online LOAD with the default mode to
+    # succeed while ids 39/40 ("cluster") expect exactly that to fail; we
+    # implement the cluster rule (online = append-only).
+    ("test_select_into_load_data.yaml", "37-1"): (
+        "unsupported", "standalone online LOAD default-mode allowance "
+        "contradicts ids 39/40 (cluster append-only rule implemented)"),
+    # LIMIT without ORDER BY: which rows survive is storage-iteration
+    # order (reference skiplist ts-desc); plain SELECTs compare count-only
+    # via _limit_without_order, but these round-trip the limited rows
+    # through a file so values get compared.
+    ("test_select_into_load_data.yaml", (65, "limit")): (
+        "unsupported", "LIMIT without ORDER BY row identity is "
+        "storage-iteration order (not meaningful for a batch engine)"),
+    ("test_select_into_load_data.yaml", (66, "limit")): (
+        "unsupported", "LIMIT without ORDER BY row identity is "
+        "storage-iteration order (not meaningful for a batch engine)"),
+    # Online STORAGE semantics (not query semantics): disk tables dedup
+    # inserts on identical (index key, ts); ttl_type=latest/absolute evicts
+    # rows before a SELECT sees them; {currentTime} rows only matter for
+    # eviction. The reference's own OFFLINE engine reads full data and
+    # ignores TTL too — these cases test the online storage node.
+    ("disk_table.yaml", 12): (
+        "unsupported", "disk-table (key,ts) insert dedup is online storage "
+        "behavior (offline reads keep all rows)"),
+    ("disk_table.yaml", 13): (
+        "unsupported", "disk-table (key,ts) insert dedup is online storage "
+        "behavior (offline reads keep all rows)"),
+    ("disk_table.yaml", 15): (
+        "unsupported", "ttl_type=latest eviction is online storage behavior "
+        "(reference offline ignores TTL as well)"),
+    ("disk_table.yaml", 16): (
+        "unsupported", "absolute-TTL eviction with {currentTime} rows is "
+        "online storage behavior"),
+    ("disk_table.yaml", 17): (
+        "unsupported", "absolute-TTL eviction with {currentTime} rows is "
+        "online storage behavior"),
+    ("disk_table.yaml", 18): (
+        "unsupported", "absolute-TTL eviction with {currentTime} rows is "
+        "online storage behavior"),
+    ("test_data_expiration.yaml", 0): (
+        "unsupported", "ttl_type=latest eviction is online storage behavior "
+        "(reference offline ignores TTL as well)"),
+    ("test_data_expiration.yaml", 16): (
+        "unsupported", "absolute-TTL eviction with {currentTime} rows is "
+        "online storage behavior"),
 }
 
 _TYPE_BUILDERS = {
@@ -540,16 +616,30 @@ def should_skip(case: dict) -> str | None:
             return f"mode:{m}"
     if case.get("sql") is None and not case.get("sqls"):
         return "no sql"
+    tags = case.get("tags") or []
+    if any("TODO" in str(t) for t in tags):
+        # the reference's own runner skips TODO-tagged cases (recorded bugs)
+        return "tagged TODO"
+    if case.get("sqls") and "delete" in str(case["sqls"]).lower():
+        # online TTL eviction (index spec `idx:key:ts:N:latest`) changes
+        # which rows a post-delete SELECT sees; an offline engine has no
+        # eviction, so those cases are out of scope
+        for inp in case.get("inputs") or []:
+            for spec in ((inp.get("indexs") or inp.get("index") or [])
+                         if isinstance(inp, dict) else []):
+                parts = str(spec).split(":")
+                if len(parts) >= 4 and parts[3].strip() not in ("", "0"):
+                    return "online TTL eviction semantics"
     if case.get("sqls") and not case.get("sql"):
         # multi-statement scripts run when every statement is offline-
         # expressible (SELECT / SELECT INTO OUTFILE / LOAD DATA / catalog
         # no-ops); online-state statements make the case inapplicable
         for s in case["sqls"]:
             head = str(s).strip().split()[0].lower() if str(s).strip() else ""
-            if head in ("delete", "insert"):
+            if head == "insert":
                 return f"multi-statement {head} side effects"
             if head not in ("select", "load", "create", "desc", "show",
-                            "set", "deploy", "drop"):
+                            "set", "deploy", "drop", "delete"):
                 return f"multi-statement:{head}"
         if not any(str(s).strip().lower().startswith("select")
                    for s in case["sqls"]) \
@@ -558,17 +648,11 @@ def should_skip(case: dict) -> str | None:
         return None
     if case.get("standard_sql") is False:
         pass
-    tags = case.get("tags") or []
-    if any("TODO" in str(t) for t in tags):
-        return "tagged TODO"
     sql = case.get("sql") or ""
     low = sql.lower()
     for kw in ("insert ", "create ", "deploy ", "load data", "delete "):
         if low.strip().startswith(kw.strip()):
             return f"non-select:{kw.strip()}"
-    # cases whose setup mutates state we cannot replay (DELETE side effects)
-    if "delete" in str(case.get("sqls") or "").lower():
-        return "delete side effects"
     return None
 
 
@@ -588,7 +672,11 @@ def run_case(case: dict, file_label: str = "") -> list[CaseOutcome]:
         return [CaseOutcome(file_label, cid, desc, "", "skip", reason)]
 
     for (fsub, kid), (status, why) in _KNOWN_DIVERGENCES.items():
-        if fsub in file_label and cid == kid:
+        want_desc = None
+        if isinstance(kid, tuple):
+            kid, want_desc = kid
+        if fsub in file_label and cid == kid and \
+                (want_desc is None or want_desc in desc):
             return [CaseOutcome(file_label, cid, desc, "", status, why)]
 
     scalar_fns.set_timezone_offset_ms(8 * 3600 * 1000)
@@ -631,8 +719,9 @@ def _run_case_variants(case, file_label, out):
                 stmts = [st.replace(f"{{{i}}}", nm) for st in stmts]
             try:
                 tables = build_tables(case)
-                actual, script_tmp = _run_script(stmts, tables,
-                                                 str(case.get("db") or "") or None)
+                actual, script_tmp = _run_script(
+                    stmts, tables, str(case.get("db") or "") or None,
+                    indexes=_case_indexes(case, named))
             except Unsupported as e:
                 out.append(CaseOutcome(file_label, cid, desc, label,
                                        "unsupported", str(e)))
@@ -653,10 +742,16 @@ def _run_case_variants(case, file_label, out):
             if expect.get("cat"):
                 # written-file content check (order-insensitive lines)
                 cat = expect["cat"]
-                fpath = os.path.join(script_tmp,
-                                     os.path.basename(str(cat.get("path"))))
+                base = os.path.basename(str(cat.get("path")))
                 for i in range(len(case.get("inputs") or [])):
-                    fpath = fpath.replace(f"{{{i}}}", named.get(i, f"t{i}"))
+                    base = base.replace(f"{{{i}}}", named.get(i, f"t{i}"))
+                # outfiles land at the scratch root or (for {root_path}/out
+                # paths) under out/
+                fpath = os.path.join(script_tmp, base)
+                if not os.path.isfile(fpath):
+                    alt = os.path.join(script_tmp, "out", base)
+                    if os.path.isfile(alt):
+                        fpath = alt
                 try:
                     with open(fpath) as fh:
                         got = sorted(ln.rstrip("\n") for ln in fh
@@ -687,8 +782,18 @@ def _run_case_variants(case, file_label, out):
             sql = _substitute_params(sql, case["parameters"])
         try:
             if case.get("longWindow"):
-                _validate_long_window(sql)
+                _validate_long_window(sql, case)
             tables = build_tables(case)
+            if case.get("sqls"):
+                # setup script preceding the query (e.g. test_delete ids
+                # 4/17: deletes mutate the table, then `sql` reads it)
+                setup = [str(st) for st in case["sqls"]]
+                for i in range(len(case.get("inputs") or [])):
+                    nm = named.get(i, f"t{i}")
+                    setup = [st.replace(f"{{{i}}}", nm) for st in setup]
+                _run_script(setup, tables,
+                            str(case.get("db") or "") or None,
+                            indexes=_case_indexes(case, named))
             ds = run_sql(sql, tables,
                          default_db=str(case.get("db") or "") or None)
             actual = _collect_arrow(ds)
@@ -778,6 +883,31 @@ def _validate_io_options(opts: dict) -> None:
         raise ValueError(f"unsupported mode {m!r}")
 
 
+def _write_parquet_typed(ds, path: str, opts: dict | None = None):
+    """SELECT ... INTO OUTFILE options(format='parquet'): one parquet file
+    at ``path`` (the runner controls both ends of the round-trip, so a
+    single file stands in for the reference's Spark part-file directory)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    opts = opts or {}
+    _validate_io_options(opts)
+    mode = str(opts.get("mode", "error_if_exists")).lower()
+    if mode in ("error_if_exists", "errorifexists") and os.path.exists(path):
+        raise FileExistsError(path)
+    tbls = [t for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows or t.num_columns]
+    tbl = pa.concat_tables(tbls) if tbls else pa.table({})
+    out = tbl.select([c for c in tbl.column_names if c != "__rid"])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if mode == "append" and os.path.exists(path):
+        out = pa.concat_tables([pq.read_table(path), out])
+    pq.write_table(out, path)
+    return pd.DataFrame({c: pd.Series(out[c].to_pylist(), dtype=object)
+                         for c in out.column_names})
+
+
 def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
     """SELECT ... INTO OUTFILE csv writer (SelectIntoPlan.scala defaults:
     header, comma delimiter, nulls as the literal ``null``, no quoting;
@@ -818,6 +948,9 @@ def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
         else:
             vals = to_string_sql(col).to_pylist()
         cols.append([null_value if v is None else str(v) for v in vals])
+    # NO quoting: the reference writer emits fields raw, so a value
+    # containing the delimiter intentionally breaks the round-trip
+    # (test_out_in.yaml id 34 expects that failure)
     for row in zip(*cols):
         lines.append(delim.join(row))
     with open(path, "a" if mode == "append" else "w") as f:
@@ -826,7 +959,9 @@ def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
                          for c in names})
 
 
-def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
+def _load_csv_typed(path: str, target_ds, opts: dict | None = None, *,
+                    permissive: bool = False,
+                    ragged_ok: bool = False) -> pa.Table:
     """LOAD DATA INFILE csv reader: the TARGET table's declared schema
     drives cell parsing (LoadDataPlan.scala:60-62 schema validation);
     ``null`` is the null literal, empty fields are NULL for non-strings
@@ -840,31 +975,65 @@ def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
     types = dict(zip(schema.names, schema.types))
     with open(path) as f:
         lines = [ln.rstrip("\n") for ln in f if ln.strip() != ""]
+    table_cols = [c for c in schema.names if c != "__rid"]
     if has_header:
         header = [h.strip() for h in lines[0].split(delim)]
-        data_lines = lines[1:]
+        rows = [ln.split(delim) for ln in lines[1:]]
+        if permissive and set(header) != set(table_cols):
+            # Spark importer: a non-matching header line is consumed and
+            # columns bind positionally (select_into_load_data id 24)
+            header = table_cols
     else:
         # headerless csv: the target table's declared column order applies
-        header = [c for c in schema.names if c != "__rid"]
-        data_lines = lines
+        header = table_cols
+        rows = [ln.split(delim) for ln in lines]
     arrays, names = [], []
-    rows = [ln.split(delim) for ln in data_lines]
-    for r in rows:
+    for i, r in enumerate(rows):
         if len(r) != len(header):
-            raise ValueError(
-                f"csv row has {len(r)} fields, header has {len(header)}")
+            if not ragged_ok:
+                raise ValueError(
+                    f"csv row has {len(r)} fields, header has {len(header)}")
+            # offline Spark permissive mode: truncate extras, pad missing
+            rows[i] = (r + [""] * len(header))[:len(header)]
+    tz_ms = 0
+    try:
+        from ..functions.scalar import get_timezone_offset_ms
+        tz_ms = get_timezone_offset_ms()
+    except ImportError:  # pragma: no cover
+        pass
+    null_marker = opts.get("null_value", "null")
     for j, name in enumerate(header):
         ty = types.get(name)
         tyname = _PA_TY_NAME.get(str(ty), "string")
         vals = []
         for r in rows:
             v = r[j].strip()
-            if v == "null":
+            if v == null_marker:
                 vals.append(None)
             elif v == "" and tyname != "string":
                 vals.append(None)
+            elif tyname == "string":
+                # csv strings are LITERAL — no backslash unescape (that
+                # transform is for YAML row cells; string_escape.csv keeps
+                # its backslashes verbatim)
+                vals.append(v)
+            elif tyname == "timestamp" and not v.lstrip("-").isdigit():
+                # datetime strings in the corpus csvs are UTC+8 wall time
+                # (timestamp_date.csv: 2020-05-29 15:56:29 = 1590738989000)
+                try:
+                    vals.append(pd.Timestamp(v)
+                                - pd.Timedelta(milliseconds=tz_ms))
+                except ValueError:
+                    if not permissive:
+                        raise
+                    vals.append(None)
             else:
-                vals.append(_to_cell(v, tyname))
+                try:
+                    vals.append(_to_cell(v, tyname))
+                except (ValueError, TypeError):
+                    if not permissive:
+                        raise
+                    vals.append(None)  # Spark permissive: bad cell -> NULL
         arrays.append(pa.array(vals, _TYPE_BUILDERS[tyname]))
         names.append(name)
     arrays.append(pa.array(np.arange(len(rows), dtype=np.int64)))
@@ -872,8 +1041,109 @@ def _load_csv_typed(path: str, target_ds, opts: dict | None = None) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _exec_delete(s: str, tables: dict, indexes: dict | None) -> None:
+    """Offline DELETE (reference: delete-by-index-key from the offline
+    store, cases/function/dml/test_delete.yaml). The WHERE must be an AND
+    of ``col = literal`` terms matching EXACTLY the key columns of one of
+    the table's declared indexes — OR, non-index columns, or partial
+    composite keys are errors, as in the reference."""
+    import re as _re
+
+    import ray as _ray
+    import ray.data as rd
+
+    m = _re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.+)$", s,
+                  _re.I | _re.S)
+    if not m:
+        raise ValueError(f"unparsed DELETE: {s[:80]!r}")
+    tname, cond = m.group(1), m.group(2).strip()
+    if tname not in tables:
+        raise ValueError(f"DELETE from unknown table {tname!r}")
+    if _re.search(r"\bor\b", cond, _re.I):
+        raise ValueError("DELETE supports a single index key "
+                         "(OR of keys is invalid, matches reference)")
+    kv: dict[str, str] = {}
+    for part in _re.split(r"\band\b", cond, flags=_re.I):
+        pm = _re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", part, _re.S)
+        if not pm:
+            raise ValueError(f"DELETE condition must be col=value: {part!r}")
+        kv[pm.group(1)] = pm.group(2)
+    short = tname.split(".")[-1]
+    meta = ((indexes or {}).get(tname)
+            or (indexes or {}).get(short) or {})
+    keysets = meta.get("keys", []) if isinstance(meta, dict) else meta
+    if not any(set(ks) == set(kv) for ks in keysets):
+        raise ValueError(f"DELETE key {sorted(kv)} does not match any index "
+                         f"key of {tname!r} (matches reference)")
+
+    tbls = [t for t in _ray.get(tables[tname].to_arrow_refs())
+            if t.num_columns]
+    if not tbls:
+        return
+    t = pa.concat_tables(tbls)
+    import pyarrow.compute as pc
+
+    mask = pa.array(np.ones(t.num_rows, dtype=bool))
+    for col, lit in kv.items():
+        if col not in t.column_names:
+            raise ValueError(f"DELETE column {col!r} does not exist")
+        arr = t[col]
+        v = _delete_literal(lit, arr.type)
+        eq = (pc.is_null(arr) if v is None
+              else pc.fill_null(pc.equal(arr, pa.scalar(v, arr.type)), False))
+        mask = pc.and_(mask, eq)
+    new = rd.from_arrow(t.filter(pc.invert(mask)))
+    # a table is registered under several aliases (short name, db-qualified,
+    # reserved {N} placeholder); repoint EVERY alias of the same dataset
+    old = tables[tname]
+    for k, v in list(tables.items()):
+        if v is old:
+            tables[k] = new
+
+
+def _delete_literal(lit: str, ty: pa.DataType):
+    t = lit.strip()
+    if t.lower() == "null":
+        return None
+    if t[:1] in "'\"" and t[-1:] == t[:1]:
+        t = t[1:-1]
+    if pa.types.is_string(ty):
+        return t
+    if pa.types.is_date(ty):
+        return pd.Timestamp(t).date()
+    if pa.types.is_timestamp(ty):
+        return (pd.Timestamp(int(t), unit="ms")
+                if t.lstrip("-").isdigit() else pd.Timestamp(t))
+    if pa.types.is_boolean(ty):
+        return t.lower() == "true"
+    if pa.types.is_integer(ty):
+        return int(t)
+    return float(t)
+
+
+def _case_indexes(case: dict, named: dict) -> dict:
+    """{table_name: [[key cols], ...]} from the case inputs' ``indexs``
+    declarations (``index1:c1|c2:c7[:ttl:type]`` → key cols before the
+    second colon, composite split on ``|``)."""
+    out: dict = {}
+    for i, inp in enumerate(case.get("inputs") or []):
+        if not isinstance(inp, dict):
+            continue
+        nm = named.get(i, f"t{i}")
+        keysets, ts_cols = [], []
+        for spec in (inp.get("indexs") or inp.get("index") or []):
+            parts = str(spec).split(":")
+            if len(parts) >= 2:
+                keysets.append([c.strip() for c in parts[1].split("|")])
+            if len(parts) >= 3 and parts[2].strip():
+                ts_cols.append(parts[2].strip())
+        out[nm] = {"keys": keysets, "ts": ts_cols}
+    return out
+
+
 def _run_script(stmts: list[str], tables: dict,
-                default_db: str | None = None) -> tuple:
+                default_db: str | None = None,
+                indexes: dict | None = None) -> tuple:
     """Execute a multi-statement case script: catalog/online statements are
     offline no-ops, LOAD DATA / INTO OUTFILE round-trip through a temp dir,
     the LAST plain SELECT's result is returned for comparison. Returns
@@ -887,15 +1157,49 @@ def _run_script(stmts: list[str], tables: dict,
 
     tmpdir = tempfile.mkdtemp(prefix="omr_outin_")
     last = None
+    # the reference harness runs cases from its repo root with a
+    # pre-created ./out scratch dir: {root_path}/cases/... are shipped
+    # resource files, {root_path}/out/... is writable scratch
+    os.makedirs(os.path.join(tmpdir, "out"), exist_ok=True)
+    # Online/offline are SEPARATE stores in the reference: case inputs seed
+    # the ONLINE store; the OFFLINE store starts empty and fills via
+    # offline LOAD DATA (test_select_into_load_data.yaml round-trips online
+    # -> csv -> offline -> csv -> online without double-counting). Scripts
+    # that never switch modes keep the single shared store (legacy files).
+    exec_mode = None  # set @@SESSION.execute_mode tracks online/offline
+    offline_store: dict | None = None
+
+    def _store() -> dict:
+        nonlocal offline_store
+        if exec_mode != "offline":
+            return tables
+        if offline_store is None:
+            import ray as _ray
+
+            cache: dict = {}
+            offline_store = {}
+            for k, v in tables.items():
+                if id(v) not in cache:
+                    tb = [t for t in _ray.get(v.to_arrow_refs())
+                          if t.num_columns]
+                    cache[id(v)] = (rd.from_arrow(tb[0].slice(0, 0))
+                                    if tb else v)
+                offline_store[k] = cache[id(v)]
+        return offline_store
+
     for raw in stmts:
-        s = str(raw).strip().rstrip(";").strip()
+        s = (str(raw).strip().rstrip(";").strip()
+             .replace("{root_path}/cases", "/root/reference/cases")
+             .replace("{root_path}", tmpdir))
         if not s:
             continue
         head = s.split()[0].lower()
         if head == "drop":
             m = _re.match(r"drop\s+table\s+([\w{}.]+)", s, _re.I)
-            if m:
+            if m:  # catalog change: applies to both stores
                 tables.pop(m.group(1), None)
+                if offline_store is not None:
+                    offline_store.pop(m.group(1), None)
             continue
         if head == "create":
             m = _re.match(r"create\s+table\s+(?:if\s+not\s+exists\s+)?"
@@ -903,10 +1207,20 @@ def _run_script(stmts: list[str], tables: dict,
             if m:  # register an EMPTY table with the declared schema
                 body = _re.sub(r"\)\s*options\s*\(.*\)\s*$", ")", s,
                                flags=_re.I | _re.S)
-                tables[m.group(1)] = rd.from_arrow(
-                    build_table(_cols_from_create(body), []))
+                empty = rd.from_arrow(build_table(_cols_from_create(body), []))
+                tables[m.group(1)] = empty
+                if offline_store is not None:
+                    offline_store[m.group(1)] = empty
             continue  # create index / other DDL: offline no-op
-        if head in ("desc", "show", "set", "deploy"):
+        if head == "set":
+            em = _re.search(r"execute_mode\s*=\s*['\"](\w+)['\"]", s, _re.I)
+            if em:
+                exec_mode = em.group(1).lower()
+            continue
+        if head in ("desc", "show", "deploy"):
+            continue
+        if head == "delete":
+            _exec_delete(s, _store(), indexes)
             continue
         if head == "load":
             m = _re.match(r"load\s+data\s+infile\s*'([^']+)'\s+into\s+table\s+"
@@ -914,19 +1228,74 @@ def _run_script(stmts: list[str], tables: dict,
             if not m:
                 raise Unsupported(f"unparsed LOAD DATA: {s[:60]!r}")
             path, tname = m.group(1), m.group(2)
-            if tname not in tables:
+            store = _store()
+            if tname not in store:
                 # a load error, not a harness gap (test_out_in.yaml id 26
                 # expects failure)
                 raise ValueError(f"LOAD DATA into unknown table {tname!r}")
-            t = _load_csv_typed(os.path.join(tmpdir, os.path.basename(path)),
-                                tables[tname], _parse_options(m.group(3)))
+            opts = _parse_options(m.group(3))
+            mode = str(opts.get("mode", "error_if_exists")).lower()
+            deep = str(opts.get("deep_copy", "true")).lower()
+            import ray as _ray
+
+            old = [x for x in _ray.get(store[tname].to_arrow_refs())
+                   if x.num_rows]
+            if exec_mode == "online":
+                # cluster online import: append-only, deep copies only
+                # (test_select_into_load_data ids 39/40/50)
+                if mode != "append":
+                    raise ValueError(
+                        "online LOAD DATA supports only mode='append'")
+                if deep == "false":
+                    raise ValueError(
+                        "online LOAD DATA cannot soft-copy (deep_copy=false)")
+            elif exec_mode == "offline":
+                if deep == "false" and mode in ("append", "overwrite") and old:
+                    # a soft link cannot append to / overwrite an offline
+                    # table that already holds data (ids 45/46/59; a first
+                    # soft copy into an empty table is fine, 45-2/46-2/53)
+                    raise ValueError("deep_copy=false cannot modify a "
+                                     "non-empty offline table")
+            if exec_mode is not None:
+                if mode in ("error_if_exists", "errorifexists") and old:
+                    raise ValueError(
+                        f"table {tname!r} is not empty (mode=error_if_exists)")
+                if mode == "overwrite":
+                    old = []
+            src = path[7:] if path.startswith("file://") else path
+            if not os.path.isfile(src):
+                # an earlier INTO OUTFILE in this script wrote basenames
+                # into the scratch dir
+                src = os.path.join(tmpdir, os.path.basename(path))
+            if opts.get("format") == "parquet":
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(src)
+                t = t.append_column("__rid", pa.array(
+                    np.arange(t.num_rows, dtype=np.int64)))
+            else:
+                # scripts that switch execute_mode are the CLUSTER corpus:
+                # its Spark importer is permissive (bad cells -> NULL,
+                # positional header, offline pads/truncates ragged rows);
+                # the standalone importer (legacy scripts) is strict
+                t = _load_csv_typed(src, store[tname], opts,
+                                    permissive=exec_mode is not None,
+                                    ragged_ok=exec_mode == "offline")
+            if exec_mode == "online":
+                # online rows are INSERTED: an index ts column may not be
+                # NULL (select_into_load_data id 25-1: a header line read
+                # as data yields a null ts -> the import job fails)
+                meta = ((indexes or {}).get(tname)
+                        or (indexes or {}).get(tname.split(".")[-1]) or {})
+                for tscol in (meta.get("ts", [])
+                              if isinstance(meta, dict) else []):
+                    if tscol in t.column_names and t[tscol].null_count:
+                        raise ValueError(
+                            f"online LOAD: NULL ts value for index column "
+                            f"{tscol!r}")
             # LOAD DATA appends to the table's existing rows
             # (test_out_in.yaml ids 31/33); renumber __rid so arrival
             # order stays the tiebreak
-            import ray as _ray
-
-            old = [x for x in _ray.get(tables[tname].to_arrow_refs())
-                   if x.num_rows]
             if old:
                 prev = pa.concat_tables(old).select(
                     [c for c in t.column_names if c != "__rid"])
@@ -936,24 +1305,41 @@ def _run_script(stmts: list[str], tables: dict,
                     "__rid", pa.array(np.arange(merged.num_rows,
                                                 dtype=np.int64)))
                 t = merged
-            tables[tname] = rd.from_arrow(t)
+            new_ds = rd.from_arrow(t)
+            old_ds = store[tname]
+            for k, v in list(store.items()):
+                if v is old_ds:
+                    store[k] = new_ds
             continue
         m = _re.search(r"\binto\s+outfile\s*'([^']+)'\s*(options\s*\(.*\))?\s*$",
                        s, _re.I | _re.S)
         if m:
             orig = m.group(1)
+            orig = orig[7:] if orig.startswith("file://") else orig
             if os.path.dirname(orig) and not os.path.isdir(os.path.dirname(orig)):
-                # nonexistent output folder is a write error
-                # (test_out_in.yaml id 21)
-                raise FileNotFoundError(f"output folder missing: {orig!r}")
-            out_path = os.path.join(tmpdir, os.path.basename(orig))
+                if exec_mode == "offline":
+                    # the offline (Spark) writer creates missing dirs
+                    # (test_select_into_load_data id 21-2)
+                    os.makedirs(os.path.dirname(orig), exist_ok=True)
+                else:
+                    # online: nonexistent output folder is a write error
+                    # (test_out_in.yaml id 21, select_into_load_data 21-1)
+                    raise FileNotFoundError(f"output folder missing: {orig!r}")
+            out_path = (orig if orig.startswith(tmpdir)
+                        else os.path.join(tmpdir, os.path.basename(orig)))
             # INTO OUTFILE yields no result set, but a trailing export's
             # written rows satisfy count expectations (v040 id 0)
-            last = _write_csv_typed(
-                run_sql(s[:m.start()].strip(), tables, default_db=default_db),
-                out_path, _parse_options(m.group(2)))
+            out_opts = _parse_options(m.group(2))
+            writer = (_write_parquet_typed
+                      if out_opts.get("format") == "parquet"
+                      else _write_csv_typed)
+            last = writer(
+                run_sql(s[:m.start()].strip(), _store(),
+                        default_db=default_db),
+                out_path, out_opts)
         else:
-            last = _collect_arrow(run_sql(s, tables, default_db=default_db))
+            last = _collect_arrow(run_sql(s, _store(),
+                                          default_db=default_db))
     return last, tmpdir
 
 
@@ -999,21 +1385,87 @@ def _substitute_params(sql: str, params: dict) -> str:
     return "".join(out)
 
 
-def _validate_long_window(sql: str) -> None:
+def _validate_long_window(sql: str, case: dict | None = None) -> None:
     """Cases tagged ``longWindow`` deploy with the long-window pre-agg
-    (RequestAggUnionRunner), which only supports ``*_where`` conditions of
-    the form <col> <cmp> <const> (hybridse long-window pass;
-    long_window/test_count_where.yaml ids 10/17/18 expect rejection)."""
+    (RequestAggUnionRunner), whose aggregator has narrower rules than plain
+    windows (hybridse long-window pass):
+
+    - bucket size must be <N>[smhd] or a plain row count — ``2y`` is
+      "create aggregator failed" (test_long_window.yaml id 0);
+    - ``*_where`` conditions must be <col> <cmp> <const>
+      (test_count_where.yaml ids 10/17/18) and the condition column cannot
+      be a DATE (test_count_where id 27, test_xxx_where id 27);
+    - min/max/sum/avg over BOOL has no pre-agg state (test_udaf.yaml id 7;
+      count over bool is fine).
+    """
+    import re as _re
+
     from .ast_nodes import BinaryOp, Column, FuncCall, Literal
     from .engine import walk
     from .parser import parse_sql
 
+    case = case or {}
+    vparts = str(case.get("__version") or "0").split(".")
+    try:
+        _ver06 = (int(vparts[0]), int(vparts[1] if len(vparts) > 1 else 0)) \
+            >= (0, 6)
+    except ValueError:
+        _ver06 = False
+    lw_names: set[str] = set()
+    row_bucket: set[str] = set()
+    for part in filter(None,
+                       [p.strip() for p in
+                        str(case.get("longWindow") or "").split(",")]):
+        name, _, size = part.partition(":")
+        lw_names.add(name.strip())
+        size = size.strip()
+        if size and not _re.fullmatch(r"\d+[smhd]?", size):
+            raise ValueError(
+                f"create aggregator failed: unsupported long-window bucket "
+                f"{size!r} (units: s/m/h/d or row count)")
+        if size.isdigit():
+            row_bucket.add(name.strip())
+
+    for inp in case.get("inputs") or []:
+        if isinstance(inp, dict) and str(inp.get("storage") or "").upper() \
+                in ("SSD", "HDD"):
+            raise ValueError("long window requires a memory table "
+                             "(disk tables have no pre-agg; matches "
+                             "reference, test_count_where id 30)")
+
+    col_ty: dict[str, str] = {}
+    for inp in case.get("inputs") or []:
+        if isinstance(inp, dict):
+            for cdef in inp.get("columns") or []:
+                nm, ty = parse_col_def(str(cdef))
+                col_ty.setdefault(nm, ty)
+
+    def _ty(e) -> str | None:
+        return col_ty.get(e.name) if isinstance(e, Column) else None
+
     stmt = parse_sql(sql)
+    defined = {w.name for w in (getattr(stmt, "windows", None) or [])}
+    for nm in lw_names:
+        if nm and defined and nm not in defined:
+            raise ValueError(f"long window {nm!r}: no such window in the "
+                             "deployed SQL (test_long_window id 9)")
     for it in stmt.items:
         expr = it.expr if hasattr(it, "expr") else it
         for n in walk(expr):
-            if isinstance(n, FuncCall) and n.name.lower().endswith("_where") \
-                    and len(n.args) >= 2:
+            if not isinstance(n, FuncCall):
+                continue
+            if lw_names and isinstance(n.over, str) and n.over not in lw_names:
+                continue  # not a pre-aggregated window
+            fname = n.name.lower()
+            if fname.endswith("_where") and isinstance(n.over, str) \
+                    and n.over in row_bucket and _ver06:
+                # 0.6 dropped row-bucket *_where pre-agg (integration_test/
+                # long_window/test_count_where id 29 expects failure; the
+                # 0.5 function/ copy of the same SQL expects success)
+                raise ValueError(
+                    f"long window {n.name}: *_where pre-agg requires a TIME "
+                    "bucket, not a row-count bucket (v0.6 semantics)")
+            if fname.endswith("_where") and len(n.args) >= 2:
                 cond = n.args[1]
                 ok = (isinstance(cond, BinaryOp)
                       and cond.op in ("<", "<=", ">", ">=", "=", "!=")
@@ -1023,6 +1475,16 @@ def _validate_long_window(sql: str) -> None:
                     raise ValueError(
                         f"long window {n.name}: condition must be "
                         "<col> <cmp> <const> (matches reference pre-agg)")
+                if "date" in (_ty(cond.left), _ty(cond.right)):
+                    raise ValueError(
+                        f"long window {n.name}: DATE filter columns have no "
+                        "pre-agg support (matches reference)")
+            base = fname[:-6] if fname.endswith("_where") else fname
+            if base in ("min", "max", "sum", "avg") and n.args \
+                    and _ty(n.args[0]) in ("bool", "boolean"):
+                raise ValueError(
+                    f"create aggregator failed: {base} over BOOL has no "
+                    "long-window pre-agg state (matches reference)")
 
 
 def _limit_without_order(sql: str) -> bool:
@@ -1086,6 +1548,8 @@ def run_file(path: str, only_ids=None) -> list[CaseOutcome]:
             continue
         if "db" not in case and doc.get("db"):
             case = {**case, "db": doc["db"]}
+        if doc.get("version") is not None:
+            case = {**case, "__version": str(doc["version"])}
         out.extend(run_case(case, label))
     return out
 

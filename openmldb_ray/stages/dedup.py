@@ -98,9 +98,11 @@ def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
             rows = rows.filter(pc.fill_null(keep, True))
         return rows.drop_columns(["__isdup", "__ab"])
 
-    return (left.union(right)
-                .groupby("__ab", num_partitions=num_partitions)
-                .map_groups(drop_dups, batch_format="pyarrow"))
+    from ..core.empty_ds import union_any
+
+    return (union_any(left, right)
+            .groupby("__ab", num_partitions=num_partitions)
+            .map_groups(drop_dups, batch_format="pyarrow"))
 
 
 def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,

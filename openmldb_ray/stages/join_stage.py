@@ -415,8 +415,11 @@ def last_join(
 
         return fn
 
-    both = lt.map_batches(pad(lsch), batch_format="pandas", batch_size=None).union(
-        rt.map_batches(pad(rsch), batch_format="pandas", batch_size=None)
+    from ..core.empty_ds import union_any
+
+    both = union_any(
+        lt.map_batches(pad(lsch), batch_format="pandas", batch_size=None),
+        rt.map_batches(pad(rsch), batch_format="pandas", batch_size=None),
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -445,10 +448,12 @@ def last_join(
             out = lg2.merge(single, how="left", left_on=left_key, right_on=mapped_key, suffixes=("", "__r"))
         return _project_out(out, lcols, out_cols)
 
+    from ..core.grouping import map_groups_typed
+
     group_keys = ["__jk", "__salt"] if hot_ref is not None else "__jk"
-    return both.groupby(group_keys, num_partitions=num_partitions).map_groups(
-        per_key, batch_format="pandas"
-    )
+    return map_groups_typed(both, group_keys, per_key,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
 
 
 def _detect_hot_keys(left: "ray.data.Dataset", key: str, threshold: float,

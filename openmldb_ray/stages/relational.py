@@ -133,9 +133,11 @@ def group_aggregate(
             rows.append(row)
         return pd.DataFrame(rows)
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-              .groupby("__gb", num_partitions=num_partitions)
-              .map_groups(fn, batch_format="pandas"))
+    from ..core.grouping import map_groups_typed
+
+    return map_groups_typed(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        "__gb", fn, batch_format="pandas", num_partitions=num_partitions)
 
 
 def sort_by(ds: "ray.data.Dataset", keys, descending=False) -> "ray.data.Dataset":
@@ -171,15 +173,19 @@ def distinct(ds: "ray.data.Dataset", keys=None) -> "ray.data.Dataset":
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(keys).drop(columns="__db")
 
-    return (sel.map_batches(local_dedup, batch_format="pandas", batch_size=None)
-               .map_batches(add_bucket_column(keys, "__db", default_num_buckets()),
-                            batch_format="pyarrow", batch_size=None)
-               .groupby("__db")
-               .map_groups(bucket_dedup, batch_format="pandas"))
+    from ..core.grouping import map_groups_typed
+
+    return map_groups_typed(
+        sel.map_batches(local_dedup, batch_format="pandas", batch_size=None)
+           .map_batches(add_bucket_column(keys, "__db", default_num_buckets()),
+                        batch_format="pyarrow", batch_size=None),
+        "__db", bucket_dedup, batch_format="pandas")
 
 
 def concat_zip(a: "ray.data.Dataset", b: "ray.data.Dataset") -> "ray.data.Dataset":
     """ConcatJoinPlan.scala:32-81 — zip two plan outputs row-by-row (used to
     stitch independently computed windows). Requires equal row counts and
     aligned ordering (same upstream sort)."""
-    return a.zip(b)
+    from ..core.empty_ds import zip_any
+
+    return zip_any(a, b)

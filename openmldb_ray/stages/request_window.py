@@ -138,11 +138,13 @@ def request_window_agg(
         return fn
 
     hist_keep = sorted(set(keys) | {order_by} | set(need_cols))
-    both = (requests.map_batches(flag(True, req_cols),
-                                 batch_format="pyarrow", batch_size=None)
-            .union(history.map_batches(flag(False, hist_keep),
-                                       batch_format="pyarrow",
-                                       batch_size=None)))
+    from ..core.empty_ds import union_any
+
+    both = union_any(
+        requests.map_batches(flag(True, req_cols),
+                             batch_format="pyarrow", batch_size=None),
+        history.map_batches(flag(False, hist_keep),
+                            batch_format="pyarrow", batch_size=None))
     add_b = add_bucket_column(keys, "__rwb",
                               num_buckets or default_num_buckets())
 
@@ -168,11 +170,13 @@ def request_window_agg(
                                  pc.cast(t[c], typ))
         return t
 
-    return (both.map_batches(add_b, batch_format="pyarrow", batch_size=None)
-                .groupby("__rwb", num_partitions=num_partitions)
-                .map_groups(bucket_fn, batch_format="pandas")
-                .map_batches(restore_types, batch_format="pyarrow",
-                             batch_size=None))
+    from ..core.grouping import map_groups_typed
+
+    return map_groups_typed(
+        both.map_batches(add_b, batch_format="pyarrow", batch_size=None),
+        "__rwb", bucket_fn, batch_format="pandas",
+        num_partitions=num_partitions,
+    ).map_batches(restore_types, batch_format="pyarrow", batch_size=None)
 
 
 def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],

@@ -65,10 +65,12 @@ def sessionize(
 def _coarse_grouped(ds, keys, fn, num_partitions):
     from ..core.hashing import add_bucket_column, default_num_buckets
 
+    from ..core.grouping import map_groups_typed
+
     add_bucket = add_bucket_column(keys, "__sb", default_num_buckets())
-    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-              .groupby("__sb", num_partitions=num_partitions)
-              .map_groups(fn, batch_format="pandas"))
+    return map_groups_typed(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        "__sb", fn, batch_format="pandas", num_partitions=num_partitions)
 
 
 def session_aggregate(

@@ -61,12 +61,34 @@ class TextQuality:
 
 class LangId:
     """Stopword-profile language ID heuristic (n-gram-free but same spirit:
-    score = fraction of tokens hitting each language's top-word profile)."""
+    score = fraction of tokens hitting each language's top-word profile).
 
-    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+    ``model_path`` loads custom profiles ONCE PER ACTOR (the actor-pool
+    contract: pass LangId as a class to ``map_batches(LangId,
+    fn_constructor_kwargs=..., concurrency=...)`` so the load happens in
+    ``__init__``, never per batch). The file format is JSON
+    ``{lang: [words...]}`` — a stand-in for a fasttext-style model file
+    (the real fasttext lib is not in this sandbox; the load-once plumbing,
+    fallback, and per-batch vectorized scoring are identical). A missing or
+    unreadable file falls back to the built-in heuristic profiles."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred",
+                 model_path: str | None = None):
         self.text_col = text_col
         self.out_col = out_col
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        profiles = _LANG_PROFILES
+        if model_path is not None:
+            import json
+            import os
+
+            if os.path.isfile(model_path):
+                try:
+                    loaded = json.load(open(model_path))
+                    profiles = {str(k): [str(w).lower() for w in v]
+                                for k, v in loaded.items() if v}
+                except (ValueError, TypeError, OSError):
+                    pass  # unreadable model → heuristic fallback
+        self.profiles = {k: frozenset(v) for k, v in profiles.items()}
 
     def classify(self, text: str) -> str:
         return self._classify_frame(pd.Series([str(text)]))[0]

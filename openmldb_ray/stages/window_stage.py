@@ -159,7 +159,8 @@ def window_agg(
         ds = ds.map_batches(_flag_adder(True), batch_format="pyarrow", batch_size=None)
         union_flagged = union.map_batches(_flag_adder(False), batch_format="pyarrow",
                                           batch_size=None)
-        ds = ds.union(union_flagged)
+        from ..core.empty_ds import union_any
+        ds = union_any(ds, union_flagged)
     # shuffle on a coarse hash bucket of the partition keys: whole keys stay
     # together (the window contract) but Ray dispatches once per bucket, not
     # once per key — the difference between ~4×cores and millions of group
@@ -171,9 +172,11 @@ def window_agg(
     add_bucket = add_bucket_column(keys, "__wb", default_num_buckets())
     fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak, drop_cols=[],
                         hook=hook, keys=keys)
-    return (ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-              .groupby("__wb", num_partitions=num_partitions)
-              .map_groups(fn, batch_format="pyarrow"))
+    from ..core.grouping import map_groups_typed
+
+    return map_groups_typed(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        "__wb", fn, batch_format="pyarrow", num_partitions=num_partitions)
 
 
 def _flag_adder(value: bool):
@@ -241,8 +244,10 @@ def window_agg_salted(
     preflagged = isinstance(union, str) and union == "preflagged"
     if union is not None and not preflagged:
         ds = ds.map_batches(_flag_adder(True), batch_format="pyarrow", batch_size=None)
-        ds = ds.union(union.map_batches(_flag_adder(False), batch_format="pyarrow",
-                                        batch_size=None))
+        from ..core.empty_ds import union_any
+        ds = union_any(ds, union.map_batches(_flag_adder(False),
+                                             batch_format="pyarrow",
+                                             batch_size=None))
 
     def explode(t: "pa.Table") -> "pa.Table":
         # Arrow-native so the downstream sort shuffle runs on Arrow blocks
@@ -284,6 +289,8 @@ def window_agg_salted(
         out = out.drop(columns=[c for c in (EXPANDED_FLAG, BUCKET_COL) if c in out.columns])
         return _to_arrow(out)
 
-    return ds.groupby([*keys, BUCKET_COL], num_partitions=num_partitions).map_groups(
-        fn, batch_format="pandas"
-    )
+    from ..core.grouping import map_groups_typed
+
+    return map_groups_typed(ds, [*keys, BUCKET_COL], fn,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)

@@ -34,12 +34,30 @@ DEFAULT_GLOBS = [
     "/root/reference/cases/function/test_index_optimized.yaml",
     "/root/reference/cases/function/spark/*.yaml",
     "/root/reference/cases/function/test_performance_insensitive/*.yaml",
+    "/root/reference/cases/function/fz_ddl/*.yaml",
     "/root/reference/cases/query/*.yaml",
     "/root/reference/cases/integration_test/select/*.yaml",
     "/root/reference/cases/integration_test/expression/*.yaml",
     "/root/reference/cases/integration_test/window/*.yaml",
     "/root/reference/cases/integration_test/join/*.yaml",
     "/root/reference/cases/integration_test/function/*.yaml",
+    "/root/reference/cases/integration_test/dml/*.yaml",
+    "/root/reference/cases/integration_test/out_in/*.yaml",
+    "/root/reference/cases/integration_test/long_window/*.yaml",
+    "/root/reference/cases/integration_test/multiple_databases/*.yaml",
+    "/root/reference/cases/integration_test/spark/*.yaml",
+    "/root/reference/cases/integration_test/cluster/*.yaml",
+    "/root/reference/cases/integration_test/fz_ddl/*.yaml",
+    "/root/reference/cases/integration_test/v040/*.yaml",
+    "/root/reference/cases/integration_test/test_performance_insensitive/*.yaml",
+    "/root/reference/cases/integration_test/test_fz_sql.yaml",
+    "/root/reference/cases/integration_test/test_index_optimized.yaml",
+    "/root/reference/cases/integration_test/test_feature_zero_function.yaml",
+    "/root/reference/cases/function/tmp/*.yaml",
+    "/root/reference/cases/function/ut_case/*.yaml",
+    "/root/reference/cases/function/disk_table/*.yaml",
+    "/root/reference/cases/function/data_expiration/*.yaml",
+    "/root/reference/cases/integration_test/data_expiration/*.yaml",
 ]
 
 # excluded: request-mode-only files, DDL/deploy/out_in (no SELECT surface),

@@ -189,6 +189,33 @@ def test_sliding_extreme_parity_and_dense_speed():
         f"(fast={t_fast:.3f}s slow={t_slow:.3f}s)"
 
 
+# ---------- langid loadable-profile model hook --------------------------------
+
+def test_langid_model_path_loads_once_per_actor(tmp_path, ray_session):
+    import json
+
+    import ray.data as rd
+
+    from openmldb_ray.stages.textstats import LangId
+
+    model = tmp_path / "langprofiles.json"
+    model.write_text(json.dumps({
+        "klingon": ["qapla", "ghobe", "heghlu"],
+        "en": ["the", "and", "of", "to"]}))
+    rows = [{"doc_id": 1, "text": "qapla qapla ghobe warrior"},
+            {"doc_id": 2, "text": "the cat and the dog of the town"}]
+    out = rd.from_items(rows).map_batches(
+        LangId, batch_format="pandas",
+        fn_constructor_kwargs={"model_path": str(model)},
+        concurrency=(1, 2), batch_size=None).to_pandas()
+    got = dict(zip(out["doc_id"], out["lang_pred"]))
+    assert got[1] == "klingon" and got[2] == "en"
+
+    # missing model file → heuristic fallback, not an error
+    li = LangId(model_path=str(tmp_path / "nope.bin"))
+    assert li.classify("the cat and the dog of the town") == "en"
+
+
 # ---------- left_join broadcast guard ----------------------------------------
 
 def test_left_join_auto_routes_large_right_to_shuffle(ray_session, monkeypatch):

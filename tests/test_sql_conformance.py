@@ -93,6 +93,24 @@ GREEN_FILES = [
     "../query/extream_query.yaml",
     "../query/parameterized_query.yaml",
     "../query/fz_sql.yaml",
+    # round 3: DELETE statement support + real-workload fz_ddl DDL+SQL
+    # scenarios (empty declared tables compile+run via the typed-empty
+    # shim) + the remaining integration_test dirs
+    "dml/test_delete.yaml",
+    "fz_ddl/test_bank.yaml",
+    "fz_ddl/test_luoji.yaml",
+    "fz_ddl/test_myhug.yaml",
+    "../integration_test/dml/test_delete.yaml",
+    "../integration_test/dml/multi_insert.yaml",
+    "../integration_test/out_in/test_out_in.yaml",
+    "../integration_test/out_in/test_select_into_load_data.yaml",
+    "../integration_test/long_window/test_long_window.yaml",
+    "../integration_test/long_window/test_count_where.yaml",
+    "../integration_test/long_window/test_udaf.yaml",
+    "../integration_test/multiple_databases/test_multiple_databases.yaml",
+    "../integration_test/v040/test_out_in_offline.yaml",
+    "../integration_test/test_performance_insensitive/"
+    "test_performance_insensitive.yaml",
 ]
 
 ALLOWED = {"pass", "xfail_pass", "skip", "unsupported"}
