@@ -633,7 +633,8 @@ def _planted_docs(sf_dir: str):
                            "text": src["text"].to_numpy()})
     # from_arrow (not from_pandas) keeps every block Arrow-typed — a
     # mixed arrow/pandas-block dataset breaks downstream re-batching
-    planted_ds = rd.from_arrow(pa.Table.from_pandas(copies, preserve_index=False))
+    planted_ds = rd.from_arrow(pa.Table.from_pandas(copies, preserve_index=False)
+                               .replace_schema_metadata(None))
     return docs.union(planted_ds), set(copies["doc_id"])
 
 

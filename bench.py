@@ -34,6 +34,20 @@ BENCH_QUERIES = [
 ]
 
 
+def _quiet_data_warnings():
+    """Silence two cosmetic ray.data warnings that spam the bench tail:
+    'Failed to hash the schemas' (pandas-converted blocks carry b'pandas'
+    schema metadata, which is unhashable — the slow unify path still runs
+    correctly) and 'RefBundle with a different schema ... new schema: .'
+    (zero-column blocks from reduce partitions with no occupied buckets).
+    Installed in workers via worker_process_setup_hook."""
+    import logging
+
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def _consume(res) -> int:
     """Materialize a query result far enough to count rows."""
     import pandas as pd
@@ -59,10 +73,12 @@ def run_bench() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_data_warnings})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_data_warnings()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E

@@ -19,3 +19,17 @@ Public surface:
 """
 
 __version__ = "0.1.0"
+
+# Ray's pandas->Arrow block conversion attaches b'pandas' schema metadata,
+# which makes pa.Schema unhashable and trips an informational warning
+# ("Failed to hash the schemas (for deduplication)") on EVERY bundle unify
+# downstream of a pandas-format stage — pure log spam (the slow unify path
+# still runs correctly). Arrow-side emitters in this package strip their
+# own metadata; this silences the residual warning from blocks Ray itself
+# converts. Runs in every process that imports the package (driver AND
+# map workers unpickling our UDFs).
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+del _logging

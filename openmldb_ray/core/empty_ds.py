@@ -55,7 +55,8 @@ class EmptyTypedDataset:
 
     def __init__(self, table: pa.Table):
         if isinstance(table, pd.DataFrame):
-            table = pa.Table.from_pandas(table, preserve_index=False)
+            table = pa.Table.from_pandas(table, preserve_index=False) \
+                .replace_schema_metadata(None)
         self._t = table.slice(0, 0)
 
     # ---- conversions --------------------------------------------------
@@ -99,7 +100,8 @@ class EmptyTypedDataset:
         batch = self._t if batch_format == "pyarrow" else self._t.to_pandas()
         out = fn(batch)
         if not isinstance(out, (pa.Table, pd.DataFrame)):
-            out = pa.Table.from_pandas(pd.DataFrame(out))
+            out = pa.Table.from_pandas(pd.DataFrame(out)) \
+                .replace_schema_metadata(None)
         shim = EmptyTypedDataset(out)
         # kernels evaluating expressions over zero rows often emit untyped
         # (null) columns; a column that kept its input NAME keeps its input

@@ -32,7 +32,8 @@ def _empty_frame(sch, batch_format: str):
     df = pd.DataFrame({n: pd.Series(dtype=t)
                        for n, t in zip(base.names, base.types)})
     return (df if batch_format == "pandas"
-            else pa.Table.from_pandas(df, preserve_index=False))
+            else pa.Table.from_pandas(df, preserve_index=False)
+            .replace_schema_metadata(None))
 
 
 def map_groups_typed(ds, keys, fn, *, batch_format: str = "pandas",

@@ -63,6 +63,18 @@ def default_num_buckets(floor: int = 256) -> int:
     return max(floor, 4 * cpus)
 
 
+def quiet_ray_data_logs() -> None:
+    """Drop two cosmetic ray.data warnings (unhashable pandas-metadata
+    schemas; zero-column reduce blocks). Called from inside worker UDFs:
+    ray.data's own configure_logging() resets logger levels per process,
+    so a one-time driver-side setLevel does not survive into map workers."""
+    import logging
+
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def add_bucket_column(keys: list[str], col_name: str, num_buckets: int):
     """Arrow-native map_batches fn factory: append the bucket-id column to
     each batch. Blocks stay Arrow through the downstream shuffle (no
@@ -70,7 +82,13 @@ def add_bucket_column(keys: list[str], col_name: str, num_buckets: int):
     import pyarrow as pa
 
     def fn(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
         ids = bucket_ids(t, keys, num_buckets)
-        return t.append_column(col_name, pa.array(ids, type=pa.int64()))
+        # schema metadata (b'pandas'/parquet provenance dicts) makes
+        # schemas UNHASHABLE, defeating Ray's schema-dedup in the shuffle
+        # ("Failed to hash the schemas" warning per unify) — strip it here,
+        # right before every grouped exchange (zero-copy)
+        return t.replace_schema_metadata(None) \
+                .append_column(col_name, pa.array(ids, type=pa.int64()))
 
     return fn

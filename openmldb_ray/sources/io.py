@@ -22,7 +22,13 @@ import ray.data as rd
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    # parquet blocks carry b'pandas' provenance metadata, which makes their
+    # schemas UNHASHABLE (dict) — that defeats Ray's schema-dedup on every
+    # downstream bundle ("Failed to hash the schemas" warning spam). The
+    # strip is zero-copy and fuses with the next map.
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def with_ts_ms(ds: rd.Dataset, ts_col: str, out_col: str = "ts_ms") -> rd.Dataset:

@@ -679,7 +679,8 @@ class _ResidualPred:
         self.ev = Evaluator(resolver)
 
     def __call__(self, df) -> "object":
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
         mask = self.ev.eval(self.ast, t)
         return pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
 

@@ -80,7 +80,7 @@ def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
         return out.append_column("__isdup", pa.array(np.ones(t.num_rows, bool)))
 
     def mark_rows(t: pa.Table) -> pa.Table:
-        t = t.select(names)
+        t = t.select(names).replace_schema_metadata(None)
         return t.append_column("__isdup", pa.array(np.zeros(t.num_rows, bool)))
 
     add_b = add_bucket_column([id_col], "__ab", num_buckets)
@@ -90,6 +90,8 @@ def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
                    .map_batches(add_b, batch_format="pyarrow", batch_size=None)
 
     def drop_dups(t: pa.Table) -> pa.Table:
+        from ..core.hashing import quiet_ray_data_logs
+        quiet_ray_data_logs()
         isdup = pc.fill_null(t["__isdup"], False)
         dup_vals = pc.cast(t[id_col].filter(isdup), id_type).combine_chunks()
         rows = t.filter(pc.invert(isdup))
@@ -418,6 +420,8 @@ def minhash_lsh_dedup(
         explode_bands, batch_format="pandas", batch_size=None)
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+        quiet_ray_data_logs()
         # one coarse bucket holds many (band, band_hash) groups; only
         # multi-member groups can yield duplicates
         sizes = g.groupby(["__band", "__bh"])[id_col].transform("size")

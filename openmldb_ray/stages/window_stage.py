@@ -52,7 +52,11 @@ def _to_arrow(out: pd.DataFrame):
     inconsistent empty-block schemas downstream."""
     import pyarrow as pa
 
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # metadata stripped: schemas carrying the b'pandas' metadata dict are
+    # UNHASHABLE, which defeats Ray's schema-dedup fast path and spams
+    # 'Failed to hash the schemas' warnings on every unify
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
