@@ -795,6 +795,73 @@ def q_fingerprint(sf_dir: str):
     })
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality rules (curation.QualityRules). Exact DuckDB
+    oracle: every metric and the keep decision are replayed in SQL."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import quality_filter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_filter(docs, keep_only=False).to_pandas()
+    out = out[["doc_id", "n_words", "mean_word_len", "stopword_hits",
+               "alpha_frac", "keep"]]
+    out["keep"] = out["keep"].astype(np.int64)
+    return _round_cols(out, ["mean_word_len", "alpha_frac"])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction with deterministic planted PII (the corpus is synthetic
+    word salad, so emails/IPs/phones are injected identically on both
+    sides); exact DuckDB regexp_replace oracle on counts AND redacted text."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import pii_redact
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        add = np.char.add
+        em = np.where(ids % 3 == 0,
+                      add(add(" contact user", ids.astype(str)), "@example.com"), "")
+        ip = np.where(ids % 5 == 0,
+                      add(" from 192.168.1.", (ids % 256).astype(str)), "")
+        ph = np.where(ids % 7 == 0, " call 555-123-4567", "")
+        df["text"] = df["text"].astype(str) + em + ip + ph
+        return df
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(inject, batch_format="pandas", batch_size=None)
+    out = pii_redact(docs).to_pandas()
+    return out[["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]]
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: needles = first 8 words of docs 0..4
+    (standing in for an eval set), broadcast once per actor; drop any doc
+    containing a needle. Exact DuckDB contains() anti-join oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import decontaminate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    bench = docs.filter(expr="doc_id < 5").to_pandas()
+    needles = [" ".join(t.strip().split()[:8]) for t in bench["text"]]
+    out = decontaminate(docs, needles).to_pandas()
+    return out[["doc_id", "n_chars"]]
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source hash sampling (domain mixing): sources
+    src0..src9 keep 60%, the rest 25%. mod_bits=20 so the DuckDB oracle's
+    BIGINT arithmetic cannot overflow (engine default is the full 64-bit
+    multiplicative hash)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import stratified_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    rates = {f"src{i}": 0.6 for i in range(10)}
+    out = stratified_sample(docs, rates, default_rate=0.25, mod_bits=20)
+    return out.to_pandas()[["doc_id", "source"]]
+
+
 def q_multimodal(sf_dir: str):
     """Multimodal plumbing: binary payload schema + actor-pool decode stub.
     The output contract (ids, modality layout, feature dimensionality) is
@@ -1043,6 +1110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "quality_filter": q_quality_filter,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1333,6 +1404,84 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(regexp_extract_all(text, '\d'))::DOUBLE /
                          GREATEST(length(text), 1), 6) AS q_digit_ratio
             FROM documents
+        """,
+        "quality_filter": r"""
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   CAST(stopword_hits AS BIGINT) AS stopword_hits,
+                   ROUND(alpha_frac, 6) AS alpha_frac,
+                   CAST(n_words BETWEEN 30 AND 100000
+                        AND mean_word_len BETWEEN 3 AND 10
+                        AND stopword_hits >= 2
+                        AND alpha_frac >= 0.8 AS BIGINT) AS keep
+            FROM (
+              SELECT doc_id, n_words,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                         / GREATEST(n_words, 1) AS mean_word_len,
+                     len(list_filter(words,
+                         w -> w IN ('the','a','of','to','and','in'))) AS stopword_hits,
+                     len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                         / GREATEST(n_words, 1) AS alpha_frac
+              FROM (
+                SELECT doc_id, text, words,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words
+                FROM (SELECT doc_id, text,
+                             regexp_split_to_array(trim(text), '\s+') AS words
+                      FROM documents) t0) t1) t2
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || doc_id || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' from 192.168.1.' || (doc_id % 256)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' call 555-123-4567' ELSE '' END AS t0
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, t0,
+                     CAST(len(regexp_extract_all(t0,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                         AS n_emails,
+                     regexp_replace(t0,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '[EMAIL]', 'g') AS t1
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                         AS n_ips,
+                     regexp_replace(t1,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                          '[IP]', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                                  '[PHONE]', 'g') AS text_redacted
+            FROM s2
+        """,
+        "decontaminate": r"""
+            WITH needles AS (
+              SELECT array_to_string(
+                       (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS nd
+              FROM documents WHERE doc_id < 5)
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM needles n WHERE contains(d.text, n.nd))
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1048576) * 2654435761) % 4294967296
+                  < CAST(FLOOR(CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
+                                    THEN 0.6 ELSE 0.25 END * 4294967296) AS BIGINT)
         """,
         "knn": """
             SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

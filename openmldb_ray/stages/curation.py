@@ -1,0 +1,243 @@
+"""Training-data curation stages (north-rule extensions, round 3).
+
+Four first-class curation operators a 100 TB text pipeline needs, each an
+embarrassingly-parallel actor-pool ``map_batches`` over pandas/Arrow
+batches — NO shuffle anywhere, so all four stream at read speed:
+
+- ``quality_filter``   — Gopher/C4-style rule scoring + keep decision
+  (Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al. 2020 C4).
+- ``PiiRedactor``      — regex redaction of emails / IPv4 / phone numbers
+  with per-doc match counts (patterns chosen to behave identically under
+  Python ``re`` and RE2, so a SQL oracle can replay them).
+- ``decontaminate``    — drop documents containing any needle n-gram from a
+  benchmark set (broadcast small side: the needle list ships ONCE per actor
+  in ``__init__``, never per batch — the classic eval-decontamination step).
+- ``stratified_sample``— deterministic per-stratum hash sampling (domain
+  mixing): keep iff multiplicative-hash(id) < rate(stratum) * 2^32.
+
+Every rule is defined so DuckDB can replay it exactly (the driver's
+correctness gate hash-compares values); the semantics are therefore pinned
+by SQL, not by pandas implementation accidents.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+# The fixed stopword set used by the quality rules (tiny on purpose: the
+# rule is "document contains common function words", per Gopher §A1.1).
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+class QualityRules:
+    """Gopher/C4-style quality metrics + keep decision, vectorized.
+
+    Metrics (all replayable in SQL):
+      n_words        — count of \\s+-separated words in trimmed text
+      mean_word_len  — total non-space chars / n_words
+      stopword_hits  — words in QUALITY_STOPWORDS
+      alpha_frac     — fraction of words containing an ascii letter
+    Keep iff  min_words <= n_words <= max_words
+          and 3 <= mean_word_len <= 10
+          and stopword_hits >= min_stopword_hits
+          and alpha_frac >= min_alpha_frac.
+    """
+
+    def __init__(self, text_col: str = "text", min_words: int = 30,
+                 max_words: int = 100_000, min_stopword_hits: int = 2,
+                 min_alpha_frac: float = 0.8):
+        self.text_col = text_col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_stopword_hits = min_stopword_hits
+        self.min_alpha_frac = min_alpha_frac
+        self.stopwords = frozenset(QUALITY_STOPWORDS)
+        self.alpha_re = re.compile(r"[A-Za-z]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].astype(str).str.strip()
+        words = s.str.split()  # \s+ splitting on trimmed text
+        n_words = words.map(len).to_numpy(np.int64)
+        n_wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+        # explode once, one isin / one regex over the exploded series
+        ex = words.reset_index(drop=True).explode()
+        idx = pd.RangeIndex(len(s))
+        stop_hits = ex.isin(self.stopwords).groupby(level=0).sum() \
+            .reindex(idx, fill_value=0).to_numpy(np.int64)
+        alpha_words = ex.astype(str).str.contains(self.alpha_re).groupby(level=0).sum() \
+            .reindex(idx, fill_value=0).to_numpy(np.float64)
+        mean_wlen = n_wchars / np.maximum(n_words, 1)
+        alpha_frac = alpha_words / np.maximum(n_words, 1)
+        df["n_words"] = n_words
+        df["mean_word_len"] = mean_wlen
+        df["stopword_hits"] = stop_hits
+        df["alpha_frac"] = alpha_frac
+        df["keep"] = ((n_words >= self.min_words) & (n_words <= self.max_words)
+                      & (mean_wlen >= 3) & (mean_wlen <= 10)
+                      & (stop_hits >= self.min_stopword_hits)
+                      & (alpha_frac >= self.min_alpha_frac))
+        return df
+
+
+def quality_filter(ds: "ray.data.Dataset", text_col: str = "text",
+                   keep_only: bool = True, concurrency=(1, 8),
+                   batch_size: int = 4096, **rules) -> "ray.data.Dataset":
+    """Score + (optionally) filter. Streaming, shuffle-free."""
+    out = ds.map_batches(QualityRules, batch_format="pandas",
+                         batch_size=batch_size, concurrency=concurrency,
+                         fn_constructor_kwargs=dict(text_col=text_col, **rules))
+    if keep_only:
+        out = out.filter(expr="keep == True")
+    return out
+
+
+# Patterns chosen so Python re and RE2 (DuckDB) agree: no backrefs, no
+# lookaround, \b is common to both. Application order is fixed
+# (email -> ipv4 -> phone) so digit runs freed by one rule can't be
+# re-matched differently by the next.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("n_phones", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+class PiiRedactor:
+    """Redact emails / IPv4 / phone numbers; emit per-doc match counts.
+
+    Regexes compile once per actor; per-batch work is vectorized pandas
+    ``str.count`` + ``str.replace``. Shuffle-free, streams at read speed.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_redacted"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.patterns = [(name, re.compile(pat), repl)
+                         for name, pat, repl in PII_PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].astype(str)
+        for name, rx, repl in self.patterns:
+            df[name] = s.str.count(rx).to_numpy(np.int64)
+            s = s.str.replace(rx, repl, regex=True)
+        df[self.out_col] = s
+        return df
+
+
+def pii_redact(ds: "ray.data.Dataset", text_col: str = "text",
+               concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    return ds.map_batches(PiiRedactor, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(text_col=text_col))
+
+
+class NeedleFilter:
+    """Benchmark-decontamination predicate: does the text contain any needle?
+
+    The needle list is the broadcast small side: it ships once per actor in
+    ``__init__`` (``fn_constructor_kwargs`` pins it in the actor, Ray stores
+    it once in the object store). Few needles -> per-needle vectorized
+    ``str.contains(..., regex=False)``; many needles -> one compiled
+    alternation regex (RE2-style linear scan; for truly large benchmark
+    sets an Aho-Corasick automaton slots in here, same actor contract).
+    """
+
+    def __init__(self, needles: list[str], text_col: str = "text",
+                 out_col: str = "contaminated"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.needles = [n for n in needles if n]
+        self.alt_re = (re.compile("|".join(re.escape(n) for n in self.needles))
+                       if len(self.needles) > 8 else None)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].astype(str)
+        if not self.needles:
+            hit = np.zeros(len(df), dtype=bool)
+        elif self.alt_re is not None:
+            hit = s.str.contains(self.alt_re).to_numpy(bool)
+        else:
+            hit = np.logical_or.reduce(
+                [s.str.contains(n, regex=False).to_numpy(bool)
+                 for n in self.needles])
+        df[self.out_col] = hit
+        return df
+
+
+def decontaminate(ds: "ray.data.Dataset", needles: list[str],
+                  text_col: str = "text", keep_only: bool = True,
+                  concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    """Drop documents containing any benchmark needle string."""
+    out = ds.map_batches(NeedleFilter, batch_format="pandas",
+                         batch_size=batch_size, concurrency=concurrency,
+                         fn_constructor_kwargs=dict(
+                             needles=list(needles), text_col=text_col))
+    if keep_only:
+        out = out.filter(expr="contaminated == False") \
+                 .drop_columns(["contaminated"])
+    return out
+
+
+KNUTH_MULT = 2654435761  # Knuth's multiplicative-hash constant (2^32 * phi)
+
+
+def knuth_hash_u32(ids: np.ndarray, mod_bits: int = 64) -> np.ndarray:
+    """Deterministic uniform u32 from an int id: (id * 2654435761) mod 2^32.
+
+    ``mod_bits`` < 64 first reduces the id mod 2^mod_bits — that variant is
+    replayable in engines whose BIGINT would overflow on the full product
+    (the SQL oracle uses mod_bits=20); the engine default is the full
+    64-bit wrap-around multiply (numpy uint64), collision-free structure
+    for dense ids at 10^12 scale.
+    """
+    ids = np.asarray(ids, dtype=np.uint64)
+    if mod_bits < 64:
+        ids = ids & np.uint64((1 << mod_bits) - 1)
+    return ((ids * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+class StratumSampler:
+    """Per-stratum deterministic hash sampling (domain mixing).
+
+    ``rates`` is the broadcast small side ({stratum -> keep fraction}),
+    pinned per actor. keep iff knuth_hash_u32(id) < rate * 2^32 — stable
+    under reruns, resumable, and independent of row order / partitioning.
+    """
+
+    def __init__(self, rates: dict[str, float], strata_col: str = "source",
+                 id_col: str = "doc_id", default_rate: float = 0.0,
+                 mod_bits: int = 64):
+        self.rates = dict(rates)
+        self.strata_col = strata_col
+        self.id_col = id_col
+        self.default_rate = float(default_rate)
+        self.mod_bits = mod_bits
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash_u32(df[self.id_col].to_numpy(), self.mod_bits)
+        rates = df[self.strata_col].map(self.rates).fillna(self.default_rate) \
+            .to_numpy(np.float64)
+        thresh = (rates * float(1 << 32)).astype(np.uint64)
+        return df[h.astype(np.uint64) < thresh]
+
+
+def stratified_sample(ds: "ray.data.Dataset", rates: dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      default_rate: float = 0.0, mod_bits: int = 64,
+                      concurrency=(1, 8), batch_size: int = 8192) -> "ray.data.Dataset":
+    return ds.map_batches(StratumSampler, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              rates=rates, strata_col=strata_col,
+                              id_col=id_col, default_rate=default_rate,
+                              mod_bits=mod_bits))

@@ -1,0 +1,132 @@
+"""Curation stages (round 3): quality rules, PII redaction,
+decontamination, stratified sampling. DuckDB parity for the SQL-replayable
+rules is enforced by the driver oracle entries; these tests pin semantics
+and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from openmldb_ray.stages.curation import (
+    NeedleFilter,
+    PiiRedactor,
+    QualityRules,
+    StratumSampler,
+    decontaminate,
+    knuth_hash_u32,
+    pii_redact,
+    quality_filter,
+    stratified_sample,
+)
+
+
+def test_quality_rules_boundaries():
+    rules = QualityRules(min_words=3, min_stopword_hits=1)
+    df = pd.DataFrame({"text": [
+        "the cats rest inside a barn",   # keep
+        "a b",                           # too few words
+        "wow zap pow bam",               # no stopwords
+        "the aaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb ccccccccccccccccc",  # mean_word_len > 10
+        "  the   spaced   out   text  ",  # \s+ splitting, trim
+        "the 123 456 789 000 111",       # alpha_frac 1/6 < 0.8
+    ]})
+    out = rules(df)
+    assert out["keep"].tolist() == [True, False, False, False, True, False]
+    assert out["n_words"].tolist() == [6, 2, 4, 4, 4, 6]
+    assert out["stopword_hits"].tolist() == [2, 1, 0, 1, 1, 1]
+    # mean word length counts non-space chars only
+    assert out["mean_word_len"].iloc[4] == pytest.approx(len("thespacedouttext") / 4)
+
+
+def test_quality_filter_dataset(ray_session):
+    ds = rd.from_items([{"doc_id": i,
+                         "text": "the value of a row in the table " * (1 + i % 3)}
+                        for i in range(20)])
+    kept = quality_filter(ds, min_words=10).to_pandas()
+    # 8-word base text: only the x2 / x3 repeats clear min_words=10
+    assert set(kept["doc_id"]) == {i for i in range(20) if i % 3 != 0}
+    scored = quality_filter(ds, keep_only=False, min_words=10).to_pandas()
+    assert len(scored) == 20 and {"n_words", "keep"} <= set(scored.columns)
+
+
+def test_pii_redactor_counts_and_text():
+    r = PiiRedactor()
+    df = pd.DataFrame({"text": [
+        "mail a.b-c_d%x+1@sub.example.co.uk now",
+        "server at 10.0.255.3 and 192.168.1.17, call 555-123-4567 or 800 555 1234",
+        "no pii here",
+        "double x@y.io z@w.ai",
+    ]})
+    out = r(df)
+    assert out["n_emails"].tolist() == [1, 0, 0, 2]
+    assert out["n_ips"].tolist() == [0, 2, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0, 0]
+    assert out["text_redacted"].iloc[0] == "mail [EMAIL] now"
+    assert out["text_redacted"].iloc[1] == \
+        "server at [IP] and [IP], call [PHONE] or [PHONE]"
+    assert out["text_redacted"].iloc[2] == "no pii here"
+
+
+def test_pii_redact_dataset(ray_session):
+    ds = rd.from_items([{"doc_id": 1, "text": "write to me@example.com"}])
+    out = pii_redact(ds).to_pandas()
+    assert out["text_redacted"].iloc[0] == "write to [EMAIL]"
+    assert out["n_emails"].iloc[0] == 1
+
+
+def test_needle_filter_modes():
+    texts = pd.DataFrame({"text": ["alpha beta gamma", "delta epsilon", "zeta"]})
+    # few needles: per-needle contains path
+    few = NeedleFilter(["beta", "zeta"])(texts)
+    assert few["contaminated"].tolist() == [True, False, True]
+    # many needles (>8): compiled alternation path, regex chars escaped
+    many = NeedleFilter([f"x{i}" for i in range(8)] + ["eps.lon", "alpha b"])(texts)
+    assert many["contaminated"].tolist() == [True, False, False]  # 'eps.lon' is literal
+    # empty needle list: nothing contaminated
+    none = NeedleFilter([])(texts)
+    assert not none["contaminated"].any()
+
+
+def test_decontaminate_dataset(ray_session):
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(
+        ["clean text one", "contains the secret benchmark prompt", "clean two"])])
+    out = decontaminate(ds, ["secret benchmark"]).to_pandas()
+    assert set(out["doc_id"]) == {0, 2}
+    assert "contaminated" not in out.columns
+
+
+def test_knuth_hash_variants():
+    ids = np.arange(10_000, dtype=np.int64)
+    full = knuth_hash_u32(ids)
+    assert full.dtype == np.uint32
+    # 20-bit variant agrees with full for ids < 2^20 (low bits untouched)
+    assert np.array_equal(full, knuth_hash_u32(ids, mod_bits=20))
+    # roughly uniform: half below 2^31 within 3%
+    assert abs((full < 2**31).mean() - 0.5) < 0.03
+    # wrap-around multiply never raises for huge ids
+    big = knuth_hash_u32(np.array([2**62, 2**63 - 1], dtype=np.uint64))
+    assert big.shape == (2,)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    rows = [{"doc_id": i, "source": f"src{i % 4}"} for i in range(4000)]
+    ds = rd.from_items(rows)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out1 = stratified_sample(ds, rates, default_rate=0.25).to_pandas()
+    out2 = stratified_sample(ds, rates, default_rate=0.25).to_pandas()
+    # deterministic across runs, independent of partitioning
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    by_src = out1.groupby("source").size()
+    assert by_src.get("src0", 0) == 1000          # rate 1.0 keeps all
+    assert "src2" not in by_src                   # rate 0.0 drops all
+    assert abs(by_src.get("src1", 0) / 1000 - 0.5) < 0.06
+    assert abs(by_src.get("src3", 0) / 1000 - 0.25) < 0.06   # default rate
+
+
+def test_stratum_sampler_threshold_exact():
+    # keep decision is strict <: rate 0 keeps nothing even at hash 0
+    df = pd.DataFrame({"doc_id": [0], "source": ["s"]})
+    assert len(StratumSampler({"s": 0.0})(df)) == 0
+    assert len(StratumSampler({"s": 1.0})(df)) == 1
