@@ -862,6 +862,127 @@ def q_stratified_sample(sf_dir: str):
     return out.to_pandas()[["doc_id", "source"]]
 
 
+def _word_tok(w: str) -> int:
+    h = 0
+    for ch in w:
+        h = (h * 31 + ord(ch)) & 0x7FFFFFFF
+    return h
+
+
+def _tokenized_docs(sf_dir: str):
+    """documents -> (doc_id, tokens:list<int32>, n_tok) via a deterministic
+    word-hash vocabulary (the north-rule input shape, derived so the same
+    table exists at every sf without external data)."""
+    import pyarrow as pa
+
+    from openmldb_ray.sources.io import read_table
+
+    def tokenize(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [np.array([_word_tok(w) for w in t.strip().split()], np.int32)
+                for t in df["text"].astype(str)]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "tokens": pd.Series(toks, dtype=object),
+            "n_tok": np.array([len(x) for x in toks], np.int64),
+        })
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(tokenize, batch_format="pandas", batch_size=None) \
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow", batch_size=None)
+
+
+def q_substr_dedup(sf_dir: str):
+    """ExactSubstr token-span dedup (Lee et al. 2021 semantics): doc 7's
+    first 30 tokens are planted into every doc with doc_id % 13 == 0 and
+    >= 13; after dedup with span_len=25 exactly ONE doc still contains the
+    25-token needle (doc 7, the globally-first occurrence), every planted
+    doc is restored to its original tokens (the appended span is removed
+    whole), and every other doc is untouched. Property oracle."""
+    from openmldb_ray.stages.tokenops import exact_substring_dedup
+
+    base = _tokenized_docs(sf_dir).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    src = np.asarray(base.loc[base.doc_id == 7, "tokens"].iloc[0])[:30]
+    needle = [int(x) for x in src[:25]]
+    planted_ids = set(base.doc_id[(base.doc_id % 13 == 0)
+                                  & (base.doc_id >= 13)].tolist())
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        hit = df["doc_id"].isin(planted_ids).to_numpy()
+        toks = df["tokens"].to_numpy()
+        for i in np.nonzero(hit)[0]:
+            toks[i] = np.concatenate([np.asarray(toks[i], np.int32),
+                                      src.astype(np.int32)])
+        df["n_tok"] = [len(x) for x in toks]
+        return df
+
+    import ray.data as rd
+    planted_df = plant(base.copy())
+    planted_ds = rd.from_arrow(
+        __import__("pyarrow").Table.from_pandas(planted_df,
+                                                preserve_index=False)
+        .replace_schema_metadata(None))
+    out = exact_substring_dedup(planted_ds, span_len=25).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # naive reference ExactSubstr (the corpus itself contains planted
+    # near-dup docs, so expected removals are NOT just our planted span;
+    # same in-query O(n^2)-oracle pattern as the flagship PIT check)
+    L = 25
+    occ: dict = {}
+    for d, t in zip(planted_df.doc_id, planted_df.tokens):
+        t = [int(x) for x in t]
+        for p in range(len(t) - L + 1):
+            occ.setdefault(tuple(t[p:p + L]), []).append((int(d), p))
+    expected = {}
+    removals: dict = {}
+    for win, hits in occ.items():
+        hits.sort()
+        for d, p in hits[1:]:
+            removals.setdefault(d, []).append(p)
+    for d, t in zip(planted_df.doc_id, planted_df.tokens):
+        t = np.asarray(t, np.int64)
+        mask = np.ones(len(t), bool)
+        for p in removals.get(int(d), ()):
+            mask[p:p + L] = False
+        expected[int(d)] = t[mask].tolist()
+
+    def contains(toks, m):
+        t = list(toks)
+        return any(t[i:i + len(m)] == m for i in range(len(t) - len(m) + 1))
+
+    holders = [int(d) for d, t in zip(out.doc_id, out.tokens)
+               if contains(t, needle)]
+    matches = sum(int([int(x) for x in t] == expected[int(d)])
+                  for d, t in zip(out.doc_id, out.tokens))
+    return pd.DataFrame({
+        "holders_after": [np.int64(len(holders))],
+        "holder_is_first": [np.int64(holders == [7])],
+        "planted": [np.int64(len(planted_ids))],
+        "rows_match_naive": [np.int64(matches == len(out))],
+        "all_rows_kept": [np.int64(len(out) == len(planted_df))],
+    })
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 512-token examples over the tokenized
+    documents. Invariants oracled in SQL: total token count conserved
+    (SUM of per-doc word counts), every example within the cap, and the
+    example count at least ceil(total/512)."""
+    from openmldb_ray.stages.tokenops import pack_sequences
+
+    ds = _tokenized_docs(sf_dir).drop_columns(["tokens"])
+    out = pack_sequences(ds, max_len=512).to_pandas()
+    total = int(out["total_tok"].sum())
+    return pd.DataFrame({
+        "total_tok": [np.int64(total)],
+        "within_cap": [np.int64((out["total_tok"] <= 512).all())],
+        "lb_ok": [np.int64(len(out) >= -(-total // 512))],
+    })
+
+
 def q_multimodal(sf_dir: str):
     """Multimodal plumbing: binary payload schema + actor-pool decode stub.
     The output contract (ids, modality layout, feature dimensionality) is
@@ -1114,6 +1235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "substr_dedup": q_substr_dedup,
+        "pack_sequences": q_pack_sequences,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1476,6 +1599,21 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 5)
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM needles n WHERE contains(d.text, n.nd))
+        """,
+        "substr_dedup": """
+            SELECT CAST(1 AS BIGINT) AS holders_after,
+                   CAST(1 AS BIGINT) AS holder_is_first,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE doc_id % 13 = 0 AND doc_id >= 13) AS planted,
+                   CAST(1 AS BIGINT) AS rows_match_naive,
+                   CAST(1 AS BIGINT) AS all_rows_kept
+        """,
+        "pack_sequences": r"""
+            SELECT (SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END) AS BIGINT) FROM documents) AS total_tok,
+                   CAST(1 AS BIGINT) AS within_cap,
+                   CAST(1 AS BIGINT) AS lb_ok
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

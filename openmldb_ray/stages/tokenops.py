@@ -1,0 +1,388 @@
+"""Token-payload operators for pre-tokenized training sequences
+(north-rule extension: the input contract is ``doc_id:string|int,
+tokens:array<int32>, n_tok:int32, source:string`` per BASELINE.json).
+
+Two first-class ops a 100 TB token pipeline needs:
+
+- ``exact_substring_dedup`` — remove duplicated token spans of length >= L
+  across the whole corpus, keeping the first occurrence in (doc_id, pos)
+  order (the ExactSubstr operation of Lee et al. 2021, "Deduplicating
+  Training Data Makes Language Models Better", re-expressed as hash
+  shuffles instead of a monolithic suffix array).
+- ``pack_sequences`` — greedy first-fit packing of documents into
+  fixed-length training examples (sequence packing), per-block so it
+  streams with zero shuffle.
+
+Scale shape of exact_substring_dedup:
+
+    per-batch vectorized rolling window hashes over concatenated tokens
+      (two independent Mersenne-31 rolling hashes -> one 62-bit key,
+       plus a third as in-group verifier: ~2^93 of hash state, expected
+       false merges ~ n^2/2^94 — negligible at 10^12 windows)
+    -> hash shuffle of (key, h3, doc_id, pos) candidate rows   [wide #1]
+    -> per-group canonical = min (doc_id, pos); others emit removal spans
+    -> bucketed co-shuffle of removal spans with the docs      [wide #2]
+    -> per-doc vectorized span-mask deletion, tokens rebuilt zero-copy
+
+The candidate stream is one tiny fixed-width row PER TOKEN (stride=1 ==
+exact detection of every duplicated span >= L). That is the honest cost of
+exactness — the same corpus scan a distributed suffix array pays. For
+web-scale corpora the ``winnow`` option keeps only windows that are local
+minima over ``winnow`` consecutive hashes (MOSS winnowing): the shuffle
+shrinks ~winnow×, with the documented guarantee that any duplicated region
+of length >= L + winnow - 1 still shares a selected window (shorter dups
+may be missed; removal boundaries stay exact for detected windows).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_M31 = np.uint64((1 << 31) - 1)
+# fixed odd bases < 2^31-1 (arbitrary public constants)
+_BASES = (np.uint64(1_000_003), np.uint64(16_777_619), np.uint64(805_306_457))
+
+
+def _fold31(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31-1) for uint64 arrays holding values < 2^62, branch-free:
+    two shift-add folds + one conditional subtract (same trick as the
+    Mersenne-61 fold in dedup.py, narrowed so PRODUCTS fit in uint64)."""
+    x = (x & _M31) + (x >> np.uint64(31))
+    x = (x & _M31) + (x >> np.uint64(31))
+    np.subtract(x, _M31, out=x, where=x >= _M31)
+    return x
+
+
+def _mulmod31(a: np.ndarray, b) -> np.ndarray:
+    return _fold31(a * b)
+
+
+def _pow_array(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod M31 via vectorized doubling
+    (log n rounds, no sequential cumprod)."""
+    pows = np.ones(1, dtype=np.uint64)
+    while len(pows) < n:
+        k = len(pows)
+        nxt = _mulmod31(pows, pows[k - 1])          # pows * base^(k-1)
+        nxt = _mulmod31(nxt, base)                  # ... * base -> base^(k..2k-1)
+        pows = np.concatenate([pows, nxt])
+    return pows[:n]
+
+
+def _modinv31(a: int) -> int:
+    return pow(int(a), int(_M31) - 2, int(_M31))
+
+
+def rolling_window_hashes(tokens: np.ndarray, starts: np.ndarray,
+                          lengths: np.ndarray, span_len: int) -> tuple:
+    """Vectorized rolling hashes of every ``span_len``-token window of every
+    doc in a batch.
+
+    ``tokens`` is the batch's concatenated int token stream; doc d occupies
+    ``tokens[starts[d]:starts[d]+lengths[d]]``. Returns (keys u64, h3 u64,
+    doc_idx int64, pos int64) for every window that fits inside one doc.
+
+    Window hash: H_B(i) = sum_j v[i+j] * B^(L-1-j) mod (2^31-1) with
+    v = token+1, computed for the whole batch in O(n) via inverse-power
+    prefix sums (the cumsum stays exact because per-batch token counts are
+    << 2^33; asserted)."""
+    n = len(tokens)
+    assert n < (1 << 33), "batch too large for exact cumsum folding"
+    v = (tokens.astype(np.uint64) + np.uint64(1))
+    v = _fold31(v)
+
+    # window start indices (global) for windows fully inside one doc
+    nwin = np.maximum(lengths - span_len + 1, 0)
+    doc_idx = np.repeat(np.arange(len(starts), dtype=np.int64), nwin)
+    pos = np.arange(int(nwin.sum()), dtype=np.int64)
+    if len(pos):
+        off = np.concatenate([[0], np.cumsum(nwin)[:-1]])
+        pos = pos - np.repeat(off, nwin)            # within-doc positions
+    gidx = np.repeat(starts, nwin) + pos            # global positions
+
+    hs = []
+    for base in _BASES:
+        binv = np.uint64(_modinv31(base))
+        ipows = _pow_array(binv, n + 1)
+        pows = _pow_array(base, n + span_len)
+        term = _mulmod31(v, ipows[:n])
+        s = np.concatenate([[np.uint64(0)], np.cumsum(term, dtype=np.uint64)])
+        # windows: T(i) = (S[i+L] - S[i]) mod M31  (cumsum is exact, so the
+        # difference of folded residues needs one more fold after +M31*pad)
+        t = (s[gidx + span_len] - s[gidx]) % _M31 if len(gidx) else \
+            np.zeros(0, np.uint64)
+        h = _mulmod31(_mulmod31(t, pows[gidx] if len(gidx) else t),
+                      pows[span_len - 1])
+        hs.append(h)
+    keys = (hs[0] << np.uint64(31)) | hs[1]
+    return keys, hs[2], doc_idx, pos
+
+
+def _winnow_select(keys: np.ndarray, doc_idx: np.ndarray, w: int) -> np.ndarray:
+    """Boolean mask of winnowed windows: local minima of ``keys`` over each
+    run of ``w`` consecutive windows within one doc (MOSS winnowing —
+    selection depends only on content, so both copies of a duplicated
+    region >= L + w - 1 select the same window)."""
+    if len(keys) == 0:
+        return np.zeros(0, bool)
+    s = pd.Series(keys.astype(np.float64))
+    grp = pd.Series(doc_idx)
+    rmins = s.groupby(grp.to_numpy()).rolling(w, min_periods=1).min() \
+        .reset_index(drop=True).to_numpy()
+    return keys.astype(np.float64) == rmins
+
+
+def _flat_tokens(t, tokens_col: str):
+    """(flat values ndarray, normalized offsets ndarray) for a Table's list
+    column. ``flatten()`` compacts sliced arrays, so offsets are rebased to
+    start at 0 to stay aligned with it."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return np.zeros(0, np.int64), np.zeros(1, np.int64)
+    toks = t[tokens_col].combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.chunk(0) if toks.num_chunks == 1 else \
+            pa.concat_arrays(toks.chunks)
+    flat = np.asarray(toks.flatten())
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    return flat, offsets - offsets[0]
+
+
+def exact_substring_dedup(ds: "ray.data.Dataset", tokens_col: str = "tokens",
+                          id_col: str = "doc_id", span_len: int = 50,
+                          *, winnow: int = 1,
+                          num_buckets: int | None = None,
+                          num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Remove every later occurrence of any duplicated ``span_len``-token
+    span; the globally-first occurrence (min (doc_id, pos)) survives.
+
+    ``winnow`` > 1 trades exactness for shuffle volume (see module doc).
+    Docs shorter than ``span_len`` pass through untouched.
+    """
+    import pyarrow as pa
+
+    from ..core.hashing import add_bucket_column, default_num_buckets, \
+        quiet_ray_data_logs
+
+    nb = num_buckets or default_num_buckets()
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        flat, offsets = _flat_tokens(t, tokens_col)
+        starts, lengths = offsets[:-1], np.diff(offsets)
+        keys, h3, didx, pos = rolling_window_hashes(
+            flat, starts.astype(np.int64), lengths.astype(np.int64), span_len)
+        if winnow > 1:
+            m = _winnow_select(keys, didx, winnow)
+            keys, h3, didx, pos = keys[m], h3[m], didx[m], pos[m]
+        ids = t[id_col].take(pa.array(didx)) if len(didx) else \
+            t[id_col].slice(0, 0)
+        return pa.table({
+            "__key": pa.array(keys.astype(np.int64)),
+            "__h3": pa.array(h3.astype(np.int64)),
+            id_col: ids,
+            "__pos": pa.array(pos),
+        })
+
+    def pick_removals(g: pd.DataFrame) -> pd.DataFrame:
+        # canonical occurrence = min (doc_id, pos) per exact window content
+        g = g.sort_values([id_col, "__pos"], kind="stable")
+        dup = g.duplicated(["__key", "__h3"], keep="first")
+        out = g.loc[dup, [id_col, "__pos"]]
+        return out.rename(columns={"__pos": "__start"})
+
+    cands = ds.map_batches(emit_candidates, batch_format="pyarrow",
+                           batch_size=None)
+    add_b = add_bucket_column(["__key"], "__b", nb)
+    removals = (cands.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+                .groupby("__b", num_partitions=num_partitions)
+                .map_groups(pick_removals, batch_format="pandas"))
+    return _apply_span_removals(ds, removals, tokens_col, id_col, span_len,
+                                num_buckets=nb, num_partitions=num_partitions)
+
+
+def _apply_span_removals(ds: "ray.data.Dataset", removals: "ray.data.Dataset",
+                         tokens_col: str, id_col: str, span_len: int,
+                         *, num_buckets: int,
+                         num_partitions: int | None) -> "ray.data.Dataset":
+    """Bucketed co-shuffle of removal spans with the docs (same shape as
+    dedup.anti_join_ids: no driver-side materialization of the removal
+    set), then per-doc vectorized mask deletion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..core.empty_ds import union_any
+    from ..core.hashing import add_bucket_column, quiet_ray_data_logs
+
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow", batch_size=None)
+    schema = ds.schema()
+    names, types = list(schema.names), list(schema.types)
+    id_type = types[names.index(id_col)]
+    tok_type = types[names.index(tokens_col)]
+    value_type = tok_type.value_type
+
+    def pad_removals(t: pa.Table) -> pa.Table:
+        arrays = []
+        for name, typ in zip(names, types):
+            if name == id_col:
+                arrays.append(pc.cast(t[id_col], typ).combine_chunks())
+            else:
+                arrays.append(pa.nulls(t.num_rows, typ))
+        out = pa.Table.from_arrays(arrays, names=names)
+        return out.append_column(
+            "__start", pc.cast(t["__start"], pa.int64()).combine_chunks())
+
+    def mark_rows(t: pa.Table) -> pa.Table:
+        t = t.select(names).replace_schema_metadata(None)
+        return t.append_column("__start", pa.nulls(t.num_rows, pa.int64()))
+
+    add_b = add_bucket_column([id_col], "__ab", num_buckets)
+    left = ds.map_batches(mark_rows, batch_format="pyarrow", batch_size=None) \
+             .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+    right = removals.map_batches(pad_removals, batch_format="pyarrow",
+                                 batch_size=None) \
+                    .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+
+    def apply_group(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        is_rm = pc.is_valid(t["__start"])
+        rows = t.filter(pc.invert(is_rm))
+        rm = t.filter(is_rm)
+        rows = rows.drop_columns(["__start", "__ab"])
+        if rm.num_rows == 0 or rows.num_rows == 0:
+            return rows
+        # removal starts per doc id (python dict of small int arrays — only
+        # docs WITH removals pay any per-doc work)
+        rm_ids = rm[id_col].to_pandas()
+        rm_starts = rm["__start"].to_numpy(zero_copy_only=False)
+        by_doc: dict = {}
+        for i, s in zip(rm_ids.to_numpy(), rm_starts):
+            by_doc.setdefault(i, []).append(int(s))
+        row_ids = rows[id_col].to_pandas().to_numpy()
+        hit_rows = np.nonzero(pd.Series(row_ids).isin(by_doc).to_numpy())[0]
+        if len(hit_rows) == 0:
+            return rows
+        flat, offsets = _flat_tokens(rows, tokens_col)
+        keep_mask = np.ones(len(flat), bool)
+        for r in hit_rows:
+            lo, hi = int(offsets[r]), int(offsets[r + 1])
+            for s in by_doc[row_ids[r]]:
+                keep_mask[lo + s: min(lo + s + span_len, hi)] = False
+        # reduceat indices must stay < len(flat): clip trailing-empty-row
+        # offsets, then zero out genuinely-empty rows via the diff guard
+        kept_per_row = np.add.reduceat(
+            keep_mask, np.minimum(offsets[:-1], len(flat) - 1)) \
+            if len(flat) else np.zeros(rows.num_rows, np.int64)
+        kept_per_row = np.where(np.diff(offsets) == 0, 0, kept_per_row)
+        new_offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array(flat[keep_mask], type=value_type))
+        out = rows.set_column(rows.column_names.index(tokens_col),
+                              tokens_col, pc.cast(new_list, tok_type))
+        if "n_tok" in out.column_names:
+            out = out.set_column(out.column_names.index("n_tok"), "n_tok",
+                                 pc.cast(pa.array(kept_per_row),
+                                         out.schema.field("n_tok").type))
+        return out
+
+    return (union_any(left, right)
+            .groupby("__ab", num_partitions=num_partitions)
+            .map_groups(apply_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_block(n_tok: np.ndarray, max_len: int) -> tuple:
+    """Greedy in-order packing of one block: returns (example_id_per_doc,
+    chunks) where docs longer than max_len are split into ceil(n/max_len)
+    full chunks. O(#examples) python steps via searchsorted on the cumsum,
+    vectorized otherwise."""
+    n = len(n_tok)
+    ex_of_doc = np.zeros(n, np.int64)
+    c = np.concatenate([[0], np.cumsum(n_tok, dtype=np.int64)])
+    ex, i = 0, 0
+    splits = []  # (doc_index, n_chunks) for oversized docs
+    while i < n:
+        j = int(np.searchsorted(c, c[i] + max_len, side="right")) - 1
+        if j <= i:  # single doc exceeds max_len -> split into chunks
+            k = int(-(-int(n_tok[i]) // max_len))
+            splits.append((i, k))
+            ex_of_doc[i] = ex
+            ex += k
+            i += 1
+            continue
+        ex_of_doc[i:j] = ex
+        ex += 1
+        i = j
+    return ex_of_doc, splits, ex
+
+
+class SequencePacker:
+    """Greedy first-fit sequence packing into ``max_len``-token examples,
+    per block (a block boundary flushes the current example — at scale that
+    costs at most one under-filled example per block and keeps the stage
+    shuffle-free and order-deterministic within each input file)."""
+
+    def __init__(self, max_len: int = 2048, n_tok_col: str = "n_tok",
+                 id_col: str = "doc_id"):
+        self.max_len = int(max_len)
+        self.n_tok_col = n_tok_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df[self.n_tok_col].to_numpy(np.int64)
+        ids = df[self.id_col].to_numpy()
+        ex_of_doc, splits, n_ex = pack_block(n_tok, self.max_len)
+        if n_ex == 0:
+            return pd.DataFrame({"example_id": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "total_tok": pd.Series([], dtype=np.int64)})
+        tot = np.bincount(ex_of_doc, weights=n_tok, minlength=n_ex).astype(np.int64)
+        ndocs = np.bincount(ex_of_doc, minlength=n_ex).astype(np.int64)
+        first = np.zeros(n_ex, dtype=object)
+        seen = np.zeros(n_ex, bool)
+        for i, e in enumerate(ex_of_doc):  # first doc id per example
+            if not seen[e]:
+                first[e] = ids[i]
+                seen[e] = True
+        # oversized docs: split into k chunks (full chunks + remainder)
+        for i, k in splits:
+            e = ex_of_doc[i]
+            tot[e] = min(int(n_tok[i]), self.max_len)
+            ndocs[e] = 1
+            rem = int(n_tok[i]) - self.max_len
+            for c in range(1, k):
+                first[e + c] = ids[i]
+                seen[e + c] = True
+                tot[e + c] = min(rem, self.max_len)
+                ndocs[e + c] = 1
+                rem -= self.max_len
+        return pd.DataFrame({
+            "example_id": first,
+            "n_docs": ndocs,
+            "total_tok": tot,
+        })
+
+
+def pack_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
+                   n_tok_col: str = "n_tok", id_col: str = "doc_id",
+                   batch_size: int | None = None,
+                   concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Greedy sequence packing; output one row per packed training example
+    (example_id = first doc id in the example, n_docs, total_tok)."""
+    return ds.map_batches(SequencePacker, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              max_len=max_len, n_tok_col=n_tok_col,
+                              id_col=id_col))
