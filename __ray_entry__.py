@@ -862,6 +862,30 @@ def q_stratified_sample(sf_dir: str):
     return out.to_pandas()[["doc_id", "source"]]
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup clustering (MinHash pairs -> distributed connected
+    components). Property oracle: every planted exact copy lands in the
+    same cluster as its source doc, and every cluster id is <= the source
+    id (labels are component minima)."""
+    from openmldb_ray.stages.graph import dup_clusters
+
+    docs, planted = _planted_docs(sf_dir)
+    out = dup_clusters(docs, "text", "doc_id").to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    copy_ids = sorted(planted)
+    together = le_src = 0
+    for j, cid in enumerate(copy_ids):  # copy j duplicates original doc j
+        if cid in lab and j in lab and lab[cid] == lab[j]:
+            together += 1
+        if cid in lab and lab[cid] <= j:
+            le_src += 1
+    return pd.DataFrame({
+        "planted": [np.int64(len(planted))],
+        "clustered_with_src": [np.int64(together)],
+        "cluster_le_src": [np.int64(le_src)],
+    })
+
+
 def _word_tok(w: str) -> int:
     h = 0
     for ch in w:
@@ -1237,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "substr_dedup": q_substr_dedup,
         "pack_sequences": q_pack_sequences,
+        "dup_clusters": q_dup_clusters,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1607,6 +1632,13 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 13 = 0 AND doc_id >= 13) AS planted,
                    CAST(1 AS BIGINT) AS rows_match_naive,
                    CAST(1 AS BIGINT) AS all_rows_kept
+        """,
+        "dup_clusters": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 25) AS planted,
+                   (SELECT COUNT(*) FROM documents WHERE doc_id < 25)
+                       AS clustered_with_src,
+                   (SELECT COUNT(*) FROM documents WHERE doc_id < 25)
+                       AS cluster_le_src
         """,
         "pack_sequences": r"""
             SELECT (SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0

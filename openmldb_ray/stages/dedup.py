@@ -247,6 +247,39 @@ def _greedy_sig_dups(sigs: np.ndarray, ids: np.ndarray, need: int, dups: list):
             kn += 1
 
 
+def _collapse_exact_pairs(keys_void: np.ndarray, ids: np.ndarray,
+                          payload: np.ndarray, pairs: list):
+    """Pair-emitting variant of _collapse_exact: members of an identical-key
+    group pair to the group's min-id representative. Returns the reps."""
+    first, inverse = np.unique(keys_void, return_index=True,
+                               return_inverse=True)[1:]
+    if len(first) == len(ids):
+        return ids, payload, keys_void
+    rep_ids = ids[first][inverse]
+    member = np.ones(len(ids), bool)
+    member[first] = False
+    pairs.extend(zip(ids[member], rep_ids[member]))
+    first.sort()
+    return ids[first], payload[first], keys_void[first]
+
+
+def _greedy_sig_pairs(sigs: np.ndarray, ids: np.ndarray, need: int,
+                      pairs: list):
+    """Pair-emitting variant of _greedy_sig_dups: a duplicate row pairs to
+    the kept row it agrees with most."""
+    K = np.empty_like(sigs)
+    K[0] = sigs[0]
+    kept_ids = [ids[0]]
+    for i in range(1, len(ids)):
+        agree = (K[:len(kept_ids)] == sigs[i]).sum(axis=1)
+        j = int(agree.argmax())
+        if int(agree[j]) >= need:
+            pairs.append((ids[i], kept_ids[j]))
+        else:
+            K[len(kept_ids)] = sigs[i]
+            kept_ids.append(ids[i])
+
+
 def _greedy_hamming_dups(h: np.ndarray, ids: np.ndarray, thresh: int, dups: list):
     """Greedy min-id-survivor scan under hamming distance (uint64 keys),
     popcount via byte LUT — no per-pair Python bin()."""
@@ -449,6 +482,90 @@ def minhash_lsh_dedup(
 
     dup_ids = banded.groupby("__cb").map_groups(bucket_dups, batch_format="pandas")
     return anti_join_ids(ds, dup_ids, id_col)
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Verified near-duplicate PAIRS (src, dst) instead of a survivor set —
+    the edge stream for duplicate clustering (stages/graph.dup_clusters).
+
+    Same signature + banded-shuffle stages as minhash_lsh_dedup; within each
+    (band, band_hash) group the exact-signature collapse and capped greedy
+    emit (member, representative) star edges, so a cluster's edges always
+    connect it even when chunked verification splits a mega-group (other
+    bands re-link the chunks). Pairs may repeat across bands; connected
+    components is idempotent to that, so no dedup shuffle is spent here."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
+
+    hasher = MinHasher(text_col=text_col, num_perm=num_perm,
+                       shingle_k=shingle_k, seed=seed)
+    sig_ds = ds.map_batches(hasher, batch_format="pandas", batch_size=None)
+    rows_per_band = num_perm // bands
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "__band": [], "__bh": [],
+                                 "__sig": [], "__cb": []})
+        sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)
+        n = sigs.shape[0]
+        r = sigs.reshape(n, bands, rows_per_band)
+        B = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, bands), np.uint64)
+            for j in range(rows_per_band):
+                h = h * B + r[:, :, j]
+        ids = np.repeat(df[id_col].to_numpy(), bands)
+        sig_bytes = np.array([s.tobytes() for s in sigs.astype("<i8")],
+                             dtype=object)
+        return pd.DataFrame({
+            id_col: ids,
+            "__band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "__bh": h.reshape(-1).astype(np.int64),
+            "__sig": np.repeat(sig_bytes, bands),
+            "__cb": (h.reshape(-1) & np.uint64(255)).astype(np.int64),
+        })
+
+    banded = sig_ds.select_columns([id_col, "__minhash"]).map_batches(
+        explode_bands, batch_format="pandas", batch_size=None)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+        quiet_ray_data_logs()
+        sizes = g.groupby(["__band", "__bh"])[id_col].transform("size")
+        g = g[sizes > 1]
+        pairs: list = []
+        for _, sub in g.groupby(["__band", "__bh"], sort=False):
+            sub = sub.sort_values(id_col, kind="stable")
+            sigs = np.frombuffer(b"".join(sub["__sig"]),
+                                 dtype="<i8").reshape(len(sub), -1)
+            ids = sub[id_col].to_numpy()
+            sv = np.ascontiguousarray(sigs).view(
+                np.dtype((np.void, sigs.shape[1] * 8))).ravel()
+            ids, sigs, sv = _collapse_exact_pairs(sv, ids, sigs, pairs)
+            if len(ids) > 1:
+                need = int(np.ceil(jaccard_threshold * sigs.shape[1]))
+                _chunked_verify(
+                    sigs, ids, sv,
+                    lambda p, i, d: _greedy_sig_pairs(p, i, need, d), pairs)
+        if not pairs:
+            return pd.DataFrame({"src": pd.Series([], dtype=g[id_col].dtype),
+                                 "dst": pd.Series([], dtype=g[id_col].dtype)})
+        src, dst = zip(*pairs)
+        return pd.DataFrame({"src": pd.Series(list(src), dtype=g[id_col].dtype),
+                             "dst": pd.Series(list(dst), dtype=g[id_col].dtype)})
+
+    return banded.groupby("__cb").map_groups(bucket_pairs,
+                                             batch_format="pandas")
 
 
 class SimHasher:
