@@ -902,8 +902,15 @@ def _tokenized_docs(sf_dir: str):
     from openmldb_ray.sources.io import read_table
 
     def tokenize(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [np.array([_word_tok(w) for w in t.strip().split()], np.int32)
-                for t in df["text"].astype(str)]
+        # word vocab is tiny: hash each UNIQUE word once, then dict-lookup
+        words = df["text"].astype(str).str.strip().str.split()
+        vocab: dict[str, int] = {}
+        for ws in words:
+            for w in ws:
+                if w not in vocab:
+                    vocab[w] = _word_tok(w)
+        toks = [np.fromiter((vocab[w] for w in ws), np.int32, len(ws))
+                for ws in words]
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "tokens": pd.Series(toks, dtype=object),

@@ -30,7 +30,8 @@ BENCH_QUERIES = [
     "lastjoin_window", "window_union", "sessionize", "session_agg",
     "group_agg", "group_stats", "multi_window", "scalar_project",
     "dedup_exact", "text_stats", "knn", "minhash_dedup", "minhash_dense",
-    "taxi_demo",
+    "taxi_demo", "quality_filter", "pii_redact", "substr_dedup",
+    "pack_sequences", "dup_clusters",
 ]
 
 

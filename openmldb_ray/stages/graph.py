@@ -27,19 +27,54 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 
+def _driver_union_find(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
+    """In-memory DSU with path compression; roots always point to the
+    component's min node id, so the final root IS the cluster id."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    a, b = inv[:len(src)], inv[len(src):]
+    for i, j in zip(a.tolist(), b.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(i) for i in range(len(nodes))], np.int64)
+    return pd.DataFrame({"node": nodes, "cluster_id": nodes[roots]})
+
+
 def connected_components(edges: "ray.data.Dataset", *,
                          src_col: str = "src", dst_col: str = "dst",
                          max_iters: int = 10,
-                         num_buckets: int | None = None) -> "ray.data.Dataset":
+                         num_buckets: int | None = None,
+                         strategy: str = "auto",
+                         driver_limit: int = 2_000_000) -> "ray.data.Dataset":
     """Labels every node reachable through ``edges`` with the minimum node
     id of its component. Returns a Dataset (node, cluster_id). Node ids
     must be a totally ordered numeric/string type (min is the canonical
-    representative, matching the dedup survivor convention)."""
+    representative, matching the dedup survivor convention).
+
+    ``strategy``: ``"driver"`` collects the edge list and runs an in-memory
+    union-find; ``"distributed"`` runs bucketed hash-min label propagation;
+    ``"auto"`` (default) picks driver below ``driver_limit`` edges — the
+    same materialize-once + size-guard pattern as the join stages'
+    broadcast_limit. The edge table is the small side by construction
+    (O(duplicate docs), not O(corpus)); per-round scheduling overhead
+    dominates tiny graphs, while the distributed path is the only one that
+    survives billions of edges."""
     import pyarrow as pa
 
     from ..core.hashing import add_bucket_column, quiet_ray_data_logs
 
-    nb = num_buckets or 256
+    nb = num_buckets or 64
 
     def sym(t: pa.Table) -> pa.Table:
         quiet_ray_data_logs()
@@ -52,6 +87,17 @@ def connected_components(edges: "ray.data.Dataset", *,
     # re-execute per round
     sym_edges = edges.map_batches(sym, batch_format="pyarrow",
                                   batch_size=None).materialize()
+
+    n_edges = sym_edges.count() // 2  # metadata read on a materialized ds
+    if strategy == "driver" or (strategy == "auto" and n_edges <= driver_limit):
+        import ray.data as rd
+
+        df = sym_edges.to_pandas()
+        half = len(df) // 2
+        out = _driver_union_find(df["node"].to_numpy()[:half],
+                                 df["peer"].to_numpy()[:half])
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                             .replace_schema_metadata(None))
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "label": t["node"]})

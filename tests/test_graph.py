@@ -17,25 +17,35 @@ def _cc(edges, **kw):
     return dict(zip(out["node"], out["cluster_id"]))
 
 
-def test_cc_chain_and_star(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["driver", "distributed"])
+def test_cc_chain_and_star(ray_session, strategy):
     # chain 1-2-3-4 plus star 10<-11,12 plus isolated pair (20,21)
-    got = _cc([(2, 1), (3, 2), (4, 3), (11, 10), (12, 10), (21, 20)])
+    got = _cc([(2, 1), (3, 2), (4, 3), (11, 10), (12, 10), (21, 20)],
+              strategy=strategy)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
 
 
-def test_cc_merging_components(ray_session):
+@pytest.mark.parametrize("strategy", ["driver", "distributed"])
+def test_cc_merging_components(ray_session, strategy):
     # two stars joined by one bridge edge -> single component, min label
     edges = [(i, 100) for i in range(101, 106)] \
         + [(i, 200) for i in range(201, 206)] + [(105, 205)]
-    got = _cc(edges)
+    got = _cc(edges, strategy=strategy)
     assert set(got.values()) == {100}
     assert len(got) == 12
 
 
 def test_cc_string_ids(ray_session):
+    # auto strategy: tiny edge set routes to the driver union-find
     got = _cc([("b", "a"), ("c", "b"), ("e", "d")])
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    # distributed path agrees on string ids
+    got2 = _cc([("b", "a"), ("c", "b"), ("e", "d")], strategy="distributed")
+    assert got2 == got
 
 
 def test_dup_clusters_planted(ray_session):
