@@ -615,6 +615,22 @@ def q_knn_ivf(sf_dir: str):
 _N_PLANT = 25
 
 
+def _max_doc_id(sf_dir: str, docs) -> int:
+    """Max doc_id from the parquet footer statistics (one metadata read,
+    not a second full-scan aggregate); falls back to the aggregate."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(_os.path.join(sf_dir, "documents.parquet"))
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    stats = [md.row_group(i).column(idx).statistics
+             for i in range(md.num_row_groups)]
+    if stats and all(s is not None and s.has_min_max for s in stats):
+        return max(s.max for s in stats)
+    return docs.max("doc_id")
+
+
 def _planted_docs(sf_dir: str):
     """documents + _N_PLANT exact copies planted with ids above the max id.
     An exact copy shares every LSH band / simhash segment with its original,
@@ -628,7 +644,7 @@ def _planted_docs(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     src = docs.filter(expr=f"doc_id < {_N_PLANT}").to_pandas().sort_values("doc_id")
-    max_id = docs.max("doc_id")
+    max_id = _max_doc_id(sf_dir, docs)
     copies = pd.DataFrame({"doc_id": max_id + 1 + np.arange(len(src)),
                            "text": src["text"].to_numpy()})
     # from_arrow (not from_pandas) keeps every block Arrow-typed — a
@@ -776,7 +792,7 @@ def q_fingerprint(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     src = docs.filter(expr=f"doc_id < {_N_PLANT}").to_pandas().sort_values("doc_id")
-    max_id = docs.max("doc_id")
+    max_id = _max_doc_id(sf_dir, docs)
     copies = pd.DataFrame({"doc_id": max_id + 1 + np.arange(len(src)),
                            "text": src["text"].to_numpy()})
     fp = (docs.union(rd.from_pandas(copies))
@@ -860,6 +876,28 @@ def q_stratified_sample(sf_dir: str):
     rates = {f"src{i}": 0.6 for i in range(10)}
     out = stratified_sample(docs, rates, default_rate=0.25, mod_bits=20)
     return out.to_pandas()[["doc_id", "source"]]
+
+
+def q_ngram_counts(sf_dir: str):
+    """Global top-100 word bigrams (combiner -> ngram-hash shuffle ->
+    bucket top-k -> tiny global sort). Exact DuckDB unnest/join oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import ngram_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_counts(docs, top_k=100).to_pandas()
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher repetition metrics per doc (duplicate-word fraction, top
+    bigram share). Exact DuckDB oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import repetition_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(docs).to_pandas()
+    out = out[["doc_id", "dup_word_frac", "top_bigram_frac"]]
+    return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
 def q_dup_clusters(sf_dir: str):
@@ -1269,6 +1307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_dedup": q_substr_dedup,
         "pack_sequences": q_pack_sequences,
         "dup_clusters": q_dup_clusters,
+        "ngram_counts": q_ngram_counts,
+        "repetition_stats": q_repetition_stats,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1639,6 +1679,43 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 13 = 0 AND doc_id >= 13) AS planted,
                    CAST(1 AS BIGINT) AS rows_match_naive,
                    CAST(1 AS BIGINT) AS all_rows_kept
+        """,
+        "ngram_counts": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents WHERE trim(text) <> '')
+            ), grams AS (
+              SELECT a.doc_id, a.w || ' ' || b.w AS g
+              FROM words a JOIN words b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            )
+            SELECT g AS ngram, COUNT(*) AS cnt FROM grams
+            GROUP BY g ORDER BY cnt DESC, g LIMIT 100
+        """,
+        "repetition_stats": r"""
+            WITH ws AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i
+              FROM ws
+            ), grams AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+              FROM words a JOIN words b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), gcnt AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+            ), gtot AS (
+              SELECT doc_id, MAX(c) AS m, SUM(c) AS t FROM gcnt GROUP BY doc_id
+            )
+            SELECT ws.doc_id,
+                   ROUND(CASE WHEN len(w) > 0
+                         THEN 1 - len(list_distinct(w))::DOUBLE / len(w)
+                         ELSE 0 END, 6) AS dup_word_frac,
+                   ROUND(COALESCE(gtot.m::DOUBLE / gtot.t, 0), 6)
+                       AS top_bigram_frac
+            FROM ws LEFT JOIN gtot ON ws.doc_id = gtot.doc_id
         """,
         "dup_clusters": """
             SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 25) AS planted,

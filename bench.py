@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "group_agg", "group_stats", "multi_window", "scalar_project",
     "dedup_exact", "text_stats", "knn", "minhash_dedup", "minhash_dense",
     "taxi_demo", "quality_filter", "pii_redact", "substr_dedup",
-    "pack_sequences", "dup_clusters",
+    "pack_sequences", "dup_clusters", "ngram_counts", "repetition_stats",
 ]
 
 

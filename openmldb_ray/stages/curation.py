@@ -188,6 +188,95 @@ def decontaminate(ds: "ray.data.Dataset", needles: list[str],
     return out
 
 
+def _doc_bigrams(texts: pd.Series) -> pd.Series:
+    """All word bigrams ('w1 w2') of each doc, exploded with the doc's
+    positional index as the series index. One groupby-shift, no row loop."""
+    words = texts.astype(str).str.strip().str.split()
+    ex = words.reset_index(drop=True).explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    mask = nxt.notna() & ex.notna()
+    return ex[mask].astype(str) + " " + nxt[mask].astype(str)
+
+
+class _NgramPartial:
+    """Per-batch COMBINER for corpus n-gram counting: batch-local
+    value_counts so the shuffle carries (ngram, partial_count) rows, not
+    one row per occurrence (SURVEY §4 'push aggregation partial')."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        grams = _doc_bigrams(df[self.text_col])
+        vc = grams.value_counts()
+        return pd.DataFrame({"ngram": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+
+def ngram_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                 top_k: int = 100, num_buckets: int | None = None,
+                 concurrency=(1, 8), batch_size: int = 8192) -> "ray.data.Dataset":
+    """Global top-k word-bigram counts.
+
+    batch-local partial counts (combiner) -> hash shuffle on the ngram ->
+    per-bucket sum + per-bucket top-k (safe: an ngram lives in exactly one
+    bucket, so the global top-k is a subset of the union of bucket top-ks)
+    -> tiny global sort+limit. The shuffle moves one row per DISTINCT ngram
+    per batch instead of one per occurrence."""
+    from ..core.hashing import add_bucket_column, default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+    partial = ds.map_batches(_NgramPartial, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             fn_constructor_kwargs=dict(text_col=text_col))
+    add_b = add_bucket_column(["ngram"], "__b", nb)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("ngram", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "ngram"], ascending=[False, True],
+                              kind="stable").head(top_k)
+        return agg[["ngram", "cnt"]]
+
+    return (partial.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+            .groupby("__b").map_groups(bucket_topk, batch_format="pandas")
+            .sort(["cnt", "ngram"], descending=[True, False])
+            .limit(top_k))
+
+
+class RepetitionStats:
+    """Gopher-style repetition metrics per doc, vectorized:
+    dup_word_frac = 1 - distinct words / words;
+    top_bigram_frac = occurrences of the doc's most frequent bigram /
+    total bigrams (0 for docs with < 2 words)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        words = df[self.text_col].astype(str).str.strip().str.split()
+        n = words.map(len).to_numpy(np.int64)
+        nuniq = words.map(lambda ws: len(set(ws))).to_numpy(np.int64)
+        df["dup_word_frac"] = np.where(n > 0, 1 - nuniq / np.maximum(n, 1), 0.0)
+        grams = _doc_bigrams(df[self.text_col])
+        if len(grams):
+            per = grams.to_frame("g").groupby([grams.index, "g"]).size()
+            top = per.groupby(level=0).max()
+            tot = per.groupby(level=0).sum()
+            frac = (top / tot).reindex(pd.RangeIndex(len(df)), fill_value=0.0)
+        else:
+            frac = pd.Series(np.zeros(len(df)))
+        df["top_bigram_frac"] = frac.to_numpy(np.float64)
+        return df
+
+
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    return ds.map_batches(RepetitionStats, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(text_col=text_col))
+
+
 KNUTH_MULT = 2654435761  # Knuth's multiplicative-hash constant (2^32 * phi)
 
 

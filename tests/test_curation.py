@@ -13,9 +13,11 @@ from openmldb_ray.stages.curation import (
     NeedleFilter,
     PiiRedactor,
     QualityRules,
+    RepetitionStats,
     StratumSampler,
     decontaminate,
     knuth_hash_u32,
+    ngram_counts,
     pii_redact,
     quality_filter,
     stratified_sample,
@@ -123,6 +125,25 @@ def test_stratified_sample_deterministic(ray_session):
     assert "src2" not in by_src                   # rate 0.0 drops all
     assert abs(by_src.get("src1", 0) / 1000 - 0.5) < 0.06
     assert abs(by_src.get("src3", 0) / 1000 - 0.25) < 0.06   # default rate
+
+
+def test_ngram_counts_exact(ray_session):
+    rows = [{"doc_id": 0, "text": "a b a b c"},
+            {"doc_id": 1, "text": "a b x"},
+            {"doc_id": 2, "text": "solo"}]
+    out = ngram_counts(rd.from_items(rows), top_k=3).to_pandas()
+    # 'a b' x3 (twice doc0, once doc1), then alphabetical among count-1
+    assert out["ngram"].tolist() == ["a b", "b a", "b c"]
+    assert out["cnt"].tolist() == [3, 1, 1]
+
+
+def test_repetition_stats_values():
+    df = pd.DataFrame({"text": ["a b a b a", "w x y z", "", "solo"]})
+    out = RepetitionStats()(df)
+    # doc0: 5 words 2 distinct -> dup 0.6; bigrams [ab,ba,ab,ba] top 2/4
+    assert out["dup_word_frac"].tolist() == [0.6, 0.0, 0.0, 0.0]
+    # doc1: 3 distinct bigrams -> top 1/3
+    assert out["top_bigram_frac"].tolist() == pytest.approx([0.5, 1 / 3, 0.0, 0.0])
 
 
 def test_stratum_sampler_threshold_exact():
