@@ -878,6 +878,25 @@ def q_stratified_sample(sf_dir: str):
     return out.to_pandas()[["doc_id", "source"]]
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end curation chain in ONE streaming pass (no materialization
+    between stages): quality rules -> decontamination -> stratified
+    sampling. Exact DuckDB oracle replays all three predicates nested."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import (decontaminate, quality_filter,
+                                              stratified_sample)
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    bench = docs.filter(expr="doc_id < 5").to_pandas()
+    needles = [" ".join(t.strip().split()[:8]) for t in bench["text"]]
+    out = quality_filter(docs)
+    out = decontaminate(out, needles)
+    out = stratified_sample(out, {f"src{i}": 0.6 for i in range(10)},
+                            default_rate=0.25, mod_bits=20)
+    return out.to_pandas()[["doc_id", "source"]]
+
+
 def q_ngram_counts(sf_dir: str):
     """Global top-100 word bigrams (combiner -> ngram-hash shuffle ->
     bucket top-k -> tiny global sort). Exact DuckDB unnest/join oracle."""
@@ -1309,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "ngram_counts": q_ngram_counts,
         "repetition_stats": q_repetition_stats,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1679,6 +1699,32 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 13 = 0 AND doc_id >= 13) AS planted,
                    CAST(1 AS BIGINT) AS rows_match_naive,
                    CAST(1 AS BIGINT) AS all_rows_kept
+        """,
+        "curation_pipeline": r"""
+            WITH scored AS (
+              SELECT doc_id, text, source,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                         / GREATEST(len(words), 1) AS mwl,
+                     len(list_filter(words,
+                         w -> w IN ('the','a','of','to','and','in'))) AS sh,
+                     len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                         / GREATEST(len(words), 1) AS af
+              FROM (SELECT doc_id, text, source,
+                           regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents) t0),
+            needles AS (
+              SELECT array_to_string(
+                       (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') AS nd
+              FROM documents WHERE doc_id < 5)
+            SELECT doc_id, source FROM scored d
+            WHERE d.n_words BETWEEN 30 AND 100000
+              AND d.mwl BETWEEN 3 AND 10 AND d.sh >= 2 AND d.af >= 0.8
+              AND NOT EXISTS (SELECT 1 FROM needles n WHERE contains(d.text, n.nd))
+              AND ((doc_id % 1048576) * 2654435761) % 4294967296
+                  < CAST(FLOOR(CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
+                                    THEN 0.6 ELSE 0.25 END * 4294967296) AS BIGINT)
         """,
         "ngram_counts": r"""
             WITH words AS (
