@@ -919,6 +919,44 @@ def q_repetition_stats(sf_dir: str):
     return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Exactly-k-per-stratum distributed bottom-k sample (combiner keeps k
+    smallest hashes per stratum per batch; min-k merges exactly). Exact
+    DuckDB window-rank oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import bottomk_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return bottomk_sample(docs, k=7).to_pandas()[["doc_id", "source"]]
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy-hitter sketch over bigrams. Property oracle from
+    the sketch's published guarantees: estimates never exceed the true
+    count, underestimate by at most ceil(N/m), and the exact top-1 bigram
+    is always in the sketch's top-k (its share clears every cut)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import _doc_bigrams, heavy_hitters
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    m = 512
+    sk = heavy_hitters(docs, top_k=20, m=m).to_pandas()
+    # exact counts, computed in-query (the sf-scale corpus fits a driver
+    # pandas pass; the sketch path never needs this at real scale)
+    texts = docs.to_pandas()["text"]
+    exact = _doc_bigrams(texts).value_counts()
+    n_total = int(exact.sum())
+    bound = -(-n_total // m)  # ceil(N/m)
+    est = dict(zip(sk["ngram"], sk["cnt"]))
+    bounds_ok = all(0 <= exact.get(g, 0) - c <= bound for g, c in est.items())
+    top1 = exact.index[0]
+    return pd.DataFrame({
+        "k_returned": [np.int64(len(sk))],
+        "bounds_ok": [np.int64(bounds_ok)],
+        "top1_present": [np.int64(top1 in est)],
+    })
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup clustering (MinHash pairs -> distributed connected
     components). Property oracle: every planted exact copy lands in the
@@ -1329,6 +1367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": q_ngram_counts,
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
+        "bottomk_sample": q_bottomk_sample,
+        "heavy_hitters": q_heavy_hitters,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1699,6 +1739,20 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 13 = 0 AND doc_id >= 13) AS planted,
                    CAST(1 AS BIGINT) AS rows_match_naive,
                    CAST(1 AS BIGINT) AS all_rows_kept
+        """,
+        "bottomk_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+                                doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 7
+        """,
+        "heavy_hitters": """
+            SELECT CAST(20 AS BIGINT) AS k_returned,
+                   CAST(1 AS BIGINT) AS bounds_ok,
+                   CAST(1 AS BIGINT) AS top1_present
         """,
         "curation_pipeline": r"""
             WITH scored AS (

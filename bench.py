@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_exact", "text_stats", "knn", "minhash_dedup", "minhash_dense",
     "taxi_demo", "quality_filter", "pii_redact", "substr_dedup",
     "pack_sequences", "dup_clusters", "ngram_counts", "repetition_stats",
+    "curation_pipeline", "bottomk_sample", "heavy_hitters",
 ]
 
 

@@ -295,6 +295,97 @@ def knuth_hash_u32(ids: np.ndarray, mod_bits: int = 64) -> np.ndarray:
     return ((ids * np.uint64(KNUTH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
+def bottomk_sample(ds: "ray.data.Dataset", k: int,
+                   strata_col: str = "source", id_col: str = "doc_id",
+                   concurrency=(1, 8), batch_size: int = 8192,
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Exactly-k uniform sample per stratum via distributed bottom-k:
+    keep the k rows with the smallest hash(id) per stratum.
+
+    min-k is a semilattice merge, so the per-batch pre-filter (a COMBINER
+    that keeps at most k rows per stratum per batch) composes exactly with
+    the per-stratum reduce — the shuffle carries at most k × #batches rows
+    per stratum instead of the whole stratum. Deterministic (hash order,
+    id tiebreak), so the sample is stable under reruns, repartitioning,
+    and resume — and exactly replayable in SQL with a window rank."""
+    import pyarrow as pa
+
+    from ..core.hashing import add_bucket_column, quiet_ray_data_logs
+
+    def keep_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash_u32(df[id_col].to_numpy(), 20).astype(np.int64)
+        df = df.assign(__h=h)
+        return (df.sort_values(["__h", id_col], kind="stable")
+                  .groupby(strata_col, sort=False).head(k))
+
+    # plain task (not an actor pool): the combiner is stateless
+    pre = ds.map_batches(keep_bottomk, batch_format="pandas",
+                         batch_size=batch_size)
+    add_b = add_bucket_column([strata_col], "__b", 256)
+
+    def reduce_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        return (g.sort_values(["__h", id_col], kind="stable")
+                 .groupby(strata_col, sort=False).head(k)
+                 .drop(columns=["__h", "__b"]))
+
+    return (pre.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+            .groupby("__b", num_partitions=num_partitions)
+            .map_groups(reduce_bottomk, batch_format="pandas"))
+
+
+class HeavyHitterSketch:
+    """Misra–Gries heavy-hitter COMBINER over word bigrams (one sketch per
+    batch, capacity m): any item with global frequency > N/m survives every
+    sketch it passes through, and merged sketch counts underestimate true
+    counts by at most N/m (Misra & Gries 1982; merge rule per Agarwal et
+    al. 2013 'Mergeable Summaries'). The shuffle carries at most m rows
+    per batch regardless of corpus size — the bounded-memory alternative
+    to exact ngram_counts when the ngram universe doesn't fit anywhere."""
+
+    def __init__(self, m: int = 512, text_col: str = "text"):
+        self.m = int(m)
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vc = _doc_bigrams(df[self.text_col]).value_counts()
+        # batch-local Misra-Gries: keep top-m, subtract the (m+1)-th count
+        # (equivalent to decrementing all counters to zero simultaneously)
+        if len(vc) > self.m:
+            cut = int(vc.iloc[self.m])
+            vc = (vc.iloc[:self.m] - cut)
+            vc = vc[vc > 0]
+        return pd.DataFrame({"ngram": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+
+def heavy_hitters(ds: "ray.data.Dataset", top_k: int = 20, m: int = 512,
+                  text_col: str = "text", concurrency=(1, 8),
+                  batch_size: int = 8192) -> "ray.data.Dataset":
+    """Approximate global top-k bigrams with bounded memory everywhere:
+    per-batch Misra-Gries sketches -> ngram-hash shuffle of (ngram,
+    residual count) -> per-bucket sum -> global sort+limit. Counts are
+    underestimates within N/m of truth; items with share > 1/m are
+    guaranteed present."""
+    from ..core.hashing import add_bucket_column, default_num_buckets
+
+    nb = default_num_buckets()
+    partial = ds.map_batches(HeavyHitterSketch, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             fn_constructor_kwargs=dict(m=m, text_col=text_col))
+    add_b = add_bucket_column(["ngram"], "__b", nb)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("ngram", as_index=False)["cnt"].sum()
+        return agg.sort_values(["cnt", "ngram"], ascending=[False, True],
+                               kind="stable").head(top_k)
+
+    return (partial.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+            .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
+            .sort(["cnt", "ngram"], descending=[True, False])
+            .limit(top_k))
+
+
 class StratumSampler:
     """Per-stratum deterministic hash sampling (domain mixing).
 

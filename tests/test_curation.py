@@ -10,12 +10,16 @@ import pytest
 import ray.data as rd
 
 from openmldb_ray.stages.curation import (
+    HeavyHitterSketch,
     NeedleFilter,
     PiiRedactor,
     QualityRules,
     RepetitionStats,
     StratumSampler,
+    _doc_bigrams,
+    bottomk_sample,
     decontaminate,
+    heavy_hitters,
     knuth_hash_u32,
     ngram_counts,
     pii_redact,
@@ -144,6 +148,45 @@ def test_repetition_stats_values():
     assert out["dup_word_frac"].tolist() == [0.6, 0.0, 0.0, 0.0]
     # doc1: 3 distinct bigrams -> top 1/3
     assert out["top_bigram_frac"].tolist() == pytest.approx([0.5, 1 / 3, 0.0, 0.0])
+
+
+def test_bottomk_sample_exact_k_and_deterministic(ray_session):
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(600)]
+    ds = rd.from_items(rows)
+    out1 = bottomk_sample(ds, k=5, batch_size=64).to_pandas()
+    # exactly 5 per stratum regardless of batch boundaries
+    assert out1.groupby("source").size().tolist() == [5, 5, 5]
+    # equals the global (non-distributed) bottom-k by the same hash order
+    df = pd.DataFrame(rows)
+    h = knuth_hash_u32(df["doc_id"].to_numpy(), 20).astype(np.int64)
+    want = (df.assign(h=h).sort_values(["h", "doc_id"])
+              .groupby("source", sort=False).head(5))
+    assert set(map(tuple, out1[["doc_id", "source"]].to_numpy())) == \
+        set(map(tuple, want[["doc_id", "source"]].to_numpy()))
+
+
+def test_heavy_hitter_sketch_guarantees(ray_session):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    # plant a dominant bigram: 'hot pair' repeated heavily in 50 docs
+    for i in range(50):
+        texts[i] = "hot pair " * 20 + texts[i]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    m = 256
+    sk = heavy_hitters(ds, top_k=10, m=m, batch_size=64).to_pandas()
+    exact = _doc_bigrams(pd.Series(texts)).value_counts()
+    bound_per_batch = -(-int(exact.sum()) // m)
+    est = dict(zip(sk["ngram"], sk["cnt"]))
+    assert "hot pair" in est and sk["ngram"].iloc[0] == "hot pair"
+    # never overestimates; underestimates within the merged-sketch bound
+    for g, c in est.items():
+        assert c <= exact.get(g, 0)
+        assert exact.get(g, 0) - c <= bound_per_batch * 4  # <= N/m per merge level
+    # single-sketch unit check: top item survives the cut with count >= true - N/m
+    one = HeavyHitterSketch(m=64)(pd.DataFrame({"text": texts}))
+    got = dict(zip(one["ngram"], one["cnt"]))
+    assert got["hot pair"] >= exact["hot pair"] - -(-int(exact.sum()) // 64)
 
 
 def test_stratum_sampler_threshold_exact():
