@@ -919,6 +919,21 @@ def q_repetition_stats(sf_dir: str):
     return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
+def q_text_embed_dedup(sf_dir: str):
+    """Chained text -> embedding pipeline: feature-hash embeddings
+    (vocabulary-free hashing trick) feed embedding-cosine near-dup removal.
+    Planted exact copies embed to identical unit vectors (cosine 1), so
+    every copy must be dropped. Property oracle."""
+    from openmldb_ray.stages.simsearch import embedding_dedup
+    from openmldb_ray.stages.textstats import hash_embed
+
+    docs, planted = _planted_docs(sf_dir)
+    emb = hash_embed(docs, dim=64)
+    out = embedding_dedup(emb, vec_col="embedding", id_col="doc_id") \
+        .to_pandas()
+    return _dedup_property(out, "doc_id", planted)
+
+
 def q_bottomk_sample(sf_dir: str):
     """Exactly-k-per-stratum distributed bottom-k sample (combiner keeps k
     smallest hashes per stratum per batch; min-k merges exactly). Exact
@@ -1369,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "bottomk_sample": q_bottomk_sample,
         "heavy_hitters": q_heavy_hitters,
+        "text_embed_dedup": q_text_embed_dedup,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1881,6 +1897,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": "SELECT 'lsh_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
         "knn_ivf": "SELECT 'ivf_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
         "minhash_dedup": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
+                   CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "text_embed_dedup": f"""
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
                    CAST(1 AS BIGINT) AS survivors_unique

@@ -92,6 +92,65 @@ class AudioFrameSampler:
         return t.append_column("n_frames", pa.array(n_frames, type=pa.int64()))
 
 
+class ImageResizer:
+    """Actor-pool stage shape for decode→resize→re-encode. Stub resize is a
+    deterministic nearest-neighbor subsample of the fake-decoded image; a
+    real deployment passes decode_fn/encode_fn loaded once per actor."""
+
+    def __init__(self, out_hw: tuple = (4, 4), payload_col: str = "payload",
+                 decode_fn: Callable[[bytes], np.ndarray] | None = None,
+                 fake_decode: bool = False):
+        self.out_hw = tuple(out_hw)
+        self.payload_col = payload_col
+        if decode_fn is not None:
+            self.decode = decode_fn
+        elif fake_decode:
+            self.decode = _fake_image_decode
+        else:
+            def _raise(_):
+                raise NotImplementedError(
+                    "image decode requires an imaging library not present in "
+                    "this environment; pass decode_fn or fake_decode=True")
+            self.decode = _raise
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h, w = self.out_hw
+        outs = []
+        for payload in t[self.payload_col].to_pylist():
+            img = self.decode(payload if payload is not None else b"")
+            yi = np.linspace(0, img.shape[0] - 1, h).round().astype(int)
+            xi = np.linspace(0, img.shape[1] - 1, w).round().astype(int)
+            outs.append(img[np.ix_(yi, xi)].tobytes())
+        return (t.append_column("payload_resized", pa.array(outs, pa.binary()))
+                 .append_column("resized_hw", pa.array([[h, w]] * t.num_rows,
+                                                       pa.list_(pa.int32()))))
+
+
+class VideoFrameSampler:
+    """Actor-pool stage shape for video: sample every ``stride``-th frame's
+    byte offset from the opaque payload (stub frame size = 1 KiB; a real
+    deployment passes a demuxer loaded once per actor)."""
+
+    def __init__(self, payload_col: str = "payload", stride: int = 4,
+                 fake_decode: bool = False, frame_bytes: int = 1024):
+        self.payload_col = payload_col
+        self.stride = int(stride)
+        self.fake = fake_decode
+        self.frame_bytes = int(frame_bytes)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video demux requires a codec library not present in this "
+                "environment; pass fake_decode=True to exercise the plumbing")
+        offs = []
+        for p in t[self.payload_col].to_pylist():
+            n = max(1, (len(p) if p else 0) // self.frame_bytes)
+            offs.append(list(range(0, n, self.stride)))
+        return t.append_column("frame_offsets",
+                               pa.array(offs, pa.list_(pa.int64())))
+
+
 def extract_image_features(ds: "ray.data.Dataset", *, fake_decode: bool = False,
                            decode_fn=None, concurrency=(1, 8),
                            batch_size: int = 64) -> "ray.data.Dataset":
@@ -107,6 +166,27 @@ def sample_audio_frames(ds: "ray.data.Dataset", *, fake_decode: bool = False,
     return ds.map_batches(
         AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs=dict(fake_decode=fake_decode),
+        concurrency=concurrency,
+    )
+
+
+def resize_images(ds: "ray.data.Dataset", out_hw=(4, 4), *,
+                  fake_decode: bool = False, decode_fn=None,
+                  concurrency=(1, 8), batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(out_hw=out_hw, decode_fn=decode_fn,
+                                   fake_decode=fake_decode),
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(ds: "ray.data.Dataset", stride: int = 4, *,
+                        fake_decode: bool = False, concurrency=(1, 8),
+                        batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(stride=stride, fake_decode=fake_decode),
         concurrency=concurrency,
     )
 

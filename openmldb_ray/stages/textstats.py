@@ -170,6 +170,46 @@ class Fingerprinter:
         return df
 
 
+class HashEmbedder:
+    """Feature-hashing bag-of-words embedding (the 'hashing trick',
+    Weinberger et al. 2009): word w contributes sign(h(w)) at index
+    h(w) mod dim; the vector is L2-normalized. Deterministic, vocabulary-
+    free, and vectorized (one explode + one hash call + one np.add.at per
+    batch) — the stand-in embedding stage that lets text flow into the
+    embedding ops (knn/embedding_dedup) when no model embeddings exist."""
+
+    def __init__(self, dim: int = 64, text_col: str = "text",
+                 out_col: str = "embedding"):
+        self.dim = int(dim)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import stable_hash64
+
+        df = df.copy()
+        words = df[self.text_col].astype(str).str.lower().str.split()
+        ex = words.reset_index(drop=True).explode().dropna()
+        vecs = np.zeros((len(df), self.dim), np.float64)
+        if len(ex):
+            h = stable_hash64(ex.astype(str))
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            rows = ex.index.to_numpy(np.int64)
+            np.add.at(vecs, (rows, idx), sign)
+        norm = np.linalg.norm(vecs, axis=1)
+        vecs = vecs / np.maximum(norm, 1e-12)[:, None]
+        df[self.out_col] = [v.astype(np.float32) for v in vecs]
+        return df
+
+
+def hash_embed(ds: "ray.data.Dataset", dim: int = 64, text_col: str = "text",
+               concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    return ds.map_batches(HashEmbedder, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(dim=dim, text_col=text_col))
+
+
 def text_stats(ds: "ray.data.Dataset", text_col: str = "text",
                concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
     """Convenience: quality + token counts in one actor-pool pass."""

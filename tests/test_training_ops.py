@@ -190,3 +190,48 @@ def test_knn_ivf_recall(ray_session):
         a = set(approx[approx["query_id"] == qi]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
+
+
+def test_hash_embed_deterministic_and_normalized(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.textstats import HashEmbedder, hash_embed
+
+    rows = [{"doc_id": 0, "text": "alpha beta gamma"},
+            {"doc_id": 1, "text": "ALPHA beta GAMMA"},   # case-folded: same
+            {"doc_id": 2, "text": "totally different words here"},
+            {"doc_id": 3, "text": ""}]
+    out = hash_embed(rd.from_items(rows), dim=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    v = [np.asarray(x, float) for x in out["embedding"]]
+    assert np.allclose(v[0], v[1])                      # identical content
+    assert np.linalg.norm(v[0]) == pytest.approx(1.0)   # unit norm
+    assert np.linalg.norm(v[3]) == 0.0                  # empty doc -> zeros
+    assert abs(float(v[0] @ v[2])) < 0.9                # distinct texts differ
+    # per-batch vs whole-frame parity (no cross-row state)
+    one = HashEmbedder(dim=32)(pd.DataFrame(rows[:1]))
+    assert np.allclose(np.asarray(one["embedding"].iloc[0], float), v[0])
+
+
+def test_multimodal_resize_and_video(ray_session):
+    from openmldb_ray.stages.multimodal import (
+        VideoFrameSampler,
+        make_multimodal_dataset,
+        resize_images,
+        sample_video_frames,
+    )
+
+    mm = make_multimodal_dataset(8)
+    out = resize_images(mm, out_hw=(4, 4), fake_decode=True).to_pandas()
+    assert (out["payload_resized"].map(len) == 4 * 4 * 3).all()
+    assert out["resized_hw"].map(lambda x: tuple(x) == (4, 4)).all()
+    vid = sample_video_frames(mm, stride=2, fake_decode=True).to_pandas()
+    assert (vid["frame_offsets"].map(len) >= 1).all()
+    # offsets follow the stride
+    offs = vid["frame_offsets"].iloc[0]
+    assert list(offs) == list(range(0, len(offs) * 2, 2))
+    # stub refuses without fake/real decoder
+    import pyarrow as pa
+
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(pa.table({"payload": [b"xx"]}))
