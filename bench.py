@@ -71,6 +71,38 @@ def flagship_num_docs(sf_dir: str) -> int:
     return n_docs * 200  # sf0.1 → 1M sequences
 
 
+def _bench_substr_tokens() -> int:
+    """Bench-scale ExactSubstr load test: 200k docs x 128 tokens (25.6M
+    tokens, one candidate row per token through the shuffle), 10% of docs
+    sharing a planted 60-token boilerplate span. Returns surviving rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmldb_ray.stages.tokenops import exact_substring_dedup
+
+    N, L = 200_000, 128
+    boiler = np.arange(900_000, 900_060, dtype=np.int32)
+
+    def gen(b):
+        ids = np.asarray(b["id"])
+        out = []
+        for i in ids:
+            r = np.random.default_rng(int(i))
+            t = r.integers(0, 50_000, size=L).astype(np.int32)
+            if i % 10 == 0:
+                t[10:70] = boiler
+            out.append(t)
+        offs = np.arange(0, (len(ids) + 1) * L, L, dtype=np.int32)
+        flat = np.concatenate(out) if out else np.zeros(0, np.int32)
+        toks = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "tokens": toks})
+
+    ds = rd.range(N).map_batches(lambda b: gen(b), batch_format="numpy",
+                                 batch_size=4096)
+    return exact_substring_dedup(ds, span_len=50).count()
+
+
 def run_bench() -> dict:
     import ray
 
@@ -112,6 +144,13 @@ def run_bench() -> dict:
             # drop this query's Dataset/object-store refs so later queries
             # aren't taxed by spill pressure from earlier ones
             gc.collect()
+
+        # bench-only load test (too heavy for the sf0.01 correctness gate):
+        # ExactSubstr over 25.6M tokens, per-token candidate shuffle
+        t0 = time.time()
+        _bench_substr_tokens()
+        timings["substr_dedup_25m_tokens"] = round(time.time() - t0, 3)
+        gc.collect()
 
     ray.shutdown()
     return {

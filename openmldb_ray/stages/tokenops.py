@@ -126,16 +126,39 @@ def rolling_window_hashes(tokens: np.ndarray, starts: np.ndarray,
 
 def _winnow_select(keys: np.ndarray, doc_idx: np.ndarray, w: int) -> np.ndarray:
     """Boolean mask of winnowed windows: local minima of ``keys`` over each
-    run of ``w`` consecutive windows within one doc (MOSS winnowing —
-    selection depends only on content, so both copies of a duplicated
-    region >= L + w - 1 select the same window)."""
-    if len(keys) == 0:
+    trailing run of ``w`` consecutive windows within one doc (MOSS
+    winnowing — selection depends only on content, so both copies of a
+    duplicated region >= L + w - 1 select the same window).
+
+    Fully vectorized exact-uint64 trailing sliding min: the classic
+    block-decomposition (prefix-min + suffix-min over w-aligned blocks,
+    O(n), no per-doc Python), with the first w-1 positions of each doc
+    fixed up by one C-level grouped cummin."""
+    n = len(keys)
+    if n == 0:
         return np.zeros(0, bool)
-    s = pd.Series(keys.astype(np.float64))
-    grp = pd.Series(doc_idx)
-    rmins = s.groupby(grp.to_numpy()).rolling(w, min_periods=1).min() \
-        .reset_index(drop=True).to_numpy()
-    return keys.astype(np.float64) == rmins
+    if w <= 1:
+        return np.ones(n, bool)
+    k = keys.astype(np.uint64)
+    pad = (-n) % w
+    kp = np.concatenate([k, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+    blocks = kp.reshape(-1, w)
+    pre = np.minimum.accumulate(blocks, axis=1).reshape(-1)[:n]
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    win = pre.copy()
+    idx = np.arange(n)
+    j = idx - (w - 1)
+    valid = j >= 0
+    win[valid] = np.minimum(pre[valid], suf[j[valid]])
+    # windows that would cross a doc start: within-doc truncated min instead
+    first = np.concatenate([[0], 1 + np.nonzero(np.diff(doc_idx))[0]])
+    counts = np.diff(np.concatenate([first, [n]]))
+    doc_start_of = np.repeat(first, counts)
+    early = (idx - doc_start_of) < (w - 1)
+    if early.any():
+        cm = pd.Series(k).groupby(doc_idx).cummin().to_numpy(np.uint64)
+        win[early] = cm[early]
+    return k == win
 
 
 def _flat_tokens(t, tokens_col: str):

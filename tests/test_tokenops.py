@@ -112,6 +112,28 @@ def test_exact_substring_dedup_winnow_long_region(ray_session):
     assert len(out.loc[1, "tokens"]) < 32                  # later copy shrunk
 
 
+def test_winnow_select_parity_with_naive():
+    from openmldb_ray.stages.tokenops import _winnow_select
+
+    rng = np.random.default_rng(31)
+    for trial in range(20):
+        nd = int(rng.integers(1, 8))
+        lens = rng.integers(0, 30, size=nd)
+        doc_idx = np.repeat(np.arange(nd), lens)
+        keys = rng.integers(0, 2**62, size=int(lens.sum()), dtype=np.uint64)
+        w = int(rng.integers(1, 7))
+        got = _winnow_select(keys, doc_idx, w)
+        # naive: select i iff keys[i] == min over [max(doc_start, i-w+1), i]
+        want = np.zeros(len(keys), bool)
+        pos = 0
+        for ln in lens:
+            for i in range(ln):
+                lo = max(0, i - w + 1)
+                want[pos + i] = keys[pos + i] == keys[pos + lo: pos + i + 1].min()
+            pos += ln
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} w={w}")
+
+
 def test_pack_block_greedy():
     ex, splits, n = pack_block(np.array([100, 200, 300, 250, 50]), 512)
     # 100+200 = 300, +300 = 600 > 512 -> [0,1], [2,3(550>512? 300+250=550>512)]
