@@ -373,12 +373,11 @@ class SequencePacker:
                                  "total_tok": pd.Series([], dtype=np.int64)})
         tot = np.bincount(ex_of_doc, weights=n_tok, minlength=n_ex).astype(np.int64)
         ndocs = np.bincount(ex_of_doc, minlength=n_ex).astype(np.int64)
+        # first doc id per example: ex_of_doc is nondecreasing, so the first
+        # occurrence index per example comes from one np.unique pass
         first = np.zeros(n_ex, dtype=object)
-        seen = np.zeros(n_ex, bool)
-        for i, e in enumerate(ex_of_doc):  # first doc id per example
-            if not seen[e]:
-                first[e] = ids[i]
-                seen[e] = True
+        ex_vals, ex_first = np.unique(ex_of_doc, return_index=True)
+        first[ex_vals] = ids[ex_first]
         # oversized docs: split into k chunks (full chunks + remainder)
         for i, k in splits:
             e = ex_of_doc[i]
@@ -387,7 +386,6 @@ class SequencePacker:
             rem = int(n_tok[i]) - self.max_len
             for c in range(1, k):
                 first[e + c] = ids[i]
-                seen[e + c] = True
                 tot[e + c] = min(rem, self.max_len)
                 ndocs[e + c] = 1
                 rem -= self.max_len
