@@ -67,8 +67,10 @@ class QualityRules:
         words = s.str.split()  # \s+ splitting on trimmed text
         n_words = words.map(len).to_numpy(np.int64)
         n_wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
-        # explode once, one isin / one regex over the exploded series
-        ex = words.reset_index(drop=True).explode()
+        # explode once, one isin / one regex over the exploded series.
+        # dropna: an EMPTY word list explodes to one NaN row, which would
+        # stringify to "nan" and count as an alpha word for empty docs
+        ex = words.reset_index(drop=True).explode().dropna()
         idx = pd.RangeIndex(len(s))
         stop_hits = ex.isin(self.stopwords).groupby(level=0).sum() \
             .reindex(idx, fill_value=0).to_numpy(np.int64)
