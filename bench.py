@@ -46,7 +46,8 @@ def _quiet_data_warnings():
     import logging
 
     for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
-                 "ray.data._internal.execution.streaming_executor_state"):
+                 "ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.pandas_block"):
         logging.getLogger(name).setLevel(logging.ERROR)
 
 

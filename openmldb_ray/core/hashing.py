@@ -71,7 +71,10 @@ def quiet_ray_data_logs() -> None:
     import logging
 
     for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
-                 "ray.data._internal.execution.streaming_executor_state"):
+                 "ray.data._internal.execution.streaming_executor_state",
+                 # empty pandas blocks: size sampling np.vectorize s on
+                 # zero rows ("Error calculating size for column ...")
+                 "ray.data._internal.pandas_block"):
         logging.getLogger(name).setLevel(logging.ERROR)
 
 

@@ -14,6 +14,19 @@ import sys
 import time
 
 
+def _quiet_logs():
+    """worker_process_setup_hook: drop cosmetic ray.data warnings (schema
+    hash, zero-column reduce blocks, empty-block size sampling). Defined
+    at module level in the SCRIPT so workers can unpickle it without
+    needing the repo on their sys.path."""
+    import logging
+
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.pandas_block"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-docs", type=int, default=1_000_000)
@@ -30,7 +43,8 @@ def main() -> int:
 
     if not ray.is_initialized():
         kw = dict(include_dashboard=False, ignore_reinit_error=True,
-                  logging_level="ERROR")
+                  logging_level="ERROR",
+                  runtime_env={"worker_process_setup_hook": _quiet_logs})
         if args.num_cpus:
             kw.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kw)
