@@ -919,6 +919,24 @@ def q_repetition_stats(sf_dir: str):
     return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct count of document texts. Exact distinct comes
+    from the same Ray pipeline (exact_dedup count); the sketch estimate
+    must land within 5 standard errors (sigma = 1.04/sqrt(2^12) ~ 1.6%)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import hll_distinct
+    from openmldb_ray.stages.dedup import exact_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    est = hll_distinct(docs, "text", p=12)
+    exact = exact_dedup(docs, "text", keep_by="doc_id").count()
+    sigma = 1.04 / (1 << 6)  # 1.04/sqrt(4096)
+    return pd.DataFrame({
+        "exact_distinct": [np.int64(exact)],
+        "est_within_5sigma": [np.int64(abs(est / max(exact, 1) - 1) <= 5 * sigma)],
+    })
+
+
 def q_text_embed_dedup(sf_dir: str):
     """Chained text -> embedding pipeline: feature-hash embeddings
     (vocabulary-free hashing trick) feed embedding-cosine near-dup removal.
@@ -1385,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": q_bottomk_sample,
         "heavy_hitters": q_heavy_hitters,
         "text_embed_dedup": q_text_embed_dedup,
+        "hll_distinct": q_hll_distinct,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1900,6 +1919,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
                    CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "hll_distinct": """
+            SELECT COUNT(DISTINCT text) AS exact_distinct,
+                   CAST(1 AS BIGINT) AS est_within_5sigma
+            FROM documents
         """,
         "text_embed_dedup": f"""
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,

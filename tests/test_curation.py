@@ -231,3 +231,22 @@ def test_run_curation_job_resume(ray_session, tmp_path):
     assert r2["partitions_written"] == [victim]
     assert victim not in r2["partitions_skipped_on_resume"]
     assert total_rows() == n1  # no duplicated rows after resume
+
+
+def test_hll_distinct_accuracy_and_merge(ray_session):
+    from openmldb_ray.stages.curation import hll_distinct
+
+    n, dups = 120_000, 3
+    rows = [{"doc_id": i, "val": f"item-{i % (n // dups)}"}
+            for i in range(n)]
+    ds = rd.from_items(rows)
+    est = hll_distinct(ds, "val", p=12, batch_size=4096)
+    exact = n // dups
+    sigma = 1.04 / np.sqrt(4096)
+    assert abs(est / exact - 1) <= 5 * sigma
+    # batch-size independence (mergeability): same data, different splits
+    est2 = hll_distinct(ds, "val", p=12, batch_size=257)
+    assert est == pytest.approx(est2)
+    # small-range linear counting: tiny cardinalities are near-exact
+    small = rd.from_items([{"val": f"v{i % 10}"} for i in range(1000)])
+    assert abs(hll_distinct(small, "val", p=12) - 10) < 1
