@@ -919,6 +919,30 @@ def q_repetition_stats(sf_dir: str):
     return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
+def q_sample_quantiles(sf_dir: str):
+    """Approximate quantiles from a deterministic bottom-k uniform sample.
+    Property oracle: each estimated quantile's TRUE rank (computed exactly
+    in-query) must sit within 5 binomial standard errors of its target."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import sample_quantiles
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    qs = [0.1, 0.5, 0.9]
+    k = 2048
+    est = sample_quantiles(docs, "n_chars", qs, k=k, id_col="doc_id")
+    vals = docs.to_pandas()["n_chars"].to_numpy(np.float64)
+    n = len(vals)
+    ok = 1
+    for q, e in zip(qs, est):
+        rank = float((vals <= e).sum()) / max(n, 1)
+        sigma = np.sqrt(q * (1 - q) / min(k, n))
+        # +1/n covers the discrete mass sitting exactly at the estimate
+        if abs(rank - q) > 5 * sigma + 1.0 / max(n, 1):
+            ok = 0
+    return pd.DataFrame({"n_rows": [np.int64(n)],
+                         "ranks_within_bound": [np.int64(ok)]})
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct count of document texts. Exact distinct comes
     from the same Ray pipeline (exact_dedup count); the sketch estimate
@@ -1404,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "text_embed_dedup": q_text_embed_dedup,
         "hll_distinct": q_hll_distinct,
+        "sample_quantiles": q_sample_quantiles,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1919,6 +1944,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
                    CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "sample_quantiles": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(1 AS BIGINT) AS ranks_within_bound
+            FROM documents
         """,
         "hll_distinct": """
             SELECT COUNT(DISTINCT text) AS exact_distinct,

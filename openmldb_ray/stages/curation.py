@@ -388,6 +388,44 @@ def heavy_hitters(ds: "ray.data.Dataset", top_k: int = 20, m: int = 512,
             .limit(top_k))
 
 
+def sample_quantiles(ds: "ray.data.Dataset", col: str, qs, k: int = 4096,
+                     id_col: str | None = None,
+                     batch_size: int = 65536) -> np.ndarray:
+    """Approximate quantiles of ``col`` from a deterministic k-row uniform
+    sample: keep the k rows with the smallest hash (hash of ``id_col`` if
+    given, else of the value itself) — a bottom-k sample IS a uniform
+    sample, min-k merges exactly, and the shuffle carries at most
+    k rows per batch (same shape as bottomk_sample, global). Rank error
+    is the binomial sqrt(q(1-q)/k) (~0.8% at k=4096, q=0.5) — the engine
+    primitive behind percentile-based skew detection (the reference uses
+    Spark percentile_approx for this, SkewDataFrameUtils.scala:26-65)."""
+    import pyarrow as pa
+
+    from ..core.hashing import quiet_ray_data_logs, stable_hash64
+
+    key_col = id_col or col
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64(df[key_col]).astype(np.uint64)
+        df = df[[col]].assign(__h=h.astype(np.int64))
+        return df.nsmallest(k, "__h", keep="first")
+
+    def add_b(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        return t.replace_schema_metadata(None).append_column(
+            "__b", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def reduce_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(k, "__h", keep="first")[[col]]
+
+    sample = (ds.map_batches(keep, batch_format="pandas", batch_size=batch_size)
+              .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+              .groupby("__b").map_groups(reduce_k, batch_format="pandas")
+              .to_pandas())[col].to_numpy(np.float64)
+    return np.quantile(sample, np.asarray(qs, np.float64)) if len(sample) \
+        else np.full(len(list(qs)), np.nan)
+
+
 class _HllPartial:
     """Per-batch HyperLogLog registers (Flajolet et al. 2007): one
     2^p-byte register row per batch, so the merge moves KILOBYTES per

@@ -250,3 +250,27 @@ def test_hll_distinct_accuracy_and_merge(ray_session):
     # small-range linear counting: tiny cardinalities are near-exact
     small = rd.from_items([{"val": f"v{i % 10}"} for i in range(1000)])
     assert abs(hll_distinct(small, "val", p=12) - 10) < 1
+
+
+def test_sample_quantiles_accuracy_and_determinism(ray_session):
+    from openmldb_ray.stages.curation import sample_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(3, 1.2, size=80_000)
+    rows = [{"doc_id": i, "v": float(x)} for i, x in enumerate(vals)]
+    ds = rd.from_items(rows)
+    qs = [0.05, 0.5, 0.95]
+    est = sample_quantiles(ds, "v", qs, k=4096, id_col="doc_id",
+                           batch_size=4096)
+    for q, e in zip(qs, est):
+        rank = (vals <= e).mean()
+        assert abs(rank - q) <= 5 * np.sqrt(q * (1 - q) / 4096), (q, rank)
+    # deterministic under different batch splits (min-k merges exactly)
+    est2 = sample_quantiles(ds, "v", qs, k=4096, id_col="doc_id",
+                            batch_size=333)
+    np.testing.assert_allclose(est, est2)
+    # k >= n degenerates to the exact quantiles
+    small = rd.from_items(rows[:100])
+    exact = np.quantile(vals[:100], qs)
+    np.testing.assert_allclose(
+        sample_quantiles(small, "v", qs, k=4096, id_col="doc_id"), exact)
