@@ -919,6 +919,37 @@ def q_repetition_stats(sf_dir: str):
     return _round_cols(out, ["dup_word_frac", "top_bigram_frac"])
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """At-scale n-gram decontamination: every 8-gram of docs 0..4 goes into
+    a Bloom bitmap broadcast once per actor; a doc is contaminated iff any
+    of its 8-grams hits. Cross-engine check: the EXACT contaminated count
+    (recomputed in-query by set intersection) must equal DuckDB's lateral
+    n-gram join; bloom adds no false negatives and bounded false
+    positives."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import decontaminate_bloom
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 5").to_pandas().sort_values("doc_id")
+    flagged = decontaminate_bloom(docs, list(bench["text"]), n=8,
+                                  keep_only=False).to_pandas()
+
+    def grams(t: str) -> set:
+        ws = t.strip().split()
+        return {" ".join(ws[i:i + 8]) for i in range(len(ws) - 7)}
+
+    needle = set().union(*(grams(t) for t in bench["text"])) \
+        if len(bench) else set()
+    exact = flagged["text"].map(lambda t: bool(grams(t) & needle)).to_numpy()
+    bloom = flagged["contaminated"].to_numpy(bool)
+    extra = int((bloom & ~exact).sum())
+    return pd.DataFrame({
+        "exact_contaminated": [np.int64(exact.sum())],
+        "no_false_negatives": [np.int64(bool((~bloom & exact).sum() == 0))],
+        "fp_within_bound": [np.int64(extra <= max(1, len(flagged) // 1000))],
+    })
+
+
 def q_sample_quantiles(sf_dir: str):
     """Approximate quantiles from a deterministic bottom-k uniform sample.
     Property oracle: each estimated quantile's TRUE rank (computed exactly
@@ -1038,39 +1069,16 @@ def q_dup_clusters(sf_dir: str):
     })
 
 
-def _word_tok(w: str) -> int:
-    h = 0
-    for ch in w:
-        h = (h * 31 + ord(ch)) & 0x7FFFFFFF
-    return h
-
-
 def _tokenized_docs(sf_dir: str):
-    """documents -> (doc_id, tokens:list<int32>, n_tok) via a deterministic
-    word-hash vocabulary (the north-rule input shape, derived so the same
-    table exists at every sf without external data)."""
-    import pyarrow as pa
-
+    """documents -> (doc_id, tokens:list<int32>, n_tok) via the library
+    text->tokens bridge (stages/tokenops.tokenize_text — the north-rule
+    input shape, derived so the same table exists at every sf without
+    external data)."""
     from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.tokenops import tokenize_text
 
-    def tokenize(df: pd.DataFrame) -> pd.DataFrame:
-        # word vocab is tiny: hash each UNIQUE word once, then dict-lookup
-        words = df["text"].astype(str).str.strip().str.split()
-        vocab: dict[str, int] = {}
-        for ws in words:
-            for w in ws:
-                if w not in vocab:
-                    vocab[w] = _word_tok(w)
-        toks = [np.fromiter((vocab[w] for w in ws), np.int32, len(ws))
-                for ws in words]
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "tokens": pd.Series(toks, dtype=object),
-            "n_tok": np.array([len(x) for x in toks], np.int64),
-        })
-
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(tokenize, batch_format="pandas", batch_size=None) \
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tokenize_text(docs, batch_size=None) \
         .map_batches(lambda t: t.replace_schema_metadata(None),
                      batch_format="pyarrow", batch_size=None)
 
@@ -1429,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embed_dedup": q_text_embed_dedup,
         "hll_distinct": q_hll_distinct,
         "sample_quantiles": q_sample_quantiles,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -1944,6 +1953,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
                    CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "decontaminate_bloom": r"""
+            WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents),
+            grams AS (
+              SELECT ws.doc_id, array_to_string(ws.w[g.i:g.i+7], ' ') AS g8
+              FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws.w) - 7))
+                                AS i) g(i)
+            ),
+            needle AS (SELECT DISTINCT g8 FROM grams WHERE doc_id < 5)
+            SELECT (SELECT COUNT(DISTINCT g.doc_id)
+                    FROM grams g JOIN needle n ON g.g8 = n.g8)
+                       AS exact_contaminated,
+                   CAST(1 AS BIGINT) AS no_false_negatives,
+                   CAST(1 AS BIGINT) AS fp_within_bound
         """,
         "sample_quantiles": """
             SELECT COUNT(*) AS n_rows,

@@ -279,6 +279,108 @@ def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
                           fn_constructor_kwargs=dict(text_col=text_col))
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit element hashes with
+    Kirsch–Mitzenmacher double hashing (k index hashes from two halves of
+    one 64-bit hash). No false negatives by construction; false-positive
+    rate ~ (1 - e^{-kn/m})^k. The bitmap is a plain numpy bool array, so
+    it broadcasts once per actor through fn_constructor_kwargs."""
+
+    def __init__(self, n_bits: int = 1 << 22, k: int = 4):
+        self.m = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros(self.m, bool)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, np.uint64)
+        h1 = h % np.uint64(self.m)
+        h2 = ((h >> np.uint64(32)) | np.uint64(1)) % np.uint64(self.m)
+        j = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + j * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h):
+            self.bits[self._indices(h).ravel()] = True
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, bool)
+        return self.bits[self._indices(h)].all(axis=0)
+
+
+def _word_ngram_hashes(texts: pd.Series, n: int) -> tuple:
+    """64-bit hashes of every word n-gram of each doc, with the doc's
+    positional index per hash. Vectorized: one explode, n-1 grouped shifts,
+    one hash call."""
+    from ..core.hashing import stable_hash64
+
+    words = texts.astype(str).str.strip().str.split()
+    ex = words.reset_index(drop=True).explode()
+    g = ex.astype(str)
+    grp = ex.groupby(level=0)
+    for j in range(1, n):
+        g = g + " " + grp.shift(-j).astype(str)
+    last = grp.shift(-(n - 1))
+    valid = last.notna() & ex.notna()
+    g = g[valid]
+    if not len(g):
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return stable_hash64(g).astype(np.uint64), g.index.to_numpy(np.int64)
+
+
+def build_ngram_bloom(needle_texts, n: int = 8, n_bits: int = 1 << 22,
+                      k: int = 4) -> BloomFilter:
+    """Bloom filter of every word n-gram of the benchmark texts — the
+    at-scale decontamination set (GPT-3-style n-gram filtering): millions
+    of eval n-grams compress to one bitmap that ships once per actor."""
+    bf = BloomFilter(n_bits=n_bits, k=k)
+    h, _ = _word_ngram_hashes(pd.Series(list(needle_texts)), n)
+    bf.add_hashes(h)
+    return bf
+
+
+class BloomNeedleFilter:
+    """Per-batch contamination check: a doc is contaminated iff ANY of its
+    word n-grams hits the bloom. The bitmap lands in the actor once."""
+
+    def __init__(self, bloom: BloomFilter, n: int = 8,
+                 text_col: str = "text", out_col: str = "contaminated"):
+        self.bloom = bloom
+        self.n = int(n)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h, rows = _word_ngram_hashes(
+            df[self.text_col].reset_index(drop=True), self.n)
+        hit_rows = rows[self.bloom.contains_hashes(h)]
+        mask = np.zeros(len(df), bool)
+        mask[np.unique(hit_rows)] = True
+        df[self.out_col] = mask
+        return df
+
+
+def decontaminate_bloom(ds: "ray.data.Dataset", needle_texts, n: int = 8,
+                        n_bits: int = 1 << 22, k: int = 4,
+                        text_col: str = "text", keep_only: bool = True,
+                        concurrency=(1, 8),
+                        batch_size: int = 4096) -> "ray.data.Dataset":
+    """Drop documents sharing any word n-gram with the benchmark texts.
+    Supersets plain substring decontamination (any overlap, not only
+    needle prefixes); no false negatives, false positives bounded by the
+    bloom parameters."""
+    bloom = build_ngram_bloom(needle_texts, n=n, n_bits=n_bits, k=k)
+    out = ds.map_batches(BloomNeedleFilter, batch_format="pandas",
+                         batch_size=batch_size, concurrency=concurrency,
+                         fn_constructor_kwargs=dict(
+                             bloom=bloom, n=n, text_col=text_col))
+    if keep_only:
+        out = out.filter(expr="contaminated == False") \
+                 .drop_columns(["contaminated"])
+    return out
+
+
 KNUTH_MULT = 2654435761  # Knuth's multiplicative-hash constant (2^32 * phi)
 
 

@@ -323,6 +323,71 @@ def _apply_span_removals(ds: "ray.data.Dataset", removals: "ray.data.Dataset",
 
 
 # ---------------------------------------------------------------------------
+# text -> tokens bridge
+
+
+class HashTokenizer:
+    """Vocabulary-free word tokenizer: token id = 31-polynomial hash of the
+    word, masked to 31 bits (deterministic, whitespace pretokenization).
+    ``vocab_path`` loads a JSON ``{word: id}`` vocabulary ONCE PER ACTOR
+    (the actor-pool contract — stand-in for a real BPE vocab file; words
+    missing from the vocab fall back to the hash). Per-batch work hashes
+    each UNIQUE word once and maps the rest through a dict."""
+
+    def __init__(self, text_col: str = "text", vocab_path: str | None = None,
+                 lowercase: bool = False):
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self.vocab: dict[str, int] = {}
+        if vocab_path is not None:
+            import json
+            import os
+
+            if os.path.isfile(vocab_path):
+                try:
+                    self.vocab = {str(k): int(v) for k, v in
+                                  json.load(open(vocab_path)).items()}
+                except (ValueError, TypeError, OSError):
+                    self.vocab = {}
+
+    @staticmethod
+    def word_id(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) & 0x7FFFFFFF
+        return h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str)
+        if self.lowercase:
+            s = s.str.lower()
+        words = s.str.strip().str.split()
+        lut = dict(self.vocab)
+        for ws in words:
+            for w in ws:
+                if w not in lut:
+                    lut[w] = self.word_id(w)
+        toks = [np.fromiter((lut[w] for w in ws), np.int32, len(ws))
+                for ws in words]
+        out = df.drop(columns=[self.text_col]).copy()
+        out["tokens"] = pd.Series(toks, dtype=object)
+        out["n_tok"] = np.array([len(x) for x in toks], np.int64)
+        return out
+
+
+def tokenize_text(ds: "ray.data.Dataset", text_col: str = "text",
+                  vocab_path: str | None = None, lowercase: bool = False,
+                  concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
+    """documents(text) -> (tokens:list<int32>, n_tok) — the bridge from the
+    text tables to the token ops (north-rule input shape)."""
+    return ds.map_batches(HashTokenizer, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              text_col=text_col, vocab_path=vocab_path,
+                              lowercase=lowercase))
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 
 

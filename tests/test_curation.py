@@ -274,3 +274,32 @@ def test_sample_quantiles_accuracy_and_determinism(ray_session):
     exact = np.quantile(vals[:100], qs)
     np.testing.assert_allclose(
         sample_quantiles(small, "v", qs, k=4096, id_col="doc_id"), exact)
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate():
+    from openmldb_ray.stages.curation import BloomFilter
+
+    rng = np.random.default_rng(29)
+    inserted = rng.integers(0, 2**63, size=10_000, dtype=np.uint64)
+    other = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+    bf = BloomFilter(n_bits=1 << 18, k=4)
+    bf.add_hashes(inserted)
+    assert bf.contains_hashes(inserted).all()          # no false negatives
+    fp = bf.contains_hashes(other).mean()
+    # theoretical fp at n=10k, m=2^18, k=4 is ~0.3%; allow 4x slack
+    assert fp < 0.012, fp
+
+
+def test_decontaminate_bloom_dataset(ray_session):
+    from openmldb_ray.stages.curation import decontaminate_bloom
+
+    needle = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        {"doc_id": 0, "text": "prefix words " + needle + " suffix words"},
+        {"doc_id": 1, "text": "totally unrelated content with many words "
+                              "that keep going for a while and a while"},
+        {"doc_id": 2, "text": "short doc"},  # < 8 words: never contaminated
+    ]
+    out = decontaminate_bloom(rd.from_items(rows), [needle], n=8).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}
+    assert "contaminated" not in out.columns

@@ -166,3 +166,25 @@ def test_pack_sequences_dataset_invariants(ray_session):
     assert out["total_tok"].sum() == total          # conservation
     assert (out["total_tok"] <= 1024).all()         # cap
     assert len(out) >= -(-total // 1024)            # >= lower bound
+
+
+def test_hash_tokenizer_vocab_path_and_fallback(ray_session, tmp_path):
+    import json
+
+    from openmldb_ray.stages.tokenops import HashTokenizer, tokenize_text
+
+    vocab = tmp_path / "vocab.json"
+    vocab.write_text(json.dumps({"hello": 1, "world": 2}))
+    rows = [{"doc_id": 0, "text": "hello world"},
+            {"doc_id": 1, "text": "hello unknown"}]
+    out = tokenize_text(rd.from_items(rows), vocab_path=str(vocab)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.loc[0, "tokens"]) == [1, 2]
+    t1 = list(out.loc[1, "tokens"])
+    assert t1[0] == 1 and t1[1] == HashTokenizer.word_id("unknown")
+    assert out["n_tok"].tolist() == [2, 2]
+    assert "text" not in out.columns
+    # missing vocab file -> pure hash fallback, no error
+    out2 = tokenize_text(rd.from_items(rows),
+                         vocab_path=str(tmp_path / "nope.json")).to_pandas()
+    assert len(out2) == 2
