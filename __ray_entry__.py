@@ -1045,6 +1045,17 @@ def q_heavy_hitters(sf_dir: str):
     })
 
 
+def q_chunk_tokens(sf_dir: str):
+    """Sliding-window chunking of the tokenized docs into 64-token
+    sequences with stride 48. Exact DuckDB oracle: chunk indices and
+    lengths are pure arithmetic over per-doc word counts."""
+    from openmldb_ray.stages.tokenops import chunk_tokens
+
+    ds = _tokenized_docs(sf_dir)
+    out = chunk_tokens(ds, seq_len=64, stride=48).to_pandas()
+    return out[["doc_id", "chunk_idx", "n_tok"]]
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup clustering (MinHash pairs -> distributed connected
     components). Property oracle: every planted exact copy lands in the
@@ -1429,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_dedup": q_substr_dedup,
         "pack_sequences": q_pack_sequences,
         "dup_clusters": q_dup_clusters,
+        "chunk_tokens": q_chunk_tokens,
         "ngram_counts": q_ngram_counts,
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
@@ -1885,6 +1897,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(gtot.m::DOUBLE / gtot.t, 0), 6)
                        AS top_bigram_frac
             FROM ws LEFT JOIN gtot ON ws.doc_id = gtot.doc_id
+        """,
+        "chunk_tokens": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok FROM documents)
+            SELECT n.doc_id, g.i AS chunk_idx,
+                   LEAST(64, n.n_tok - g.i * 48) AS n_tok
+            FROM n, LATERAL (SELECT unnest(generate_series(
+                     0, CAST(CEIL(n.n_tok::DOUBLE / 48) AS BIGINT) - 1)) AS i) g(i)
+            WHERE n.n_tok > 0
         """,
         "dup_clusters": """
             SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 25) AS planted,

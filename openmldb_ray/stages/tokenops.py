@@ -357,7 +357,9 @@ class HashTokenizer:
             h = (h * 31 + ord(ch)) & 0x7FFFFFFF
         return h
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as pa
+
         s = df[self.text_col].astype(str)
         if self.lowercase:
             s = s.str.lower()
@@ -369,10 +371,18 @@ class HashTokenizer:
                     lut[w] = self.word_id(w)
         toks = [np.fromiter((lut[w] for w in ws), np.int32, len(ws))
                 for ws in words]
-        out = df.drop(columns=[self.text_col]).copy()
-        out["tokens"] = pd.Series(toks, dtype=object)
-        out["n_tok"] = np.array([len(x) for x in toks], np.int64)
-        return out
+        lens = np.array([len(x) for x in toks], np.int64)
+        # emit a REAL Arrow list<int32> column (a pandas object column of
+        # ndarrays would be converted to Ray's variable-shaped tensor
+        # extension type, which the downstream Arrow token kernels reject)
+        flat = np.concatenate(toks) if toks else np.zeros(0, np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        out = pa.Table.from_pandas(df.drop(columns=[self.text_col]),
+                                   preserve_index=False) \
+            .replace_schema_metadata(None)
+        out = out.append_column("tokens", pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat, pa.int32())))
+        return out.append_column("n_tok", pa.array(lens))
 
 
 def tokenize_text(ds: "ray.data.Dataset", text_col: str = "text",
@@ -385,6 +395,67 @@ def tokenize_text(ds: "ray.data.Dataset", text_col: str = "text",
                           fn_constructor_kwargs=dict(
                               text_col=text_col, vocab_path=vocab_path,
                               lowercase=lowercase))
+
+
+def chunk_tokens(ds: "ray.data.Dataset", seq_len: int = 2048,
+                 stride: int | None = None, tokens_col: str = "tokens",
+                 id_col: str = "doc_id",
+                 batch_size: int | None = None) -> "ray.data.Dataset":
+    """Split each doc's token array into training sequences of at most
+    ``seq_len`` tokens starting every ``stride`` tokens (stride < seq_len
+    gives overlapping context windows; the default stride == seq_len is
+    plain chunking). Emits (id, chunk_idx, tokens, n_tok). Shuffle-free,
+    fully vectorized gather: chunk starts come from arithmetic over the
+    list offsets; token bytes are copied once via one fancy index."""
+    import pyarrow as pa
+
+    from ..core.hashing import quiet_ray_data_logs
+
+    L = int(seq_len)
+    S = int(stride or seq_len)
+    if S <= 0 or L <= 0:
+        raise ValueError("seq_len and stride must be positive")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        flat, offsets = _flat_tokens(t, tokens_col)
+        lengths = np.diff(offsets)
+        n_chunks = -(-lengths // S)  # ceil(n/S); 0 chunks for empty docs
+        doc_of = np.repeat(np.arange(t.num_rows), n_chunks)
+        total = int(n_chunks.sum())
+        cidx = np.arange(total, dtype=np.int64)
+        if total:
+            first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+            cidx = cidx - np.repeat(first, n_chunks)
+        starts = cidx * S
+        clens = np.minimum(L, np.repeat(lengths, n_chunks) - starts)
+        gstart = np.repeat(offsets[:-1], n_chunks) + starts
+        # one gather for all chunk tokens
+        take = (np.repeat(gstart, clens)
+                + _ranges(clens)) if total else np.zeros(0, np.int64)
+        new_offsets = np.concatenate([[0], np.cumsum(clens)])
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array(flat[take], type=t.schema.field(tokens_col).type.value_type))
+        ids = t[id_col].take(pa.array(doc_of)) if total else t[id_col].slice(0, 0)
+        return pa.table({
+            id_col: ids,
+            "chunk_idx": pa.array(cidx),
+            tokens_col: toks,
+            "n_tok": pa.array(clens.astype(np.int64)),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without the Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.arange(total, dtype=np.int64)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return out - np.repeat(first, counts)
 
 
 # ---------------------------------------------------------------------------

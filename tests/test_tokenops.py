@@ -188,3 +188,26 @@ def test_hash_tokenizer_vocab_path_and_fallback(ray_session, tmp_path):
     out2 = tokenize_text(rd.from_items(rows),
                          vocab_path=str(tmp_path / "nope.json")).to_pandas()
     assert len(out2) == 2
+
+
+def test_chunk_tokens_exact(ray_session):
+    from openmldb_ray.stages.tokenops import chunk_tokens
+
+    rows = [{"doc_id": 0, "tokens": list(range(10)), "n_tok": 10},
+            {"doc_id": 1, "tokens": [], "n_tok": 0},
+            {"doc_id": 2, "tokens": list(range(100, 104)), "n_tok": 4}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = chunk_tokens(ds, seq_len=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc0 (10 toks, L=4, S=3): starts 0,3,6,9 -> lens 4,4,4,1
+    d0 = out[out.doc_id == 0]
+    assert d0["chunk_idx"].tolist() == [0, 1, 2, 3]
+    assert d0["n_tok"].tolist() == [4, 4, 4, 1]
+    assert list(d0["tokens"].iloc[1]) == [3, 4, 5, 6]   # overlap window
+    assert list(d0["tokens"].iloc[3]) == [9]
+    assert (out.doc_id == 1).sum() == 0                 # empty doc -> none
+    d2 = out[out.doc_id == 2]
+    assert d2["n_tok"].tolist() == [4, 1]
+    # token conservation at stride == seq_len (plain chunking)
+    plain = chunk_tokens(ds, seq_len=4).to_pandas()
+    assert plain["n_tok"].sum() == 14
