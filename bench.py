@@ -32,7 +32,9 @@ BENCH_QUERIES = [
     "dedup_exact", "text_stats", "knn", "minhash_dedup", "minhash_dense",
     "taxi_demo", "quality_filter", "pii_redact", "substr_dedup",
     "pack_sequences", "dup_clusters", "ngram_counts", "repetition_stats",
-    "curation_pipeline", "bottomk_sample", "heavy_hitters",
+    "curation_pipeline", "bottomk_sample", "heavy_hitters", "hll_distinct",
+    "sample_quantiles", "decontaminate_bloom", "chunk_tokens",
+    "text_embed_dedup",
 ]
 
 
