@@ -1384,6 +1384,105 @@ def q_sql_groupby(sf_dir: str):
     return _round_cols(out, ["sum_qty"])
 
 
+def q_asof_tolerance(sf_dir: str):
+    """LAST JOIN with a max-staleness tolerance (merge_asof tolerance
+    analog): the point-in-time bound PLUS ``right_ts >= left_ts - 30d`` as
+    a vectorized residual ON condition — a right row older than the
+    tolerance no longer matches (feature freshness contract). Exact DuckDB
+    oracle."""
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.join_stage import last_join
+
+    tol_ms = 30 * 86400000
+    orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_ts_ms"])
+    out = last_join(
+        _events_ms(sf_dir), orders, ("user_id", "o_custkey"),
+        order_by="o_ts_ms", asof_left_ts="ts_ms", tiebreak="o_orderkey",
+        right_cols={"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"},
+        strategy="broadcast",
+        residual=lambda m: m["o_ts_ms"] >= m["ts_ms"] - tol_ms,
+    ).to_pandas()
+    out["o_orderkey"] = pd.to_numeric(out["o_orderkey"], errors="coerce").astype(float)
+    out["o_totalprice"] = pd.to_numeric(out["o_totalprice"], errors="coerce").astype(float)
+    return _round_cols(out, ["value", "o_totalprice"])
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring: a stupid-backoff bigram LM trained
+    DISTRIBUTEDLY on a small doc subset (combiner + hash shuffle, broadcast
+    once) scores EVERY doc's mean word negative-log-prob. The tiny training
+    subset (doc_id < 3) makes all three branches fire on this corpus —
+    seen-bigram / stupid-backoff / OOV floor (verified: 4099/22566/26 word
+    positions at sf0.01). Exact DuckDB oracle recomputes the counts and the
+    branchy log-prob per word."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.lm import lm_score, train_bigram_lm
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    model = train_bigram_lm(docs.filter(expr="doc_id < 3"))
+    out = lm_score(docs, model).to_pandas()
+    out = out[out["n_words"] > 0].reset_index(drop=True)
+    return _round_cols(out, ["nll"])
+
+
+def q_token_freq(sf_dir: str):
+    """Corpus token-frequency top-100 over list<int32> token arrays
+    (tokenops.token_freq: zero-copy list_flatten + np.unique combiner ->
+    token-hash shuffle -> bucket top-k). Token ids here come from a
+    deterministic SQL-mirrorable word map (len*1000 + count of 'e') so
+    DuckDB recomputes the exact histogram; the production HashTokenizer
+    path runs the identical stage under tests with conservation
+    properties."""
+    import pyarrow as pa
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.tokenops import token_freq
+
+    def tokenize(df: pd.DataFrame) -> "pa.Table":
+        words = df["text"].astype(str).str.strip().str.split()
+        ex = words.reset_index(drop=True).explode()
+        ex = ex[ex.notna()].astype(str)
+        tok = (ex.str.len() * 1000 + ex.str.count("e")).to_numpy(np.int64)
+        cnts = np.bincount(ex.index.to_numpy(), minlength=len(df)) \
+            if len(ex) else np.zeros(len(df), np.int64)
+        offsets = np.zeros(len(df) + 1, np.int64)
+        np.cumsum(cnts, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(tok.astype(np.int32), pa.int32()))
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                         "tokens": tokens})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.map_batches(tokenize, batch_format="pandas", batch_size=4096)
+    return token_freq(toks, top_k=100).to_pandas()
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup k-means-clustered embedding dedup: planted identical
+    vectors land in the planted original's cluster (same vector -> same
+    nearest centroid) and must all be removed at cosine >= 0.98."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import semantic_dedup
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    src = emb.filter(expr=f"vec_id < {_N_PLANT}").to_pandas().sort_values("vec_id")
+    max_id = emb.max("vec_id")
+    copy_ids = max_id + 1 + np.arange(len(src))
+    emb_type = dict(zip(emb.schema().names, emb.schema().types))["embedding"]
+    copies = pa.table({
+        "vec_id": pa.array(copy_ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in src["embedding"]],
+                              type=emb_type),
+    })
+    out = semantic_dedup(emb.union(rd.from_arrow(copies))).to_pandas()
+    return _dedup_property(out, "vec_id", set(copy_ids))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from openmldb_ray.pipelines.flagship import flagship
@@ -1450,6 +1549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "sample_quantiles": q_sample_quantiles,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "asof_tolerance": q_asof_tolerance,
+        "lm_score": q_lm_score,
+        "token_freq": q_token_freq,
+        "semdedup": q_semdedup,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -2022,6 +2125,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
                    CAST(0 AS BIGINT) AS planted_surviving,
                    CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "semdedup": f"""
+            SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
+                   CAST(0 AS BIGINT) AS planted_surviving,
+                   CAST(1 AS BIGINT) AS survivors_unique
+        """,
+        "asof_tolerance": f"""
+            SELECT e.event_id, e.user_id, CAST(epoch_ms(e.ts) AS BIGINT) AS ts_ms,
+                   ROUND(e.value, 6) AS value,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   ROUND(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+             AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts) - {30 * 86400000}
+            QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
+                PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "lm_score": r"""
+            WITH tdocs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> '' AND doc_id < 3
+            ), twords AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM tdocs
+            ), uni AS (
+              SELECT w, COUNT(*) AS c FROM twords GROUP BY w
+            ), tot AS (
+              SELECT COUNT(*) AS t FROM twords
+            ), tseq AS (
+              SELECT doc_id, i, w,
+                     LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+              FROM twords
+            ), big AS (
+              SELECT pw, w, COUNT(*) AS c FROM tseq
+              WHERE pw IS NOT NULL GROUP BY pw, w
+            ), sdocs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), swords AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+              FROM sdocs
+            ), sseq AS (
+              SELECT doc_id, i, w,
+                     LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+              FROM swords
+            ), lp AS (
+              SELECT s.doc_id,
+                     CASE WHEN s.pw IS NOT NULL AND b.c IS NOT NULL
+                               AND up.c IS NOT NULL
+                          THEN ln(b.c * 1.0 / up.c)
+                          ELSE ln((CASE WHEN s.pw IS NULL THEN 1.0 ELSE 0.4 END)
+                                  * (COALESCE(u.c, 0) + 1.0) / (t.t + 1.0))
+                     END AS l
+              FROM sseq s
+              LEFT JOIN uni u ON u.w = s.w
+              LEFT JOIN uni up ON up.w = s.pw
+              LEFT JOIN big b ON b.pw = s.pw AND b.w = s.w
+              CROSS JOIN tot t
+            )
+            SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(-l), 6) AS nll
+            FROM lp GROUP BY doc_id
+        """,
+        "token_freq": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT CAST(length(w) * 1000
+                        + (length(w) - length(replace(w, 'e', ''))) AS BIGINT) AS token,
+                   COUNT(*) AS cnt
+            FROM words GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
         """,
         "langid": """
             SELECT CAST(5 AS BIGINT) AS planted_correct,

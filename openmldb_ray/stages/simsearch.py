@@ -348,3 +348,79 @@ def embedding_dedup(
     from .dedup import anti_join_ids
 
     return anti_join_ids(ds, dup_ids, id_col)
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.98,
+    num_clusters: int = 64,
+    sample_size: int = 2048,
+    seed: int = 42,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al., 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then within each cluster drop every id whose cosine to
+    an earlier-kept id exceeds the threshold; anti-join the dup ids.
+
+    Vs ``embedding_dedup``'s LSH buckets: the k-means centroids ADAPT to
+    the data distribution, so near-dup pairs co-bucket with higher
+    probability at the same bucket count, and each vector is emitted ONCE
+    (no per-table replication) — the published trade-off is that a pair
+    straddling a cluster boundary is missed (single assignment). The
+    quantizer is trained once on a bounded driver-side sample (same
+    ``_kmeans_lite`` as knn_ivf) and broadcast; assignment is one matvec
+    per batch; the within-cluster verify reuses dedup's exact-signature
+    collapse + capped chunked greedy, so a degenerate mega-cluster stays
+    bounded."""
+    from .dedup import _chunked_verify, _collapse_exact, anti_join_ids
+
+    sample = _stack(ds.select_columns([vec_col]).limit(sample_size)
+                    .to_pandas()[vec_col])
+    centroids = _kmeans_lite(_normalize(sample), num_clusters, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "__c": [], "__v": []})
+        c = ray.get(cref)
+        v = _normalize(_stack(df[vec_col]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "__c": (v @ c.T).argmax(axis=1),
+                             "__v": list(v.astype(np.float32))})
+
+    def cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
+        g = g.sort_values(id_col, kind="stable")
+        v = np.stack(g["__v"].to_numpy())
+        ids = g[id_col].to_numpy()
+        dups: list = []
+        vv = np.ascontiguousarray(v).view(
+            np.dtype((np.void, v.shape[1] * v.itemsize))).ravel()
+        ids, v, vv = _collapse_exact(vv, ids, v, dups)
+
+        def greedy(vec, idv, out):
+            K = np.empty_like(vec)
+            K[0] = vec[0]
+            kn = 1
+            for i in range(1, len(idv)):
+                if float((K[:kn] @ vec[i]).max()) >= cosine_threshold:
+                    out.append(idv[i])
+                else:
+                    K[kn] = vec[i]
+                    kn += 1
+
+        if len(ids) > 1:
+            _chunked_verify(v, ids, vv, greedy, dups)
+        return pd.DataFrame({id_col: pd.Series(dups, dtype=g[id_col].dtype)})
+
+    dup_ids = (ds.select_columns([id_col, vec_col])
+                 .map_batches(assign, batch_format="pandas", batch_size=None,
+                              concurrency=concurrency)
+                 .groupby("__c")
+                 .map_groups(cluster_dups, batch_format="pandas"))
+    return anti_join_ids(ds, dup_ids, id_col)

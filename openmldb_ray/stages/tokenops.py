@@ -543,3 +543,50 @@ def pack_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
                           fn_constructor_kwargs=dict(
                               max_len=max_len, n_tok_col=n_tok_col,
                               id_col=id_col))
+
+
+def token_freq(ds: "ray.data.Dataset", tokens_col: str = "tokens",
+               top_k: int = 100, num_buckets: int | None = None,
+               concurrency=None) -> "ray.data.Dataset":
+    """Corpus-wide token-frequency top-k over pre-tokenized sequences (the
+    vocabulary-usage histogram every tokenizer audit starts from).
+
+    Same wide shape as curation.ngram_counts but fully Arrow/numpy — no
+    string work at all: per-batch ``list_flatten`` (zero-copy) +
+    ``np.unique`` COMBINER so the shuffle carries (token, partial_count)
+    rows, never one row per token occurrence; coarse hash shuffle on the
+    token id; per-bucket sum + top-k (a token id lives in exactly one
+    bucket, so the global top-k is a subset of the union of bucket
+    top-ks); tiny global sort+limit. Ties break on the smaller token id.
+    """
+    import pyarrow as pa
+
+    from ..core.hashing import add_bucket_column, default_num_buckets, \
+        quiet_ray_data_logs
+
+    nb = num_buckets or default_num_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        flat, _ = _flat_tokens(t, tokens_col)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(flat, dtype=np.int64), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    add_b = add_bucket_column(["token"], "__b", nb)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["cnt"].sum()
+        return agg.sort_values(["cnt", "token"], ascending=[False, True],
+                               kind="stable").head(top_k)[["token", "cnt"]]
+
+    return (ds.select_columns([tokens_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None, concurrency=concurrency)
+            .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+            .groupby("__b").map_groups(bucket_topk, batch_format="pandas")
+            .sort(["cnt", "token"], descending=[True, False])
+            .limit(top_k))

@@ -1,0 +1,244 @@
+"""Round-3 late additions: bigram-LM quality scoring (stages/lm.py),
+token-frequency top-k over list<int32> payloads (tokenops.token_freq),
+SemDeDup k-means embedding dedup (simsearch.semantic_dedup), and the
+tolerance-bounded as-of LAST JOIN."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------- lm_score
+
+def _naive_lm(train_texts, score_texts, alpha=0.4):
+    """Reference implementation of the documented stupid-backoff formula."""
+    uni, big, total = {}, {}, 0
+    for t in train_texts:
+        ws = t.strip().split()
+        total += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    out = []
+    for t in score_texts:
+        ws = t.strip().split()
+        if not ws:
+            out.append((0, float("nan")))
+            continue
+        lps = []
+        for i, w in enumerate(ws):
+            p_uni = (uni.get(w, 0) + 1.0) / (total + 1.0)
+            if i == 0:
+                lps.append(math.log(p_uni))
+            elif (ws[i - 1], w) in big and ws[i - 1] in uni:
+                lps.append(math.log(big[(ws[i - 1], w)] / uni[ws[i - 1]]))
+            else:
+                lps.append(math.log(alpha * p_uni))
+        out.append((len(ws), -sum(lps) / len(lps)))
+    return out
+
+
+def test_lm_score_matches_naive(ray_session):
+    from openmldb_ray.stages.lm import lm_score, train_bigram_lm
+
+    train = ["the cat sat on the mat", "the dog sat", "a cat ran"]
+    score = [
+        "the cat sat",            # all bigrams seen
+        "the mat ran fast",       # backoff (mat->ran unseen) + OOV ('fast')
+        "zz qq",                  # all OOV
+        "   ",                    # empty after strip
+        "dog",                    # single word, unigram-only path
+    ]
+    tds = rd.from_pandas(pd.DataFrame({"doc_id": range(3), "text": train}))
+    sds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(score)), "text": score}))
+    model = train_bigram_lm(tds, num_buckets=8)
+    assert model["total"] == 6 + 3 + 3
+    assert model["uni"]["the"] == 3 and model["big"]["cat sat"] == 1
+    got = lm_score(sds, model).to_pandas().sort_values("doc_id")
+    exp = _naive_lm(train, score)
+    assert list(got["n_words"]) == [n for n, _ in exp]
+    for g, (n, e) in zip(got["nll"], exp):
+        if n == 0:
+            assert np.isnan(g)
+        else:
+            assert abs(g - e) < 1e-12
+
+
+def test_lm_train_batch_split_invariant(ray_session):
+    """Counts are global sums — the model must not depend on how docs are
+    batched/blocked."""
+    from openmldb_ray.stages.lm import train_bigram_lm
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    m1 = train_bigram_lm(rd.from_pandas(df), num_buckets=4)
+    m2 = train_bigram_lm(rd.from_pandas(df).repartition(13), num_buckets=32)
+    assert m1 == m2
+
+
+def test_lm_caps_prune_consistently(ray_session):
+    """max_vocab keeps the most frequent words; bigrams whose context word
+    was pruned are dropped so 'bigram seen' always has a known
+    denominator; total stays the FULL pre-cap count."""
+    from openmldb_ray.stages.lm import lm_score, train_bigram_lm
+
+    train = ["a a a a b b b c c d", "a b a b c a"]
+    tds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": train}))
+    full = train_bigram_lm(tds, num_buckets=4)
+    capped = train_bigram_lm(tds, num_buckets=4, max_vocab=2)
+    assert set(capped["uni"]) == {"a", "b"}          # top-2 by count
+    assert capped["total"] == full["total"] == 16
+    assert all(g.split(" ")[0] in ("a", "b") and g.split(" ")[1] in
+               # kept bigrams may still point at pruned TARGETS — scoring
+               # only needs the context count; targets fall through to
+               # the bigram ratio which is still well-defined
+               ("a", "b", "c", "d") for g in capped["big"])
+    # scoring under the capped model routes pruned words through OOV
+    sds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["c d a"]}))
+    got = lm_score(sds, capped).to_pandas()
+    total = capped["total"]
+    p_c = 1.0 / (total + 1)      # c pruned -> count 0
+    exp0 = -math.log(p_c)
+    assert got["n_words"][0] == 3
+    # position 0: unigram floor for pruned 'c'
+    cd = capped["big"].get("c d")
+    assert cd is None            # context 'c' pruned -> bigram dropped
+    assert np.isfinite(got["nll"][0])
+    # recompute full expectation
+    p_d = 1.0 / (total + 1)
+    p_a = (capped["uni"]["a"] + 1.0) / (total + 1)
+    exp = (exp0 + -math.log(0.4 * p_d) + -math.log(0.4 * p_a)) / 3
+    assert abs(got["nll"][0] - exp) < 1e-12
+
+
+# -------------------------------------------------------------- token_freq
+
+def test_token_freq_exact_counts(ray_session):
+    from openmldb_ray.stages.tokenops import token_freq
+
+    rng = np.random.default_rng(11)
+    toks = [rng.integers(0, 50, size=rng.integers(0, 60)).astype(np.int32)
+            for _ in range(300)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(toks)), pa.int64()),
+        "tokens": pa.array([list(map(int, x)) for x in toks],
+                           pa.list_(pa.int32())),
+    })
+    out = token_freq(rd.from_arrow(t), top_k=1000, num_buckets=16).to_pandas()
+    flat = np.concatenate(toks)
+    u, c = np.unique(flat, return_counts=True)
+    exp = pd.DataFrame({"token": u.astype(np.int64), "cnt": c.astype(np.int64)})
+    exp = exp.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    got = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # conservation: total count equals total token occurrences
+    assert got["cnt"].sum() == len(flat)
+
+
+def test_token_freq_topk_boundary_deterministic(ray_session):
+    """Ties at the k-th rank break on smaller token id, regardless of
+    bucketing."""
+    from openmldb_ray.stages.tokenops import token_freq
+
+    # tokens 0..9 appear exactly twice each; 100 appears 5 times
+    toks = [[100] * 5] + [[i, i] for i in range(10)]
+    t = pa.table({"tokens": pa.array(toks, pa.list_(pa.int32()))})
+    out = token_freq(rd.from_arrow(t), top_k=4, num_buckets=8).to_pandas()
+    assert list(out["token"]) == [100, 0, 1, 2]
+    assert list(out["cnt"]) == [5, 2, 2, 2]
+
+
+def test_token_freq_hashtokenizer_path(ray_session):
+    """The production path: HashTokenizer list<int32> output streams into
+    token_freq; conservation of total occurrences against n_tok."""
+    from openmldb_ray.stages.tokenops import token_freq, tokenize_text
+
+    texts = ["alpha beta gamma alpha", "beta beta", "", "gamma delta"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    toked = tokenize_text(ds)
+    out = token_freq(toked, top_k=10_000, num_buckets=8).to_pandas()
+    n_words = sum(len(t.split()) for t in texts)
+    assert out["cnt"].sum() == n_words
+    # alpha 2, beta 3, gamma 2, delta 1 (hash ids are opaque; counts aren't)
+    assert sorted(out["cnt"], reverse=True) == [3, 2, 2, 1]
+
+
+# ---------------------------------------------------------------- semdedup
+
+def test_semantic_dedup_planted_copies(ray_session):
+    from openmldb_ray.stages.simsearch import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(400, 16)).astype(np.float32)
+    copies = base[:40] * 2.5          # same direction -> cosine 1.0
+    vecs = np.vstack([base, copies])
+    ids = np.arange(len(vecs))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = semantic_dedup(rd.from_arrow(t), num_clusters=8,
+                         sample_size=200).to_pandas()
+    surv = set(out["vec_id"])
+    # every planted copy (ids 400..439) must lose to its original
+    assert not (surv & set(range(400, 440)))
+    assert set(range(40)) <= surv
+    assert out["vec_id"].is_unique
+
+
+def test_semantic_dedup_mega_cluster_bounded(ray_session):
+    """A degenerate cluster of thousands of identical vectors must collapse
+    via the exact-signature path (seconds, one survivor)."""
+    import time
+
+    from openmldb_ray.stages.simsearch import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    one = rng.normal(size=16).astype(np.float32)
+    vecs = np.vstack([np.tile(one, (5000, 1)),
+                      rng.normal(size=(100, 16)).astype(np.float32)])
+    t = pa.table({"vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    t0 = time.time()
+    out = semantic_dedup(rd.from_arrow(t), num_clusters=4,
+                         sample_size=256).to_pandas()
+    assert time.time() - t0 < 60
+    surv = out["vec_id"].to_numpy()
+    dup_surv = surv[surv < 5000]
+    assert len(dup_surv) == 1 and dup_surv[0] == 0   # min id survives
+
+
+# ----------------------------------------------------------- asof tolerance
+
+def test_last_join_tolerance_residual(ray_session):
+    """Tolerance = residual right_ts >= left_ts - tol on the PIT join: a
+    match older than tol must be dropped (NULL), the newest in-tolerance
+    match wins."""
+    from openmldb_ray.stages.join_stage import last_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "lts": [100, 200, 100],
+                         "eid": [0, 1, 2]})
+    right = pd.DataFrame({"k": [1, 1, 2], "rts": [40, 95, 10],
+                          "val": [10.0, 20.0, 30.0]})
+    tol = 20
+    out = last_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k",
+        order_by="rts", asof_left_ts="lts",
+        right_cols={"val": "val"},
+        residual=lambda m: m["rts"] >= m["lts"] - tol,
+    ).to_pandas().sort_values("eid")
+    # eid0: lts=100 -> rts=95 in [80,100] -> 20.0 ; rts=40 too old
+    # eid1: lts=200 -> nothing in [180,200] -> NaN
+    # eid2: lts=100, rts=10 < 80 -> NaN
+    assert out["val"].iloc[0] == 20.0
+    assert np.isnan(out["val"].iloc[1]) and np.isnan(out["val"].iloc[2])
