@@ -1386,14 +1386,16 @@ def q_sql_groupby(sf_dir: str):
 
 def q_asof_tolerance(sf_dir: str):
     """LAST JOIN with a max-staleness tolerance (merge_asof tolerance
-    analog): the point-in-time bound PLUS ``right_ts >= left_ts - 30d`` as
+    analog): the point-in-time bound PLUS ``right_ts >= left_ts - tol`` as
     a vectorized residual ON condition — a right row older than the
-    tolerance no longer matches (feature freshness contract). Exact DuckDB
-    oracle."""
+    tolerance no longer matches (feature freshness contract). tol = 8400
+    days sits inside the events-vs-orders gap distribution (p25 8264 /
+    p50 8371 / p90 8817 days), so the output is a genuine mix of matched
+    and tolerance-nulled rows. Exact DuckDB oracle."""
     from openmldb_ray.sources.io import read_table, with_ts_ms
     from openmldb_ray.stages.join_stage import last_join
 
-    tol_ms = 30 * 86400000
+    tol_ms = 8400 * 86400000
     orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
         .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_ts_ms"])
     out = last_join(
@@ -1483,6 +1485,70 @@ def q_semdedup(sf_dir: str):
     return _dedup_property(out, "vec_id", set(copy_ids))
 
 
+def _naive_bpe(docs, num_merges):
+    """Single-process reference BPE (same conventions as tokenops.learn_bpe:
+    within-doc adjacent pairs with overlaps, (max count, min pair)
+    tie-break, left-to-right greedy merge)."""
+    docs = [list(d) for d in docs]
+    next_id = max((max(d) for d in docs if d), default=-1) + 1
+    merges = []
+    for _ in range(num_merges):
+        cnt: dict = {}
+        for d in docs:
+            for x, y in zip(d, d[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _ = best
+        merges.append((a, b, next_id))
+        nxt = []
+        for d in docs:
+            nd, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    nd.append(next_id)
+                    i += 2
+                else:
+                    nd.append(d[i])
+                    i += 1
+            nxt.append(nd)
+        docs = nxt
+        next_id += 1
+    return merges, docs
+
+
+def q_bpe_learn(sf_dir: str):
+    """Distributed BPE vocabulary induction (tokenops.learn_bpe, 8 merge
+    rounds: distinct-pair combiner -> pair-hash shuffle -> bucket champion
+    -> <=nb-row driver fold, merge applied in one vectorized map pass per
+    round) on a bounded training subset (doc_id < 400 — BPE trains on a
+    sample by design). In-query oracle: a naive single-process BPE on the
+    SAME docs must produce the identical merge list, and apply_bpe must
+    reproduce the naive retokenization token-for-token."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.stages.tokenops import apply_bpe, learn_bpe
+
+    sub = _tokenized_docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 400)),
+        batch_format="pyarrow", batch_size=None).materialize()
+    merges = learn_bpe(sub, num_merges=8)
+    out = apply_bpe(sub, merges).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    base = sub.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp_merges, exp_docs = _naive_bpe(
+        [list(map(int, t)) for t in base["tokens"]], 8)
+    got_docs = [list(map(int, t)) for t in out["tokens"]]
+    return pd.DataFrame({
+        "n_merges": [np.int64(len(merges))],
+        "merges_match": [np.int64(merges == exp_merges)],
+        "retok_match": [np.int64(got_docs == exp_docs)],
+    })
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from openmldb_ray.pipelines.flagship import flagship
@@ -1553,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "token_freq": q_token_freq,
         "semdedup": q_semdedup,
+        "bpe_learn": q_bpe_learn,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -2140,7 +2207,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id
              AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
-             AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts) - {30 * 86400000}
+             AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts) - {8400 * 86400000}
             QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
                 PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
         """,
@@ -2188,6 +2255,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(-l), 6) AS nll
             FROM lp GROUP BY doc_id
+        """,
+        "bpe_learn": """
+            SELECT CAST(8 AS BIGINT) AS n_merges,
+                   CAST(1 AS BIGINT) AS merges_match,
+                   CAST(1 AS BIGINT) AS retok_match
         """,
         "token_freq": r"""
             WITH words AS (

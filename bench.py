@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "pack_sequences", "dup_clusters", "ngram_counts", "repetition_stats",
     "curation_pipeline", "bottomk_sample", "heavy_hitters", "hll_distinct",
     "sample_quantiles", "decontaminate_bloom", "chunk_tokens",
-    "text_embed_dedup",
+    "text_embed_dedup", "lm_score", "token_freq", "semdedup",
+    "asof_tolerance",
 ]
 
 

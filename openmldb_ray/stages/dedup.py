@@ -48,18 +48,50 @@ def _mod_mersenne61(m: np.ndarray) -> np.ndarray:
 
 def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
                   id_col: str, *, num_buckets: int = 256,
-                  num_partitions: int | None = None) -> "ray.data.Dataset":
+                  num_partitions: int | None = None,
+                  broadcast_limit: int = 2_000_000) -> "ray.data.Dataset":
     """Distributed hash ANTI-JOIN: rows of ``ds`` whose ``id_col`` appears in
     ``dup_ids`` (a one-column Dataset) are dropped.
 
-    Both sides are bucketed by a hash of the id and co-grouped — one
-    shuffle, no driver-side materialization of the duplicate-id set
-    (at 100 TB duplicate ids are billions of rows; a broadcast set dies on
-    the driver heap). Duplicate ids may repeat on the dup side."""
+    Auto strategy (same shape as join_stage.last_join's materialize-once +
+    broadcast_limit): the dup side is materialized once (object store, NOT
+    the driver heap) and its row count read from metadata. At or below
+    ``broadcast_limit`` ids, the set is broadcast via ``ray.put`` and the
+    anti-join is a shuffle-free ``pc.is_in`` filter over ``ds`` — dup sets
+    are usually tiny relative to the corpus, and the all-to-all shuffle
+    below costs more than the whole filter. Above the limit, both sides
+    are bucketed by a hash of the id and co-grouped — one shuffle, nothing
+    driver-side (at 100 TB duplicate ids can be billions of rows).
+    Duplicate ids may repeat on the dup side in both paths."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
 
     from ..core.hashing import add_bucket_column
+
+    dup_ids = dup_ids.materialize()
+    n_dup = dup_ids.count()  # metadata read — the pipeline ran once above
+    if n_dup == 0:
+        return ds
+    if n_dup <= broadcast_limit:
+        vals = pa.concat_tables(
+            [pa.table({id_col: b[id_col]})
+             for b in dup_ids.iter_batches(batch_format="pyarrow")]
+        )[id_col].combine_chunks()
+        vref = ray.put(vals)
+
+        def drop_broadcast(t: pa.Table) -> pa.Table:
+            from ..core.hashing import quiet_ray_data_logs
+
+            quiet_ray_data_logs()
+            v = pc.cast(ray.get(vref), t[id_col].type.storage_type
+                        if hasattr(t[id_col].type, "storage_type")
+                        else t[id_col].type)
+            keep = pc.invert(pc.is_in(t[id_col], value_set=v))
+            return t.filter(pc.fill_null(keep, True))
+
+        return ds.map_batches(drop_broadcast, batch_format="pyarrow",
+                              batch_size=None)
 
     # normalize to Arrow blocks FIRST so the schema carries real Arrow types
     # (a pandas-block dataset reports numpy dtypes, which can't drive the

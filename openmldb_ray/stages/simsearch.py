@@ -197,16 +197,24 @@ def knn_lsh(
 
 
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Seeded numpy k-means on a driver-side sample (coarse quantizer)."""
+    """Seeded numpy k-means on a driver-side sample (coarse quantizer).
+
+    Assignment uses argmin ||x-c||² == argmax (x·c − ||c||²/2) so each
+    iteration is one (n,d)@(d,k) matmul instead of materializing the
+    (n,k,d) difference tensor; centroid updates are one np.add.at scatter
+    (empty clusters keep their previous centroid)."""
     rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    sample = np.ascontiguousarray(sample, dtype=np.float64)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(centroids)):
-            m = assign == c
-            if m.any():
-                centroids[c] = sample[m].mean(axis=0)
+        scores = sample @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, sample)
+        cnts = np.bincount(assign, minlength=len(centroids)).astype(np.float64)
+        nz = cnts > 0
+        centroids[nz] = sums[nz] / cnts[nz, None]
     return _normalize(centroids)
 
 

@@ -590,3 +590,183 @@ def token_freq(ds: "ray.data.Dataset", tokens_col: str = "tokens",
             .groupby("__b").map_groups(bucket_topk, batch_format="pandas")
             .sort(["cnt", "token"], descending=[True, False])
             .limit(top_k))
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction over pre-tokenized sequences
+# --------------------------------------------------------------------------
+
+def _bpe_resolve_overlaps(idx: np.ndarray) -> np.ndarray:
+    """Left-to-right greedy over candidate merge positions: within each run
+    of CONSECUTIVE positions (possible only when merging (a,a) — e.g.
+    'aaaa'), keep every other one starting at the run head. Vectorized:
+    runs found by one diff, offsets by one cumsum-style gather."""
+    if len(idx) == 0:
+        return idx
+    run_start = np.ones(len(idx), bool)
+    run_start[1:] = idx[1:] != idx[:-1] + 1
+    run_id = np.cumsum(run_start) - 1
+    run_first = idx[run_start][run_id]
+    return idx[((idx - run_first) % 2) == 0]
+
+
+def _merge_pair_flat(flat: np.ndarray, offsets: np.ndarray, a: int, b: int,
+                     new_id: int) -> tuple:
+    """Apply one BPE merge (a,b)->new_id over a flat token array with doc
+    offsets, fully vectorized; pairs never cross doc boundaries. Returns
+    (new_flat, new_offsets)."""
+    n = len(flat)
+    if n < 2:
+        return flat, offsets
+    cand = (flat[:-1] == a) & (flat[1:] == b)
+    if len(offsets) > 2:
+        # i+1 must not start a new doc
+        starts = offsets[1:-1]
+        cand[starts[(starts > 0) & (starts < n)] - 1] = False
+    idx = _bpe_resolve_overlaps(np.nonzero(cand)[0])
+    if len(idx) == 0:
+        return flat, offsets
+    out = flat.copy()
+    out[idx] = new_id
+    keep = np.ones(n, bool)
+    keep[idx + 1] = False
+    doc_of = np.searchsorted(offsets, idx, side="right") - 1
+    losses = np.bincount(doc_of, minlength=len(offsets) - 1)
+    new_offsets = offsets.copy()
+    new_offsets[1:] -= np.cumsum(losses)
+    return out[keep], new_offsets
+
+
+def _pair_keys(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """uint64 keys a<<32|b of every within-doc adjacent token pair
+    (overlaps counted, the classic BPE get_stats convention)."""
+    n = len(flat)
+    if n < 2:
+        return np.zeros(0, np.uint64)
+    valid = np.ones(n - 1, bool)
+    if len(offsets) > 2:
+        starts = offsets[1:-1]
+        valid[starts[(starts > 0) & (starts < n)] - 1] = False
+    f = flat.astype(np.uint64)
+    return (f[:-1][valid] << np.uint64(32)) | f[1:][valid]
+
+
+def learn_bpe(ds: "ray.data.Dataset", tokens_col: str = "tokens",
+              num_merges: int = 10, num_buckets: int | None = None
+              ) -> list[tuple[int, int, int]]:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016) over
+    list<int32> token arrays: per round, count every within-doc adjacent
+    token pair (overlaps included) with a batch-local np.unique COMBINER ->
+    pair-hash shuffle -> per-bucket (max count, min pair) champion -> a
+    <=num_buckets-row driver fold picks the global best (deterministic
+    tie-break: smaller (a,b)); the merge is then applied in one vectorized
+    map pass and the corpus re-materialized for the next round.
+
+    Returns [(a, b, new_id), ...] in merge order; new ids start above the
+    corpus max token id. Each round is one coarse shuffle of DISTINCT-pair
+    partials (never per-occurrence rows) + one map — O(num_merges) passes,
+    the honest cost of exact BPE. At web scale train on a bounded sample
+    of the corpus (standard practice — the merge table converges long
+    before the full corpus is counted) and ``apply_bpe`` to the rest.
+    """
+    import pyarrow as pa
+
+    from ..core.hashing import add_bucket_column, default_num_buckets, \
+        quiet_ray_data_logs
+
+    nb = num_buckets or default_num_buckets()
+    add_b = add_bucket_column(["key"], "__b", nb)
+
+    def partials(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        flat, offsets = _flat_tokens(t, tokens_col)
+        keys = _pair_keys(flat, offsets)
+        mx = int(flat.max()) if len(flat) else -1
+        u, c = (np.unique(keys, return_counts=True) if len(keys)
+                else (np.zeros(0, np.uint64), np.zeros(0, np.int64)))
+        return pa.table({"key": pa.array(u, pa.uint64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                         "mx": pa.array(np.full(len(u), mx, np.int64),
+                                        pa.int64())})
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", as_index=False)["cnt"].sum()
+        best = agg.sort_values(["cnt", "key"], ascending=[False, True],
+                               kind="stable").head(1)
+        return best.assign(mx=g["mx"].max())
+
+    cur = ds
+    merges: list[tuple[int, int, int]] = []
+    next_id = None
+    for _ in range(num_merges):
+        champs = (cur.map_batches(partials, batch_format="pyarrow",
+                                  batch_size=None)
+                  .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+                  .groupby("__b").map_groups(bucket_best,
+                                             batch_format="pandas")
+                  ).to_pandas()
+        if len(champs) == 0 or champs["cnt"].max() < 2:
+            break
+        if next_id is None:
+            next_id = int(champs["mx"].max()) + 1
+        if next_id + num_merges > 0x7FFFFFFF:
+            # the tokens contract is int32; a near-full 31-bit hash vocab
+            # leaves no headroom for merge ids — compact the vocab first
+            raise ValueError(
+                f"BPE merge ids would overflow int32 (corpus max token id "
+                f"{next_id - 1}); re-map tokens to a dense vocabulary before "
+                f"learn_bpe")
+        champs = champs.sort_values(["cnt", "key"], ascending=[False, True],
+                                    kind="stable")
+        key = int(champs["key"].iloc[0])
+        a, b = key >> 32, key & 0xFFFFFFFF
+        merges.append((a, b, next_id))
+
+        def apply_one(t: pa.Table, a=a, b=b, nid=next_id) -> pa.Table:
+            quiet_ray_data_logs()
+            flat, offsets = _flat_tokens(t, tokens_col)
+            nf, no = _merge_pair_flat(flat, offsets, a, b, nid)
+            toks = pa.ListArray.from_arrays(
+                pa.array(no, pa.int32()), pa.array(nf, pa.int32()))
+            return t.drop_columns([tokens_col]).append_column(tokens_col, toks)
+
+        cur = cur.map_batches(apply_one, batch_format="pyarrow",
+                              batch_size=None).materialize()
+        next_id += 1
+    return merges
+
+
+class BpeApplier:
+    """Actor-pool stage: apply a learned merge list (in order) to every
+    batch — merge table loaded once per actor, each merge one vectorized
+    pass over the flat token buffer."""
+
+    def __init__(self, merges, tokens_col: str = "tokens"):
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        import ray as _ray
+
+        self.merges = _ray.get(merges) if not isinstance(merges, list) else merges
+        self.tokens_col = tokens_col
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        flat, offsets = _flat_tokens(t, self.tokens_col)
+        for a, b, nid in self.merges:
+            flat, offsets = _merge_pair_flat(flat, offsets, a, b, nid)
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int32()))
+        return t.drop_columns([self.tokens_col]) \
+                .append_column(self.tokens_col, toks)
+
+
+def apply_bpe(ds: "ray.data.Dataset", merges: list,
+              tokens_col: str = "tokens", batch_size: int | None = None,
+              concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Re-tokenize a corpus with a learned BPE merge list (shuffle-free)."""
+    return ds.map_batches(BpeApplier, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              merges=merges, tokens_col=tokens_col))

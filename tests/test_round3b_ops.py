@@ -242,3 +242,122 @@ def test_last_join_tolerance_residual(ray_session):
     # eid2: lts=100, rts=10 < 80 -> NaN
     assert out["val"].iloc[0] == 20.0
     assert np.isnan(out["val"].iloc[1]) and np.isnan(out["val"].iloc[2])
+
+
+# ------------------------------------------------------- anti_join strategy
+
+def test_anti_join_broadcast_equals_shuffle(ray_session):
+    """The small-dup-side broadcast fast path must produce exactly the
+    shuffle path's survivors (including repeated dup ids and ids absent
+    from ds)."""
+    from openmldb_ray.stages.dedup import anti_join_ids
+
+    df = pd.DataFrame({"doc_id": np.arange(1000), "v": np.arange(1000) * 2})
+    dups = pd.DataFrame({"doc_id": [3, 3, 7, 500, 9999]})
+    ds, dd = rd.from_pandas(df), rd.from_pandas(dups)
+    a = anti_join_ids(ds, dd, "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = anti_join_ids(ds, dd, "doc_id", broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) == 997 and not set(a["doc_id"]) & {3, 7, 500}
+
+
+# --------------------------------------------------------------------- bpe
+
+def _naive_bpe(docs, num_merges):
+    """Reference BPE: count all within-doc adjacent pairs (overlaps
+    included), merge the (max count, min (a,b)) pair left-to-right greedy,
+    repeat. Returns (merges, final_docs)."""
+    docs = [list(d) for d in docs]
+    next_id = max((max(d) for d in docs if d), default=-1) + 1
+    merges = []
+    for _ in range(num_merges):
+        cnt = {}
+        for d in docs:
+            for x, y in zip(d, d[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _ = best
+        merges.append((a, b, next_id))
+        out_docs = []
+        for d in docs:
+            nd, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    nd.append(next_id)
+                    i += 2
+                else:
+                    nd.append(d[i])
+                    i += 1
+            out_docs.append(nd)
+        docs = out_docs
+        next_id += 1
+    return merges, docs
+
+
+def _tok_table(docs):
+    return pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "tokens": pa.array([list(map(int, d)) for d in docs],
+                           pa.list_(pa.int32())),
+    })
+
+
+def test_bpe_matches_naive_random(ray_session):
+    from openmldb_ray.stages.tokenops import apply_bpe, learn_bpe
+
+    rng = np.random.default_rng(21)
+    docs = [rng.integers(0, 6, size=rng.integers(0, 40)).tolist()
+            for _ in range(60)]
+    exp_merges, exp_docs = _naive_bpe(docs, 8)
+    assert len(exp_merges) == 8          # enough mass for all rounds
+    ds = rd.from_arrow(_tok_table(docs))
+    merges = learn_bpe(ds, num_merges=8, num_buckets=16)
+    assert merges == exp_merges
+    got = apply_bpe(ds, merges).to_pandas().sort_values("doc_id")
+    got_docs = [list(map(int, t)) for t in got["tokens"]]
+    assert got_docs == exp_docs
+
+
+def test_bpe_overlap_aaaa(ray_session):
+    """'aaaa' must merge to 'XX' (left-to-right greedy), 'aaa' to 'Xa'."""
+    from openmldb_ray.stages.tokenops import apply_bpe, learn_bpe
+
+    docs = [[1, 1, 1, 1], [1, 1, 1], [2, 3]]
+    ds = rd.from_arrow(_tok_table(docs))
+    merges = learn_bpe(ds, num_merges=1, num_buckets=4)
+    assert merges == [(1, 1, 4)]
+    got = apply_bpe(ds, merges).to_pandas().sort_values("doc_id")
+    assert [list(map(int, t)) for t in got["tokens"]] == \
+        [[4, 4], [4, 1], [2, 3]]
+
+
+def test_bpe_split_invariant(ray_session):
+    """Merges depend only on global counts, not on block layout."""
+    from openmldb_ray.stages.tokenops import learn_bpe
+
+    rng = np.random.default_rng(22)
+    docs = [rng.integers(0, 5, size=rng.integers(1, 30)).tolist()
+            for _ in range(120)]
+    m1 = learn_bpe(rd.from_arrow(_tok_table(docs)), num_merges=5,
+                   num_buckets=4)
+    m2 = learn_bpe(rd.from_arrow(_tok_table(docs)).repartition(11),
+                   num_merges=5, num_buckets=32)
+    assert m1 == m2 and len(m1) == 5
+
+
+def test_bpe_no_cross_doc_pairs(ray_session):
+    """A pair straddling two docs must never count or merge."""
+    from openmldb_ray.stages.tokenops import learn_bpe
+
+    # '1 2' appears ONLY split across doc boundaries — 3 times, which
+    # would beat the true winner (5,6)x2 if boundary pairs leaked in
+    docs = [[5, 6], [1], [2], [1], [2], [1], [2], [5, 6]]
+    merges = learn_bpe(rd.from_arrow(_tok_table(docs)), num_merges=1,
+                       num_buckets=4)
+    assert merges == [(5, 6, 7)]
