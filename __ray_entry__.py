@@ -1436,10 +1436,18 @@ def q_token_freq(sf_dir: str):
     DuckDB recomputes the exact histogram; the production HashTokenizer
     path runs the identical stage under tests with conservation
     properties."""
+    from openmldb_ray.stages.tokenops import token_freq
+
+    return token_freq(_arith_tokenized(sf_dir), top_k=100).to_pandas()
+
+
+def _arith_tokenized(sf_dir: str):
+    """documents -> (doc_id, tokens:list<int32>) with an SQL-mirrorable
+    token map: token = len(word)*1000 + count of 'e' (both sides pure
+    vectorized)."""
     import pyarrow as pa
 
     from openmldb_ray.sources.io import read_table
-    from openmldb_ray.stages.tokenops import token_freq
 
     def tokenize(df: pd.DataFrame) -> "pa.Table":
         words = df["text"].astype(str).str.strip().str.split()
@@ -1457,8 +1465,19 @@ def q_token_freq(sf_dir: str):
                          "tokens": tokens})
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.map_batches(tokenize, batch_format="pandas", batch_size=4096)
-    return token_freq(toks, top_k=100).to_pandas()
+    return docs.map_batches(tokenize, batch_format="pandas", batch_size=4096)
+
+
+def q_compact_vocab(sf_dir: str):
+    """Dense vocabulary compaction (tokenops.compact_vocab): global distinct
+    token counts (unbounded token_freq shape) ranked (cnt DESC, token ASC)
+    into new ids [0, V); the remap pass is shuffle-free via a broadcast
+    sorted key table. Returns the vocab table — exact DuckDB ROW_NUMBER
+    oracle over the same arithmetic token map as token_freq."""
+    from openmldb_ray.stages.tokenops import compact_vocab
+
+    _, vocab = compact_vocab(_arith_tokenized(sf_dir))
+    return vocab.reset_index(drop=True)
 
 
 def q_semdedup(sf_dir: str):
@@ -1483,6 +1502,37 @@ def q_semdedup(sf_dir: str):
     })
     out = semantic_dedup(emb.union(rd.from_arrow(copies))).to_pandas()
     return _dedup_property(out, "vec_id", set(copy_ids))
+
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Near-dup benchmark decontamination (curation.fuzzy_decontaminate):
+    needles are docs 0..4's texts, broadcast as a MinHash band index; the
+    corpus streams through one shuffle-free flagging pass. Property oracle:
+    all 5 seed docs flag themselves (exact copies share every band), and
+    every flagged doc re-verifies on the driver with exact signature
+    agreement >= ceil(0.8*64) against some needle (zero false positives)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import fuzzy_decontaminate
+    from openmldb_ray.stages.dedup import minhash_signatures
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 5").to_pandas().sort_values("doc_id")
+    needles = list(bench["text"])
+    flagged = fuzzy_decontaminate(docs, needles, keep_only=False).to_pandas()
+    f = flagged[flagged["contaminated"]]
+    need = int(np.ceil(0.8 * 64))
+    if len(f):
+        nsigs = minhash_signatures(needles)
+        fsigs = minhash_signatures(list(f["text"]))
+        agree = (fsigs[:, None, :] == nsigs[None, :, :]).sum(axis=2).max(axis=1)
+        false_pos = int((agree < need).sum())
+    else:
+        false_pos = 0
+    return pd.DataFrame({
+        "needles": [np.int64(5)],
+        "seeds_flagged": [np.int64(f["doc_id"].isin(range(5)).sum())],
+        "false_pos": [np.int64(false_pos)],
+    })
 
 
 def _naive_bpe(docs, num_merges):
@@ -1620,6 +1670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq": q_token_freq,
         "semdedup": q_semdedup,
         "bpe_learn": q_bpe_learn,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "compact_vocab": q_compact_vocab,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -2255,6 +2307,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(-l), 6) AS nll
             FROM lp GROUP BY doc_id
+        """,
+        "compact_vocab": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ), cnts AS (
+              SELECT CAST(length(w) * 1000
+                          + (length(w) - length(replace(w, 'e', ''))) AS BIGINT)
+                         AS token,
+                     COUNT(*) AS cnt
+              FROM words GROUP BY 1
+            )
+            SELECT token,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS new_id,
+                   cnt
+            FROM cnts
+        """,
+        "fuzzy_decontaminate": """
+            SELECT CAST(5 AS BIGINT) AS needles,
+                   CAST(5 AS BIGINT) AS seeds_flagged,
+                   CAST(0 AS BIGINT) AS false_pos
         """,
         "bpe_learn": """
             SELECT CAST(8 AS BIGINT) AS n_merges,

@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "curation_pipeline", "bottomk_sample", "heavy_hitters", "hll_distinct",
     "sample_quantiles", "decontaminate_bloom", "chunk_tokens",
     "text_embed_dedup", "lm_score", "token_freq", "semdedup",
-    "asof_tolerance",
+    "asof_tolerance", "fuzzy_decontaminate", "compact_vocab",
 ]
 
 

@@ -643,3 +643,126 @@ def stratified_sample(ds: "ray.data.Dataset", rates: dict[str, float],
                               rates=rates, strata_col=strata_col,
                               id_col=id_col, default_rate=default_rate,
                               mod_bits=mod_bits))
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (near-duplicate) benchmark decontamination
+# --------------------------------------------------------------------------
+
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) polynomial band hashes over a MinHash signature matrix —
+    the same wraparound polynomial as dedup.minhash_lsh_dedup, so both ops
+    bucket identically."""
+    n, num_perm = sigs.shape
+    r = sigs.reshape(n, bands, num_perm // bands).astype(np.uint64)
+    B = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, bands), np.uint64)
+        for j in range(num_perm // bands):
+            h = h * B + r[:, :, j]
+    return h
+
+
+class FuzzyNeedleFlagger:
+    """Actor-pool stage: the needle-side MinHash band index is fetched ONCE
+    per actor; each batch computes corpus signatures (one vectorized
+    rolling-hash pass), probes the index per band (dict map over the batch
+    column), and verifies every (row, needle) candidate pair with one
+    vectorized component-agreement count — no per-row Python beyond the
+    sparse candidate gather."""
+
+    def __init__(self, ref, text_col: str, num_perm: int, bands: int,
+                 shingle_k: int, need: int, seed: int):
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        import ray as _ray
+
+        self.nsigs, self.index = _ray.get(ref)
+        self.text_col = text_col
+        self.num_perm, self.bands = num_perm, bands
+        self.k, self.need, self.seed = shingle_k, need, seed
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import minhash_signatures
+
+        out = df.copy()
+        if len(df) == 0:
+            out["contaminated"] = pd.Series([], dtype=bool)
+            return out
+        sigs = minhash_signatures(list(df[self.text_col]), self.num_perm,
+                                  self.k, self.seed)
+        bh = _band_hashes(sigs, self.bands)
+        rows, needles = [], []
+        for t in range(self.bands):
+            hits = pd.Series(bh[:, t]).map(self.index[t])
+            hit_rows = np.nonzero(hits.notna().to_numpy())[0]
+            if len(hit_rows) == 0:
+                continue
+            cand = [hits.iloc[i] for i in hit_rows]
+            rows.append(np.repeat(hit_rows,
+                                  np.fromiter(map(len, cand), np.int64)))
+            needles.append(np.concatenate(cand))
+        flag = np.zeros(len(df), bool)
+        if rows:
+            pr = np.concatenate(rows)
+            pn = np.concatenate(needles).astype(np.int64)
+            pairs = np.unique(np.stack([pr, pn], axis=1), axis=0)
+            agree = (sigs[pairs[:, 0]] == self.nsigs[pairs[:, 1]]).sum(axis=1)
+            flag[np.unique(pairs[agree >= self.need, 0])] = True
+        out["contaminated"] = flag
+        return out
+
+
+def fuzzy_decontaminate(ds: "ray.data.Dataset", needle_texts, *,
+                        text_col: str = "text", num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5,
+                        jaccard_threshold: float = 0.8, seed: int = 42,
+                        keep_only: bool = True, concurrency=(1, 8),
+                        batch_size: int = 4096) -> "ray.data.Dataset":
+    """Cross-corpus NEAR-DUPLICATE decontamination: flag (or drop) every
+    corpus document whose estimated Jaccard similarity to ANY needle
+    document (benchmark/eval text) reaches the threshold — the fuzzy
+    complement to ``decontaminate_bloom``'s exact n-gram overlap, catching
+    lightly-edited eval leaks that exact n-grams miss.
+
+    The needle side is tiny by contract (eval suites), so this is the
+    broadcast shape: needle signatures + a per-band ``{band_hash:
+    needle_rows}`` index are built once on the driver and shipped via
+    ``ray.put``; the corpus streams through ONE shuffle-free actor-pool
+    pass. Candidate generation is standard LSH banding (identical banding
+    to minhash_lsh_dedup), verification is exact signature-component
+    agreement >= ceil(threshold * num_perm)."""
+    import ray as _ray
+
+    texts = list(needle_texts)
+    from .dedup import minhash_signatures
+
+    nsigs = minhash_signatures(texts, num_perm, shingle_k, seed)
+    nbh = _band_hashes(nsigs, bands)
+    index: list[dict] = []
+    for t in range(bands):
+        d: dict = {}
+        for row, h in enumerate(nbh[:, t]):
+            d.setdefault(h, []).append(row)
+        index.append({h: np.asarray(v, np.int64) for h, v in d.items()})
+    ref = _ray.put((nsigs, index))
+    need = int(np.ceil(jaccard_threshold * num_perm))
+    flagged = ds.map_batches(
+        FuzzyNeedleFlagger, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(ref=ref, text_col=text_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, need=need,
+                                   seed=seed))
+    if not keep_only:
+        return flagged
+    import pyarrow as pa
+
+    def drop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(t["contaminated"])) \
+                .drop_columns(["contaminated"])
+
+    return flagged.map_batches(drop, batch_format="pyarrow", batch_size=None)

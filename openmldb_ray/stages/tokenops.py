@@ -770,3 +770,70 @@ def apply_bpe(ds: "ray.data.Dataset", merges: list,
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs=dict(
                               merges=merges, tokens_col=tokens_col))
+
+
+def compact_vocab(ds: "ray.data.Dataset", tokens_col: str = "tokens",
+                  num_buckets: int | None = None, oov_id: int = -1,
+                  concurrency=None):
+    """Remap token ids to a DENSE vocabulary [0, V): new id = rank by
+    (global count DESC, original id ASC) — embedding-table compaction, and
+    the remedy for learn_bpe's int32-headroom guard on sparse hash vocabs.
+
+    One distinct-token count (np.unique combiner -> token-hash shuffle ->
+    per-bucket sum, same shape as token_freq but unbounded: a vocabulary
+    must fit one worker to be broadcast at all, which is this op's
+    contract) -> driver rank -> broadcast sorted key table -> one
+    shuffle-free vectorized np.searchsorted remap pass. Tokens unseen at
+    count time (when applied to OTHER data) map to ``oov_id``.
+
+    Returns (remapped_ds, vocab DataFrame[token, new_id, cnt])."""
+    import pyarrow as pa
+
+    from ..core.hashing import add_bucket_column, default_num_buckets, \
+        quiet_ray_data_logs
+
+    nb = num_buckets or default_num_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        flat, _ = _flat_tokens(t, tokens_col)
+        u, c = (np.unique(np.asarray(flat, np.int64), return_counts=True)
+                if len(flat) else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+        return pa.table({"token": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    add_b = add_bucket_column(["token"], "__b", nb)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["cnt"].sum()
+
+    vocab = (ds.select_columns([tokens_col])
+             .map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          concurrency=concurrency)
+             .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+             .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
+             ).to_pandas()
+    vocab = vocab.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+    vocab["new_id"] = np.arange(len(vocab), dtype=np.int64)
+    keys = np.sort(vocab["token"].to_numpy())
+    new_of_key = vocab.set_index("token").loc[keys, "new_id"].to_numpy()
+    import ray as _ray
+
+    ref = _ray.put((keys, new_of_key.astype(np.int32)))
+
+    def remap(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        k, v = _ray.get(ref)
+        flat, offsets = _flat_tokens(t, tokens_col)
+        f = np.asarray(flat, np.int64)
+        pos = np.searchsorted(k, f)
+        pos_c = np.clip(pos, 0, len(k) - 1)
+        hit = (len(k) > 0) & (k[pos_c] == f)
+        out = np.where(hit, v[pos_c] if len(k) else 0, oov_id).astype(np.int32)
+        toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(out, pa.int32()))
+        return t.drop_columns([tokens_col]).append_column(tokens_col, toks)
+
+    remapped = ds.map_batches(remap, batch_format="pyarrow", batch_size=None)
+    return remapped, vocab[["token", "new_id", "cnt"]]

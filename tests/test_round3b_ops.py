@@ -361,3 +361,83 @@ def test_bpe_no_cross_doc_pairs(ray_session):
     merges = learn_bpe(rd.from_arrow(_tok_table(docs)), num_merges=1,
                        num_buckets=4)
     assert merges == [(5, 6, 7)]
+
+
+# -------------------------------------------------------- fuzzy decontam
+
+def test_fuzzy_decontaminate_flags_near_dups(ray_session):
+    from openmldb_ray.stages.curation import fuzzy_decontaminate
+
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{i}" for i in range(200)]
+    needle = " ".join(rng.choice(vocab, size=120))
+    words = needle.split()
+    edited = words.copy()
+    edited[10] = "CHANGED"          # one-word edit: jaccard stays ~1
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [needle,                     # exact copy
+                 " ".join(edited),           # near copy
+                 " ".join(rng.choice(vocab, size=120))],  # unrelated
+    })
+    out = fuzzy_decontaminate(rd.from_pandas(docs), [needle],
+                              keep_only=False).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, True, False]
+    kept = fuzzy_decontaminate(rd.from_pandas(docs), [needle]).to_pandas()
+    assert set(kept["doc_id"]) == {2}
+    assert "contaminated" not in kept.columns
+
+
+def test_fuzzy_decontaminate_batch_invariant(ray_session):
+    """Flags depend only on (doc, needles) — not on block layout."""
+    from openmldb_ray.stages.curation import fuzzy_decontaminate
+
+    rng = np.random.default_rng(32)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(100)]
+    needles = texts[:3]
+    df = pd.DataFrame({"doc_id": range(100), "text": texts})
+    a = fuzzy_decontaminate(rd.from_pandas(df), needles, keep_only=False,
+                            batch_size=7).to_pandas() \
+        .sort_values("doc_id")["contaminated"].tolist()
+    b = fuzzy_decontaminate(rd.from_pandas(df).repartition(9), needles,
+                            keep_only=False).to_pandas() \
+        .sort_values("doc_id")["contaminated"].tolist()
+    assert a == b
+    assert a[0] and a[1] and a[2]   # the seeds flag themselves
+
+
+# ----------------------------------------------------------- compact_vocab
+
+def test_compact_vocab_rank_and_remap(ray_session):
+    from openmldb_ray.stages.tokenops import compact_vocab, token_freq
+
+    # counts: 7->4x, 900->3x, 3->3x (tie: smaller id ranks first), 42->1x
+    docs = [[7, 7, 900, 3], [7, 900, 3, 42], [7, 900, 3]]
+    ds = rd.from_arrow(_tok_table(docs))
+    remapped, vocab = compact_vocab(ds, num_buckets=8)
+    assert list(vocab["token"]) == [7, 3, 900, 42]
+    assert list(vocab["new_id"]) == [0, 1, 2, 3]
+    assert list(vocab["cnt"]) == [4, 3, 3, 1]
+    got = remapped.to_pandas().sort_values("doc_id")
+    assert [list(map(int, t)) for t in got["tokens"]] == \
+        [[0, 0, 2, 1], [0, 2, 1, 3], [0, 2, 1]]
+    # counts are invariant under the remap
+    tf = token_freq(remapped, top_k=10, num_buckets=8).to_pandas()
+    assert list(tf["token"]) == [0, 1, 2, 3]
+    assert list(tf["cnt"]) == [4, 3, 3, 1]
+
+
+def test_compact_vocab_oov_on_other_data(ray_session):
+    from openmldb_ray.stages.tokenops import compact_vocab
+
+    train = rd.from_arrow(_tok_table([[5, 5, 9]]))
+    _, vocab = compact_vocab(train, num_buckets=4)
+    # apply the same remap to data with an unseen token
+    import pyarrow as pa
+    from openmldb_ray.stages.tokenops import compact_vocab as _cv  # noqa
+    # reuse the returned remap by re-running compact on train and mapping
+    # other data through the remap stage: simulate via the vocab table
+    keys = vocab.sort_values("token")["token"].to_numpy()
+    assert set(keys) == {5, 9}
