@@ -1504,6 +1504,38 @@ def q_semdedup(sf_dir: str):
     return _dedup_property(out, "vec_id", set(copy_ids))
 
 
+def q_decayed_sum(sf_dir: str):
+    """Exponentially time-decayed sum/count per user (stages/decay:
+    coarse key shuffle + chunked overflow-safe vectorized prefix — no
+    per-row recurrence). half_life = 1 h. Exact DuckDB oracle: the O(n²)
+    lateral self-join per user. Decayed columns rounded to 4 decimals:
+    the chunked factorization and DuckDB's arbitrary summation order both
+    carry ~1e-12 noise, which 1e-6 rounding boundaries would amplify."""
+    from openmldb_ray.stages.decay import decayed_agg
+
+    out = decayed_agg(_events_ms(sf_dir), "user_id", "ts_ms", "value",
+                      half_life=3_600_000.0).to_pandas()
+    out = out[["event_id", "user_id", "ts_ms", "value",
+               "decayed_sum", "decayed_cnt"]]
+    out = _round_cols(out, ["value"])
+    out["decayed_sum"] = out["decayed_sum"].round(4)
+    out["decayed_cnt"] = out["decayed_cnt"].round(4)
+    return out
+
+
+def q_tfidf(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (textstats.tfidf_top_terms: distributed
+    distinct-(doc,word) DF combiner + word-hash shuffle, df table
+    broadcast once, shuffle-free scoring). Exact DuckDB oracle."""
+    from openmldb_ray.stages.textstats import tfidf_top_terms
+
+    from openmldb_ray.sources.io import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_terms(docs, top_k=3).to_pandas()
+    return _round_cols(out.reset_index(drop=True), ["tfidf"])
+
+
 def q_fuzzy_decontaminate(sf_dir: str):
     """Near-dup benchmark decontamination (curation.fuzzy_decontaminate):
     needles are docs 0..4's texts, broadcast as a MinHash band index; the
@@ -1672,6 +1704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn": q_bpe_learn,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "compact_vocab": q_compact_vocab,
+        "decayed_sum": q_decayed_sum,
+        "tfidf": q_tfidf,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -2307,6 +2341,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(-l), 6) AS nll
             FROM lp GROUP BY doc_id
+        """,
+        "decayed_sum": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_ms(e.ts) AS BIGINT) AS ts_ms,
+                   ROUND(e.value, 6) AS value,
+                   ROUND(SUM(o.value * exp(-(ln(2)/3600000.0)
+                             * (epoch_ms(e.ts) - epoch_ms(o.ts)))), 4)
+                       AS decayed_sum,
+                   ROUND(SUM(exp(-(ln(2)/3600000.0)
+                             * (epoch_ms(e.ts) - epoch_ms(o.ts)))), 4)
+                       AS decayed_cnt
+            FROM events e
+            JOIN events o ON o.user_id = e.user_id AND o.ts <= e.ts
+            GROUP BY 1, 2, 3, 4
+        """,
+        "tfidf": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+              SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+            ), df AS (
+              SELECT w, COUNT(DISTINCT doc_id) AS d FROM words GROUP BY w
+            ), n AS (
+              SELECT COUNT(DISTINCT doc_id) AS t FROM words
+            )
+            SELECT tf.doc_id, tf.w AS term,
+                   ROUND(tf.c * ln(CAST(n.t AS DOUBLE) / df.d), 6) AS tfidf
+            FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.c * ln(CAST(n.t AS DOUBLE) / df.d) DESC, tf.w) <= 3
         """,
         "compact_vocab": r"""
             WITH words AS (

@@ -219,3 +219,114 @@ def text_stats(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(TokenCounter, batch_format="pandas", batch_size=batch_size,
                           fn_constructor_kwargs=dict(text_col=text_col),
                           concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+class _DfCountPartial:
+    """Per-batch combiner for document-frequency counts: each word counted
+    AT MOST ONCE per doc (drop_duplicates), plus a sentinel row carrying
+    the batch's count of docs with >= 1 word, so N rides the same shuffle."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+        from .lm import _explode_words
+
+        quiet_ray_data_logs()
+        ex = _explode_words(df[self.text_col])
+        t = pd.DataFrame({"i": ex.index.to_numpy(), "w": ex.to_numpy()})
+        dfreq = t.drop_duplicates().groupby("w", as_index=False).size()
+        n_docs = t["i"].nunique()
+        return pd.DataFrame({
+            "w": np.concatenate([dfreq["w"].to_numpy(dtype=object),
+                                 np.array(["\x00docs"], dtype=object)]),
+            "cnt": np.concatenate([dfreq["size"].to_numpy(np.int64),
+                                   [np.int64(n_docs)]]),
+        })
+
+
+class TfIdfScorer:
+    """Actor-pool scoring stage: (df table, N) fetched once per actor;
+    per batch: explode words, tf via one C-level groupby size, score =
+    tf * ln(N/df), per-doc top-k by (score DESC, term ASC)."""
+
+    def __init__(self, ref, text_col: str, id_col: str, top_k: int):
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        import ray as _ray
+
+        self.dfc, self.n_docs = _ray.get(ref)
+        self.text_col, self.id_col, self.top_k = text_col, id_col, top_k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .lm import _explode_words
+
+        idc = self.id_col
+        empty = pd.DataFrame({idc: pd.Series([], dtype="int64"),
+                              "term": pd.Series([], dtype="string"),
+                              "tfidf": pd.Series([], dtype="float64")})
+        if len(df) == 0:
+            return empty
+        ex = _explode_words(df[self.text_col])
+        if len(ex) == 0:
+            return empty
+        t = pd.DataFrame({"i": ex.index.to_numpy(), "w": ex.to_numpy()})
+        tf = t.groupby(["i", "w"], as_index=False).size()
+        dfreq = tf["w"].map(self.dfc).to_numpy(np.float64)
+        # words unseen at DF time (scoring foreign data) get df=1
+        dfreq = np.nan_to_num(dfreq, nan=1.0)
+        tf["tfidf"] = tf["size"].to_numpy(np.float64) * \
+            np.log(self.n_docs / dfreq)
+        tf = tf.sort_values(["i", "tfidf", "w"],
+                            ascending=[True, False, True], kind="stable") \
+            .groupby("i", sort=False).head(self.top_k)
+        ids = df[idc].to_numpy()
+        return pd.DataFrame({idc: ids[tf["i"].to_numpy()],
+                             "term": tf["w"].to_numpy(),
+                             "tfidf": tf["tfidf"].to_numpy()})
+
+
+def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3,
+                    num_buckets: int | None = None,
+                    concurrency=(1, 8), batch_size: int = 4096
+                    ) -> "ray.data.Dataset":
+    """Per-document top-k terms by TF-IDF, score = tf * ln(N/df).
+
+    Document-frequency counts are distributed (per-batch distinct-(doc,
+    word) combiner -> word-hash shuffle -> per-bucket sum — the shuffle
+    carries DISTINCT-word partials), then the df table is collected once
+    (a vocabulary fits one worker by the same contract as the LM /
+    compact_vocab broadcast) and shipped via ray.put to a shuffle-free
+    actor-pool scoring pass."""
+    import ray as _ray
+
+    from ..core.hashing import add_bucket_column, default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+    partial = ds.map_batches(_DfCountPartial, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             fn_constructor_kwargs=dict(text_col=text_col))
+    add_b = add_bucket_column(["w"], "__b", nb)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", as_index=False)["cnt"].sum()
+
+    counts = (partial.map_batches(add_b, batch_format="pyarrow",
+                                  batch_size=None)
+              .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
+              ).to_pandas()
+    n_docs = float(counts.loc[counts["w"] == "\x00docs", "cnt"].sum())
+    dfc = counts[counts["w"] != "\x00docs"]
+    ref = _ray.put((dict(zip(dfc["w"], dfc["cnt"].astype(np.int64))), n_docs))
+    return ds.map_batches(TfIdfScorer, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              ref=ref, text_col=text_col, id_col=id_col,
+                              top_k=top_k))

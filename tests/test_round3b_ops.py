@@ -441,3 +441,77 @@ def test_compact_vocab_oov_on_other_data(ray_session):
     # other data through the remap stage: simulate via the vocab table
     keys = vocab.sort_values("token")["token"].to_numpy()
     assert set(keys) == {5, 9}
+
+
+# ----------------------------------------------------------- decayed_agg
+
+def test_decayed_agg_matches_naive(ray_session):
+    from openmldb_ray.stages.decay import decayed_agg
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "ts": rng.integers(0, 5_000_000, n).astype(np.int64),
+        "v": rng.normal(size=n) * 5,
+        "rid": np.arange(n),
+    })
+    df.loc[100:120, "ts"] = df.loc[100, "ts"]  # ties
+    hl = 1777.0
+    out = decayed_agg(rd.from_pandas(df).repartition(7), "k", "ts", "v",
+                      half_life=hl).to_pandas().sort_values("rid") \
+        .reset_index(drop=True)
+    lam = np.log(2) / hl
+    base = df.sort_values("rid").reset_index(drop=True)
+    for j in rng.choice(n, size=60, replace=False):
+        m = (base["k"] == base["k"][j]) & (base["ts"] <= base["ts"][j])
+        w = np.exp(-lam * float(base["ts"][j])
+                   + lam * base.loc[m, "ts"].to_numpy(np.float64))
+        exp_s = (w * base.loc[m, "v"].to_numpy()).sum()
+        assert abs(out["decayed_sum"][j] - exp_s) < 1e-9 * max(1, abs(exp_s))
+        assert abs(out["decayed_cnt"][j] - w.sum()) < 1e-9 * max(1, w.sum())
+
+
+def test_decayed_agg_long_gaps_underflow_to_zero(ray_session):
+    """History older than ~745 lambda-units underflows to exactly 0, the
+    same 0.0 the direct formula produces — no inf/nan from the chunked
+    scheme."""
+    from openmldb_ray.stages.decay import decayed_agg
+
+    df = pd.DataFrame({"k": [1, 1, 1], "ts": [0, 10_000_000, 20_000_000],
+                       "v": [100.0, 3.0, 7.0]})
+    out = decayed_agg(rd.from_pandas(df), "k", "ts", "v",
+                      half_life=1000.0).to_pandas().sort_values("ts")
+    assert np.all(np.isfinite(out["decayed_sum"]))
+    # exp(u)*exp(-u) reconstruction costs ~1 ulp; prior history is 0.0
+    assert np.allclose(out["decayed_sum"], [100.0, 3.0, 7.0],
+                       rtol=0, atol=1e-12)
+    assert np.allclose(out["decayed_cnt"], [1.0, 1.0, 1.0],
+                       rtol=0, atol=1e-13)
+
+
+# ------------------------------------------------------------------ tfidf
+
+def test_tfidf_matches_naive(ray_session):
+    import math as m
+
+    from openmldb_ray.stages.textstats import tfidf_top_terms
+
+    texts = ["a a b c", "a b b", "c c c d", "   "]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    out = tfidf_top_terms(ds, top_k=2, num_buckets=8).to_pandas() \
+        .sort_values(["doc_id", "tfidf", "term"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    # N=3 docs with words; df: a=2, b=2, c=2, d=1
+    def s(tf, df):
+        return tf * m.log(3 / df)
+    # doc0: a(2)->2ln1.5, b(1), c(1) -> top2 = a, then b/c tie ln1.5 each (term asc: b)
+    assert list(out.loc[out.doc_id == 0, "term"]) == ["a", "b"]
+    assert abs(out.loc[0, "tfidf"] - s(2, 2)) < 1e-9
+    # doc2: c(3)->3ln1.5≈1.216, d(1)->ln3≈1.098 -> c first
+    d2 = out[out.doc_id == 2].reset_index(drop=True)
+    assert list(d2["term"]) == ["c", "d"]
+    assert abs(d2["tfidf"][0] - s(3, 2)) < 1e-9
+    assert abs(d2["tfidf"][1] - s(1, 1)) < 1e-9
+    # whitespace-only doc emits nothing
+    assert (out.doc_id == 3).sum() == 0
