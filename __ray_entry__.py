@@ -1410,6 +1410,51 @@ def q_asof_tolerance(sf_dir: str):
     return _round_cols(out, ["value", "o_totalprice"])
 
 
+def q_label_join(sf_dir: str):
+    """Forward as-of LABEL join (next_join): per order, the FIRST event of
+    the same customer STRICTLY after the order timestamp and within an
+    8400-day horizon — the supervised label-generation mirror of the PIT
+    LAST JOIN ("did the user act within H of this feature row?"). The
+    horizon sits inside the orders→events gap distribution (p25 8264 / p50
+    8371 / p90 8817 days), so the output genuinely mixes labeled and
+    unlabeled rows. Ties on the event ts break by MIN event_id (first
+    future match). Exact DuckDB oracle."""
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.join_stage import next_join
+
+    horizon_ms = 8400 * 86400000
+    orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
+        .select_columns(["o_orderkey", "o_custkey", "o_ts_ms"])
+    out = next_join(
+        orders, _events_ms(sf_dir), ("o_custkey", "user_id"),
+        order_by="ts_ms", asof_left_ts="o_ts_ms",
+        horizon=horizon_ms, strict=True, tiebreak="event_id",
+        right_cols={"event_id": "label_event_id", "ts_ms": "label_ts_ms",
+                    "value": "label_value"},
+        strategy="broadcast",
+    ).to_pandas()
+    for c in ("label_event_id", "label_ts_ms"):
+        out[c] = pd.to_numeric(out[c], errors="coerce").astype(float)
+    return _round_cols(out, ["label_value"])
+
+
+def q_latest_snapshot(sf_dir: str):
+    """Feature-store "current value" read (latest_snapshot): the single
+    latest order per customer as of 1995-06-01 (ties by max o_orderkey) —
+    one coarse-bucket key-hash shuffle with a per-block combiner so at most
+    one candidate row per key leaves each block. Exact DuckDB ROW_NUMBER
+    oracle."""
+    from openmldb_ray.sources.io import read_table, with_ts_ms
+    from openmldb_ray.stages.join_stage import latest_snapshot
+
+    cutoff_ms = int(pd.Timestamp("1995-06-01").value // 10**6)
+    orders = with_ts_ms(read_table(sf_dir, "orders"), "o_orderdate", "o_ts_ms") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "o_ts_ms"])
+    out = latest_snapshot(orders, "o_custkey", "o_ts_ms",
+                          as_of=cutoff_ms, tiebreak="o_orderkey").to_pandas()
+    return _round_cols(out, ["o_totalprice"])
+
+
 def q_lm_score(sf_dir: str):
     """CCNet-style LM quality scoring: a stupid-backoff bigram LM trained
     DISTRIBUTEDLY on a small doc subset (combiner + hash shuffle, broadcast
@@ -1698,6 +1743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_quantiles": q_sample_quantiles,
         "decontaminate_bloom": q_decontaminate_bloom,
         "asof_tolerance": q_asof_tolerance,
+        "label_join": q_label_join,
+        "latest_snapshot": q_latest_snapshot,
         "lm_score": q_lm_score,
         "token_freq": q_token_freq,
         "semdedup": q_semdedup,
@@ -2296,6 +2343,30 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts) - {8400 * 86400000}
             QUALIFY o.o_orderkey IS NULL OR ROW_NUMBER() OVER (
                 PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "label_join": f"""
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS o_ts_ms,
+                   CAST(e.event_id AS DOUBLE) AS label_event_id,
+                   CAST(epoch_ms(e.ts) AS DOUBLE) AS label_ts_ms,
+                   ROUND(e.value, 6) AS label_value
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND epoch_ms(e.ts) > epoch_ms(o.o_orderdate)
+             AND epoch_ms(e.ts) <= epoch_ms(o.o_orderdate) + {8400 * 86400000}
+            QUALIFY e.event_id IS NULL OR ROW_NUMBER() OVER (
+                PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) = 1
+        """,
+        "latest_snapshot": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(o_totalprice, 6) AS o_totalprice,
+                   CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_ts_ms
+            FROM orders
+            WHERE o_orderdate <= TIMESTAMP '1995-06-01'
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         """,
         "lm_score": r"""
             WITH tdocs AS (

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "sample_quantiles", "decontaminate_bloom", "chunk_tokens",
     "text_embed_dedup", "lm_score", "token_freq", "semdedup",
     "asof_tolerance", "fuzzy_decontaminate", "compact_vocab",
-    "decayed_sum", "tfidf",
+    "decayed_sum", "tfidf", "label_join", "latest_snapshot",
 ]
 
 

@@ -53,9 +53,14 @@ def _prep_right(rdf: pd.DataFrame, key: str, order_by: str | None,
 
 
 def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: str,
-                left_ts: str, right_order: str, out_cols: list[str]) -> pd.DataFrame:
+                left_ts: str, right_order: str, out_cols: list[str],
+                direction: str = "backward", tolerance=None) -> pd.DataFrame:
     """Vectorized point-in-time merge: per left row, the right row with max
-    right_order such that right_order <= left_ts and keys equal."""
+    right_order such that right_order <= left_ts and keys equal
+    (direction="backward", LAST JOIN). direction="forward" flips it to the
+    FIRST right row with right_order >= left_ts — the label-generation join
+    (next_join). tolerance bounds |right_order - left_ts| (max staleness
+    backward / label horizon forward) natively inside merge_asof."""
     # rows with a null order key or null join key can never match and would
     # break merge_asof's sortedness check — drop them from the right side
     # (matches the reference's max-order selection, which skips nulls)
@@ -80,7 +85,8 @@ def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: 
             gs, rdf,
             left_on=left_ts, right_on=right_order,
             left_by=left_key, right_by=right_key,
-            direction="backward", allow_exact_matches=True,
+            direction=direction, allow_exact_matches=True,
+            tolerance=tolerance,
             suffixes=("", "__r"),
         )
     else:
@@ -94,7 +100,8 @@ def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: 
 
 def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
                         right_key: str, left_ts: str | None, right_order: str | None,
-                        tiebreak_col: str | None, residual) -> pd.DataFrame:
+                        tiebreak_col: str | None, residual,
+                        direction: str = "backward", tolerance=None) -> pd.DataFrame:
     """LAST JOIN with an arbitrary residual ON condition (reference:
     JoinPlan.scala:39-151 accepts any JIT'd condition; covers the non-equi
     clauses of cases/function/join/test_lastjoin_complex.yaml).
@@ -109,13 +116,21 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
     if right_order is not None:
         m = m[m[right_order].notna()]
     if left_ts is not None:
-        m = m[m[right_order] <= m[left_ts]]
+        if direction == "forward":
+            m = m[m[right_order] >= m[left_ts]]
+            if tolerance is not None:
+                m = m[m[right_order] <= m[left_ts] + tolerance]
+        else:
+            m = m[m[right_order] <= m[left_ts]]
+            if tolerance is not None:
+                m = m[m[right_order] >= m[left_ts] - tolerance]
     if residual is not None and len(m):
         m = m[np.asarray(residual(m), dtype=bool)]
     if len(m):
         if right_order is not None:
             sort_cols = [right_order, tiebreak_col or RID_COL]
-            m = m.sort_values(sort_cols, kind="stable").groupby("__lorder", sort=False).tail(1)
+            m = m.sort_values(sort_cols, kind="stable").groupby("__lorder", sort=False)
+            m = m.head(1) if direction == "forward" else m.tail(1)
         else:
             m = m.sort_values(RID_COL, kind="stable").groupby("__lorder", sort=False).tail(1)
     right_out = [c for c in rdf.columns if c not in ldf.columns]
@@ -130,8 +145,10 @@ class _BroadcastLastJoin:
 
     def __init__(self, right_ref, left_key, right_key, left_ts, right_order,
                  out_cols, single_ref, tiebreak_col=None, residual=None,
-                 lazy=False, out_types=None):
+                 lazy=False, out_types=None, direction="backward",
+                 tolerance=None):
         self.out_types = out_types or {}
+        self.direction, self.tolerance = direction, tolerance
         # lazy=True: used as a plain (pickled) task fn — resolve the refs in
         # the worker on first call instead of actor __init__
         self._right_ref, self._single_ref = right_ref, single_ref
@@ -153,10 +170,12 @@ class _BroadcastLastJoin:
             out = _last_merge_generic(
                 ldf, self.rdf, left_key=self.left_key, right_key=self.right_key,
                 left_ts=self.left_ts, right_order=self.right_order,
-                tiebreak_col=self.tiebreak_col, residual=self.residual)
+                tiebreak_col=self.tiebreak_col, residual=self.residual,
+                direction=self.direction, tolerance=self.tolerance)
         elif self.left_ts is not None:
             out = _asof_merge(ldf, self.rdf, self.left_key, self.right_key,
-                              self.left_ts, self.right_order, self.out_cols)
+                              self.left_ts, self.right_order, self.out_cols,
+                              direction=self.direction, tolerance=self.tolerance)
         else:
             out = ldf.merge(self.single, how="left", left_on=self.left_key,
                             right_on=self.right_key, suffixes=("", "__r"))
@@ -232,6 +251,8 @@ def last_join(
     residual=None,
     skew_salts: int = 0,
     hot_key_threshold: float = 0.05,
+    direction: str = "backward",
+    tolerance=None,
 ) -> "ray.data.Dataset":
     """OpenMLDB ``LAST JOIN`` (JoinPlan.scala:153-196).
 
@@ -317,7 +338,7 @@ def last_join(
             left_ts=asof_left_ts, right_order=mapped_order,
             out_cols=out_cols, single_ref=single_ref,
             tiebreak_col=mapped_tb, residual=residual,
-            out_types=out_types,
+            out_types=out_types, direction=direction, tolerance=tolerance,
         )
         if len(rdf) <= 50_000:
             # tiny right side: a stateless task (per-batch plasma get of a
@@ -438,11 +459,13 @@ def last_join(
                 lg2, rg.reset_index(drop=True), left_key=left_key,
                 right_key=mapped_key, left_ts=asof_left_ts,
                 right_order=mapped_order, tiebreak_col=mapped_tb,
-                residual=residual)
+                residual=residual, direction=direction, tolerance=tolerance)
         elif asof_left_ts is not None:
             sort_cols = [mapped_order] + ([mapped_tb] if mapped_tb else [RID_COL])
             rs = rg.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-            out = _asof_merge(lg2, rs, left_key, mapped_key, asof_left_ts, mapped_order, out_cols or [])
+            out = _asof_merge(lg2, rs, left_key, mapped_key, asof_left_ts,
+                              mapped_order, out_cols or [],
+                              direction=direction, tolerance=tolerance)
         else:
             single = _reduce_single_match(rg.reset_index(drop=True), mapped_key, mapped_order, mapped_tb)
             out = lg2.merge(single, how="left", left_on=left_key, right_on=mapped_key, suffixes=("", "__r"))
@@ -555,3 +578,129 @@ def left_join(
             return _merge(ldf, self.rdf)
 
     return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 16), batch_size=None)
+
+
+def next_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on,
+    *,
+    order_by: str,
+    asof_left_ts: str,
+    horizon=None,
+    strict: bool = False,
+    tiebreak: str | None = None,
+    right_cols: dict[str, str] | None = None,
+    strategy: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+    skew_salts: int = 0,
+) -> "ray.data.Dataset":
+    """Forward as-of join — the supervised LABEL-generation mirror of
+    LAST JOIN: per left row (entity, ts), the FIRST right row with
+    ``right.order_by >= left.asof_left_ts`` (ties broken by min
+    ``tiebreak``), optionally bounded by ``horizon``
+    (``right.order_by <= left.ts + horizon``): "did the user convert within
+    30 days of this feature row?". Where LAST JOIN must never look forward
+    (temporal-leakage rule), the label join must ONLY look forward — the
+    two sides of the same point-in-time contract.
+
+    strict=True excludes events at exactly left ts (labels must be strictly
+    after the feature timestamp, so a same-millisecond outcome can't leak
+    into its own feature row). Implemented as a +1ms shift of the left ts
+    on an internal column — merge_asof itself has no strict mode.
+
+    Same execution strategies / skew handling as :func:`last_join`
+    (broadcast small right side; key co-shuffle otherwise).
+    """
+    if not strict:
+        return last_join(
+            left, right, on, order_by=order_by, asof_left_ts=asof_left_ts,
+            tiebreak=tiebreak, right_cols=right_cols, strategy=strategy,
+            broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+            skew_salts=skew_salts, direction="forward", tolerance=horizon)
+
+    shifted = "__ts_excl"
+
+    # the internal left ts moves forward one resolution unit, so the horizon
+    # (measured from the ORIGINAL ts) shrinks by the same unit
+    import pyarrow as pa
+
+    ts_type = dict(zip(left.schema().names, left.schema().types))[asof_left_ts]
+    if pa.types.is_timestamp(ts_type):
+        unit_one = pd.Timedelta(1, unit=ts_type.unit)
+    else:
+        unit_one = 1
+    adj_horizon = None if horizon is None else horizon - unit_one
+
+    def add_shift(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ts = t.column(asof_left_ts)
+        if pa.types.is_timestamp(ts.type):
+            one = pa.scalar(1, pa.duration(ts.type.unit))
+        else:
+            one = pa.scalar(1, ts.type)
+        return t.append_column(shifted, pc.add(ts, one))
+
+    out = last_join(
+        left.map_batches(add_shift, batch_format="pyarrow", batch_size=None),
+        right, on, order_by=order_by, asof_left_ts=shifted,
+        tiebreak=tiebreak, right_cols=right_cols, strategy=strategy,
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+        skew_salts=skew_salts, direction="forward", tolerance=adj_horizon)
+
+    def drop_shift(t):
+        return t.drop_columns([shifted]) if shifted in t.column_names else t
+
+    return out.map_batches(drop_shift, batch_format="pyarrow", batch_size=None)
+
+
+def latest_snapshot(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_by: str,
+    *,
+    as_of=None,
+    tiebreak: str | None = None,
+    num_buckets: int = 1024,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Latest row per entity as of a cutoff — the feature-store "current
+    value" read (reference analog: the online store's last-value-per-key
+    semantics, storage/SchemaAdapter + LAST JOIN against a snapshot ts).
+
+    Per ``key``, keep the single row with max ``order_by`` among rows with
+    ``order_by <= as_of`` (no cutoff when ``as_of`` is None); ties broken by
+    max ``tiebreak``. One coarse-bucket hash shuffle (the key itself is
+    never the shuffle key, so mostly-unique keys don't pay a per-key group
+    call) + a vectorized per-bucket groupby tail — the same scale shape as
+    exact_dedup.
+    """
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import add_bucket_column
+
+    if as_of is not None:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t.column(order_by), as_of)),
+            batch_format="pyarrow", batch_size=None)
+
+    add_b = add_bucket_column([key], "__b", num_buckets)
+    sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [])
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block combiner: at most one candidate per key leaves the block
+        return (df.sort_values(sort_cols, kind="stable")
+                  .groupby(key, sort=False).tail(1))
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(sort_cols, kind="stable")
+                 .groupby(key, sort=False).tail(1).drop(columns="__b"))
+
+    pre = (ds.map_batches(local_latest, batch_format="pandas", batch_size=None)
+             .map_batches(add_b, batch_format="pyarrow", batch_size=None))
+    return map_groups_typed(pre, "__b", bucket_latest,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
