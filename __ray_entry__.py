@@ -1455,6 +1455,143 @@ def q_latest_snapshot(sf_dir: str):
     return _round_cols(out, ["o_totalprice"])
 
 
+def q_token_budget(sf_dir: str):
+    """Token-budget curation (fill a per-source word budget with the best
+    docs first): per source, docs in (n_chars DESC, doc_id) order while the
+    running word count stays within 600 — computed SORT-FREE by
+    budget_select's histogram-refinement order statistics (log-rounds of
+    narrow scans + one filter pass; no all-to-all). n_chars ties across
+    docs exercise the id-axis tie resolution. Exact DuckDB running-SUM
+    window oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.select import budget_select
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text", "n_chars"])
+
+    def add_words(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df["text"].astype(str).str.strip()
+        df["n_words"] = s.str.split().map(len).astype("int64")
+        return df
+
+    ds = docs.map_batches(add_words, batch_format="pandas")
+    out = budget_select(ds, "n_chars", budget=600, weight_col="n_words",
+                        key_col="source", id_col="doc_id").to_pandas()
+    return out[["doc_id", "source", "n_chars", "n_words"]]
+
+
+def q_top_per_user(sf_dir: str):
+    """Per-entity history cap (the domain-frequency-cap shape): at most 3
+    events per user, highest value first, event_id tiebreak — per-block
+    combiner + ONE coarse-bucket shuffle, high-cardinality-key safe. Exact
+    DuckDB ROW_NUMBER oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.select import top_n_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "value"])
+    out = top_n_per_key(ev, "user_id", "value", 3,
+                        tiebreak="event_id").to_pandas()
+    return _round_cols(out[["event_id", "user_id", "event_type", "value"]],
+                       ["value"])
+
+
+def q_pca_embed(sf_dir: str):
+    """Distributed PCA whitening over the embedding column (one moment
+    pass -> driver eigh -> broadcast matmul projection). Property oracle
+    (eigendecomposition is not SQL-expressible): projected axes have unit
+    variance and are uncorrelated (whitening contract), and the
+    distributed fit matches a single-process numpy PCA on the same
+    vectors (subspace dot > 1-1e-8 per component)."""
+    import ray.data as rd  # noqa: F401
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.pca import fit_pca, pca_project
+
+    k = 8
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = fit_pca(emb, "embedding", k=k, whiten=True)
+    out = pca_project(emb, model, col="embedding", out_col="z").to_pandas()
+    Z = np.stack(out["z"].to_numpy()).astype(np.float64)
+
+    C = np.cov(Z, rowvar=False)
+    unit_axes = int((np.abs(np.diag(C) - 1.0) < 1e-6).sum())
+    off = C - np.diag(np.diag(C))
+    uncorrelated = int(np.abs(off).max() < 1e-6)
+
+    X = np.stack(emb.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    dots = [abs(model["components"][i] @ evecs[:, j])
+            for i, j in enumerate(order)]
+    subspace_match = int(all(d > 1 - 1e-8 for d in dots))
+
+    return pd.DataFrame({
+        "n_rows": [np.int64(len(Z))],
+        "k_dim": [np.int64(Z.shape[1])],
+        "unit_axes": [np.int64(unit_axes)],
+        "uncorrelated": [np.int64(uncorrelated)],
+        "subspace_match": [np.int64(subspace_match)],
+    })
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-curation snapshot diff: two deterministic variants of
+    orders (old: keys %7!=0 with totalprice bumped on %5==0; new: keys
+    %3!=0 unmodified) diffed in ONE key-hash co-shuffle — added / removed /
+    changed with old/new values, unchanged dropped. Exact DuckDB FULL
+    OUTER JOIN oracle."""
+    import pyarrow as pa
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.diff import snapshot_diff
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def mk_old(t):
+        keys = t.column("o_orderkey").to_numpy()
+        t = t.filter(keys % 7 != 0)
+        keys = t.column("o_orderkey").to_numpy()
+        tp = t.column("o_totalprice").to_numpy() + (keys % 5 == 0)
+        return t.set_column(1, "o_totalprice", pa.array(tp))
+
+    def mk_new(t):
+        return t.filter(t.column("o_orderkey").to_numpy() % 3 != 0)
+
+    old = orders.map_batches(mk_old, batch_format="pyarrow", batch_size=None)
+    new = orders.map_batches(mk_new, batch_format="pyarrow", batch_size=None)
+    out = snapshot_diff(old, new, "o_orderkey").to_pandas()
+    return _round_cols(out, ["old_o_totalprice", "new_o_totalprice"])
+
+
+def q_nb_classify(sf_dir: str):
+    """Fasttext-style quality classifier: multinomial NB trained
+    DISTRIBUTEDLY (word-count combiner + word-hash shuffle + per-bucket
+    top-V vocab cap) on source-derived labels (src0-4 positive, src5-9
+    negative, the rest unlabeled), then ONE broadcast + shuffle-free
+    scoring pass over every doc. max_vocab=150 forces real OOV traffic
+    through the smoothed-unseen branch. Exact branchy DuckDB oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.classify import nb_score, train_nb
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def add_label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        n = pd.to_numeric(df["source"].str[3:], errors="coerce")
+        df["label"] = np.where(n < 5, 1.0, np.where(n < 10, 0.0, np.nan))
+        return df
+
+    ds = docs.map_batches(add_label, batch_format="pandas")
+    model = train_nb(ds, "text", "label", max_vocab=150)
+    out = nb_score(ds, model).to_pandas()
+    return _round_cols(out[["doc_id", "nb_logit"]], ["nb_logit"])
+
+
 def q_lm_score(sf_dir: str):
     """CCNet-style LM quality scoring: a stupid-backoff bigram LM trained
     DISTRIBUTEDLY on a small doc subset (combiner + hash shuffle, broadcast
@@ -1745,6 +1882,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance": q_asof_tolerance,
         "label_join": q_label_join,
         "latest_snapshot": q_latest_snapshot,
+        "token_budget": q_token_budget,
+        "top_per_user": q_top_per_user,
+        "nb_classify": q_nb_classify,
+        "snapshot_diff": q_snapshot_diff,
+        "pca_embed": q_pca_embed,
         "lm_score": q_lm_score,
         "token_freq": q_token_freq,
         "semdedup": q_semdedup,
@@ -2367,6 +2509,93 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        """,
+        "token_budget": r"""
+            WITH w AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS n_words
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars, n_words FROM (
+              SELECT *, SUM(n_words) OVER (
+                  PARTITION BY source ORDER BY n_chars DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM w) WHERE cw <= 600
+        """,
+        "top_per_user": """
+            SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "pca_embed": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(8 AS BIGINT) AS k_dim,
+                   CAST(8 AS BIGINT) AS unit_axes,
+                   CAST(1 AS BIGINT) AS uncorrelated,
+                   CAST(1 AS BIGINT) AS subspace_match
+            FROM embeddings
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS tp
+              FROM orders WHERE o_orderkey % 7 <> 0
+            ), new AS (
+              SELECT o_orderkey, o_totalprice AS tp
+              FROM orders WHERE o_orderkey % 3 <> 0
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   ROUND(o.tp, 6) AS old_o_totalprice,
+                   ROUND(n.tp, 6) AS new_o_totalprice
+            FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.tp <> n.tp
+        """,
+        "nb_classify": r"""
+            WITH lab AS (
+              SELECT doc_id, text,
+                     CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 5 THEN 1
+                          WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 0
+                     END AS label
+              FROM documents
+            ), words AS (
+              SELECT doc_id, label,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM lab WHERE trim(text) <> ''
+            ), cnts AS (
+              SELECT w,
+                     SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+              FROM words WHERE label IS NOT NULL GROUP BY w
+            ), vocab AS (
+              SELECT w, c1, c0 FROM (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY (c1 + c0) DESC, w) AS rn
+                FROM cnts) WHERE rn <= 150
+            ), tot AS (
+              SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS V FROM vocab
+            ), pri AS (
+              SELECT ln(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)) AS p
+              FROM lab WHERE label IS NOT NULL
+            ), scores AS (
+              SELECT dw.doc_id,
+                     SUM(CASE WHEN v.w IS NOT NULL
+                          THEN ln((v.c1 + 1.0) / (t.t1 + t.V + 1))
+                             - ln((v.c0 + 1.0) / (t.t0 + t.V + 1))
+                          ELSE ln(1.0 / (t.t1 + t.V + 1))
+                             - ln(1.0 / (t.t0 + t.V + 1)) END) AS s
+              FROM words dw LEFT JOIN vocab v ON dw.w = v.w CROSS JOIN tot t
+              GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id, ROUND(p.p + COALESCE(s.s, 0), 6) AS nb_logit
+            FROM lab d CROSS JOIN pri p LEFT JOIN scores s USING (doc_id)
         """,
         "lm_score": r"""
             WITH tdocs AS (

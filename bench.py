@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "text_embed_dedup", "lm_score", "token_freq", "semdedup",
     "asof_tolerance", "fuzzy_decontaminate", "compact_vocab",
     "decayed_sum", "tfidf", "label_join", "latest_snapshot",
+    "token_budget", "top_per_user", "nb_classify", "snapshot_diff",
+    "pca_embed",
 ]
 
 
