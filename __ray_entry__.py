@@ -1455,6 +1455,68 @@ def q_latest_snapshot(sf_dir: str):
     return _round_cols(out, ["o_totalprice"])
 
 
+def q_range_join(sf_dir: str):
+    """Interval (range) containment join — every (point, interval) pair
+    with point inside [start, end] and an equal segment key: orders as
+    points, every 37th order spawning a (1..45)-day validity interval.
+    Runs the SHUFFLE strategy: both sides range-partitioned on coarse time
+    buckets, intervals replicated only to buckets they overlap, degenerate
+    long intervals broadcast; per-bucket matching is a vectorized
+    searchsorted sweep (no pair loop). Exact DuckDB BETWEEN-join oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.interval_join import interval_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def mk_pts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = (df["o_custkey"] % 7).astype("int64")
+        return df[["o_orderkey", "grp", "o_orderdate"]]
+
+    def mk_iv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderkey"] % 37 == 0].copy()
+        df["grp"] = (df["o_orderkey"] % 7).astype("int64")
+        df["iv_start"] = df["o_orderdate"]
+        df["iv_end"] = (df["o_orderdate"] + pd.to_timedelta(
+            df["o_orderkey"] % 45 + 1, unit="D")).astype("datetime64[us]")
+        df = df.rename(columns={"o_orderkey": "iv_key"})
+        return df[["iv_key", "grp", "iv_start", "iv_end"]]
+
+    pts = orders.map_batches(mk_pts, batch_format="pandas")
+    iv = orders.map_batches(mk_iv, batch_format="pandas")
+    out = interval_join(pts, iv, ts_col="o_orderdate",
+                        start_col="iv_start", end_col="iv_end", on="grp",
+                        how="inner",
+                        right_cols=["iv_key", "iv_start", "iv_end"],
+                        strategy="shuffle").to_pandas()
+    return out[["o_orderkey", "grp", "o_orderdate",
+                "iv_key", "iv_start", "iv_end"]]
+
+
+def q_hopping_agg(sf_dir: str):
+    """Hopping-window (sliding-by-step) aggregate over the event stream:
+    4h windows every 1h, per event_type — each event replicated to its 4
+    windows VECTORIZED and immediately collapsed by a per-batch combiner,
+    so the shuffle carries (key × window) partials, never replicated
+    events. SQL null semantics (sum/avg null for all-null windows). Exact
+    DuckDB generate-offsets GROUP BY oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.stream_window import hopping_window_agg
+
+    HOUR = 3_600_000_000  # us
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+    out = hopping_window_agg(
+        ev, ts_col="ts", window=4 * HOUR, hop=HOUR,
+        key_cols=["event_type"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value"),
+              "min_value": ("min", "value"), "max_value": ("max", "value"),
+              "avg_value": ("mean", "value")}).to_pandas()
+    return _round_cols(out, ["sum_value", "min_value", "max_value",
+                             "avg_value"])
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -1882,6 +1944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_tolerance": q_asof_tolerance,
         "label_join": q_label_join,
         "latest_snapshot": q_latest_snapshot,
+        "range_join": q_range_join,
+        "hopping_agg": q_hopping_agg,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2509,6 +2573,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        """,
+        "range_join": """
+            WITH p AS (
+              SELECT o_orderkey, o_custkey % 7 AS grp, o_orderdate
+              FROM orders
+            ), i AS (
+              SELECT o_orderkey AS iv_key, o_orderkey % 7 AS grp,
+                     o_orderdate AS iv_start,
+                     o_orderdate + (o_orderkey % 45 + 1)
+                         * INTERVAL '1 day' AS iv_end
+              FROM orders WHERE o_orderkey % 37 = 0
+            )
+            SELECT p.o_orderkey, p.grp, p.o_orderdate,
+                   i.iv_key, i.iv_start, i.iv_end
+            FROM p JOIN i ON p.grp = i.grp
+                AND p.o_orderdate BETWEEN i.iv_start AND i.iv_end
+        """,
+        "hopping_agg": """
+            SELECT event_type,
+                   (CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) - off)
+                       * 3600000000 AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(MIN(value), 6) AS min_value,
+                   ROUND(MAX(value), 6) AS max_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
+            GROUP BY event_type, window_start
         """,
         "token_budget": r"""
             WITH w AS (

@@ -1,0 +1,361 @@
+"""Interval (range) join: points joined to every interval containing them.
+
+``interval_join(left, right, ts_col=.., start_col=.., end_col=..)`` emits,
+for every left row, one output row per right interval with
+``start <= ts <= end`` (SQL ``BETWEEN`` semantics) and, when ``on`` is
+given, an equal join key — the campaign-attribution / validity-window /
+sensor-enrichment join that plain equi-join engines can't express without
+a cross product.  The reference expresses containment only as a LAST JOIN
+residual ``ON`` condition (one newest match per row; see
+stages/join_stage.py); this operator is the *all-matches* generalization
+a training-data pipeline needs (e.g. "every eval-benchmark window a crawl
+snapshot overlaps").
+
+Scale design — two strategies, ``auto`` picks by right-side row count
+(from block metadata, no execution):
+
+* ``broadcast``: the interval table is materialized ONCE, put in the
+  object store ONCE, and every actor reads the same ref in ``__init__``
+  — never re-shipped per batch.  Per batch the match set is found by a
+  fully vectorized sweep: sort the batch's points, two ``searchsorted``
+  calls per interval array give each interval's contiguous span of
+  matching points, and ``np.repeat`` + one arange subtraction
+  materializes all (interval, point) pairs with no Python pair loop.
+* ``shuffle``: both sides are range-partitioned on COARSE TIME BUCKETS —
+  each point goes to exactly one bucket, each interval is replicated to
+  every bucket it overlaps (vectorized ``np.repeat`` over bucket spans),
+  so each bucket join is local and the union of bucket outputs is exact
+  with no pair dedup (a point matches an interval only in the point's own
+  bucket).  Degenerate LONG intervals (spanning > ``long_bucket_span``
+  buckets — a handful of "always-on" rows on real data) would replicate
+  across the whole axis; they are split out and BROADCAST instead, and
+  each bucket task checks its points against them in the same group call,
+  so ``how="left"`` match flags stay bucket-local and exact.
+
+Partitioning assumption: bucket width defaults to ~the mean interval
+length (clamped so the time axis yields ~8× default_num_buckets buckets),
+keeping expected interval replication O(1) per interval.  Equi-key match
+inside a bucket/batch loops over DISTINCT keys present (each iteration
+vectorized) — fine for campaign/segment-grade key cardinality; the time
+bucketing stays the shuffle axis either way.
+
+``how="left"`` dtype contract: appended right columns are normalized to
+null-safe dtypes (ints/floats/bools -> float64, datetimes ->
+datetime64[us], rest -> object) in EVERY output block, matched or not, so
+the streamed blocks agree on one schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _to_i64(values) -> np.ndarray:
+    """Timestamps/ints/floats as int64 (datetime64 -> epoch us)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    if arr.dtype == object:  # post-union object blocks: ints or Timestamps
+        try:
+            return arr.astype(np.int64)
+        except (TypeError, ValueError):
+            return (pd.to_datetime(pd.Series(arr)).astype("int64")
+                    .to_numpy() // 1000)
+    return arr.astype(np.int64)
+
+
+def _sweep(pts_sorted: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """All (interval j, sorted-point position p) pairs with
+    starts[j] <= pts_sorted[p] <= ends[j].  Fully vectorized."""
+    lo = np.searchsorted(pts_sorted, starts, side="left")
+    hi = np.searchsorted(pts_sorted, ends, side="right")
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    ij = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    pp = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt) \
+        + np.repeat(lo, cnt)
+    return ij, pp
+
+
+def _match_block(ldf: pd.DataFrame, rdf: pd.DataFrame, ts_col: str,
+                 start_col: str, end_col: str, on: list[str]):
+    """(left_idx, right_idx) match pairs between two pandas blocks.
+    Loops over distinct equi-key values (each sweep vectorized)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not len(ldf) or not len(rdf):
+        return empty
+    ts = _to_i64(ldf[ts_col].to_numpy())
+    st = _to_i64(rdf[start_col].to_numpy())
+    en = _to_i64(rdf[end_col].to_numpy())
+    if not on:
+        order = np.argsort(ts, kind="stable")
+        ij, pp = _sweep(ts[order], st, en)
+        return order[pp], ij
+    # multi-key: one deterministic vectorized hash per side (collision-free
+    # enough for grouping; equality is re-checked only through the hash —
+    # hash_pandas_object is 64-bit, collisions are ~n^2/2^64)
+    if len(on) > 1:
+        lkey = pd.util.hash_pandas_object(ldf[on], index=False).to_numpy()
+        rkey = pd.util.hash_pandas_object(rdf[on], index=False).to_numpy()
+    else:
+        lkey = ldf[on[0]].to_numpy()
+        rkey = rdf[on[0]].to_numpy()
+    li_all, ri_all = [], []
+    r_order = np.argsort(rkey, kind="stable")
+    rk_sorted = rkey[r_order]
+    for k in pd.unique(lkey):
+        if k is None or (isinstance(k, float) and np.isnan(k)):
+            continue  # SQL: null keys never match
+        r_lo = np.searchsorted(rk_sorted, k, side="left")
+        r_hi = np.searchsorted(rk_sorted, k, side="right")
+        if r_hi == r_lo:
+            continue
+        lmask = np.nonzero(lkey == k)[0]
+        r_idx = r_order[r_lo:r_hi]
+        t = ts[lmask]
+        t_order = np.argsort(t, kind="stable")
+        ij, pp = _sweep(t[t_order], st[r_idx], en[r_idx])
+        if len(ij):
+            li_all.append(lmask[t_order[pp]])
+            ri_all.append(r_idx[ij])
+    if not li_all:
+        return empty
+    return np.concatenate(li_all), np.concatenate(ri_all)
+
+
+def _schema_dtypes(ds, cols) -> dict:
+    """Column -> numpy dtype from a dataset schema (object fallback)."""
+    out = {}
+    sch = ds.schema()
+    names = list(sch.names) if sch is not None else []
+    for c in cols:
+        dt = np.dtype(object)
+        if c in names:
+            tp = sch.types[names.index(c)]
+            try:
+                dt = np.dtype(tp.to_pandas_dtype()
+                              if hasattr(tp, "to_pandas_dtype") else tp)
+            except TypeError:
+                dt = np.dtype(object)
+        out[c] = dt
+    return out
+
+
+def _restore_types(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+    """Cast post-union object columns back to their source dtypes."""
+    for c, dt in types.items():
+        if c not in df.columns or df[c].dtype == dt:
+            continue
+        if dt.kind == "M":
+            df[c] = pd.to_datetime(df[c]).astype(dt)
+        elif dt.kind != "O":
+            df[c] = df[c].astype(dt)
+    return df
+
+
+def _null_safe_dtype(dt) -> object:
+    k = getattr(dt, "kind", "O")
+    if k in "iufb":
+        return np.dtype(np.float64)
+    if k == "M":
+        return np.dtype("datetime64[us]")
+    return np.dtype(object)
+
+
+def _assemble(ldf: pd.DataFrame, rdf: pd.DataFrame, li: np.ndarray,
+              ri: np.ndarray, how: str, rcols: list[str],
+              rtypes: dict) -> pd.DataFrame:
+    out_names = [c if c not in ldf.columns else c + "__r" for c in rcols]
+    matched = ldf.iloc[li].reset_index(drop=True)
+    rpart = rdf.iloc[ri][rcols].reset_index(drop=True)
+    rpart.columns = out_names
+    out = pd.concat([matched, rpart], axis=1)
+    if how == "left":
+        hit = np.zeros(len(ldf), dtype=bool)
+        hit[li] = True
+        rest = ldf.iloc[~hit].reset_index(drop=True)
+        for c, rc in zip(out_names, rcols):
+            dt = _null_safe_dtype(rtypes[rc])
+            out[c] = out[c].astype(dt)
+            rest[c] = pd.Series([pd.NaT if dt.kind == "M" else np.nan]
+                                * len(rest), dtype=dt)
+        out = pd.concat([out, rest], ignore_index=True)
+    return out
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | list[str] | None = None,
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
+    bucket_width: int | None = None,
+    long_bucket_span: int = 64,
+    num_partitions: int | None = None,
+):
+    """Join each left row (point ``ts_col``) to EVERY right interval
+    containing it (``start_col <= ts <= end_col``, plus equality on ``on``
+    when given).  ``how`` in {"inner", "left"}.  Right columns are
+    appended (``right_cols`` or all right columns), name collisions
+    suffixed ``__r``.  Output row order is not defined (set semantics)."""
+    import ray
+
+    on = [on] if isinstance(on, str) else (list(on) if on else [])
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}")
+    rcols = list(right_cols) if right_cols is not None \
+        else list(right.schema().names)
+    need = list(dict.fromkeys([start_col, end_col] + on + rcols))
+
+    if strategy == "auto":
+        strategy = ("broadcast" if right.count() <= broadcast_limit
+                    else "shuffle")
+
+    def _run_broadcast(rdf: pd.DataFrame):
+        rtypes = {c: rdf[c].dtype for c in rcols}
+        ref = ray.put(rdf)
+
+        class _Lookup:
+            def __init__(self):
+                self.rdf = ray.get(ref)
+
+            def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
+                from ..core.hashing import quiet_ray_data_logs
+                quiet_ray_data_logs()
+                li, ri = _match_block(ldf, self.rdf, ts_col, start_col,
+                                      end_col, on)
+                return _assemble(ldf, self.rdf, li, ri, how, rcols, rtypes)
+
+        return left.map_batches(_Lookup, batch_format="pandas",
+                                concurrency=(1, 16))
+
+    def _need_df() -> pd.DataFrame:
+        rdf = right.to_pandas()
+        if not set(need) <= set(rdf.columns):
+            # empty datasets can materialize with no columns at all
+            dts = _schema_dtypes(right, need)
+            rdf = pd.DataFrame({c: pd.Series(dtype=dts[c]) for c in need})
+        return rdf[need]
+
+    if strategy == "broadcast":
+        return _run_broadcast(_need_df())
+
+    # ---------------------------------------------------- shuffle strategy
+    from ..core.empty_ds import union_any
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import default_num_buckets, quiet_ray_data_logs
+
+    # one narrow pre-pass over the interval table: time extent + mean length
+    def _stats(t):
+        import pyarrow as pa
+
+        s = _to_i64(t.column(start_col).to_numpy(zero_copy_only=False))
+        e = _to_i64(t.column(end_col).to_numpy(zero_copy_only=False))
+        if not len(s):
+            return pa.table({"mn": [np.iinfo(np.int64).max],
+                             "mx": [np.iinfo(np.int64).min],
+                             "sl": [0], "n": [0]})
+        return pa.table({"mn": [int(s.min())], "mx": [int(e.max())],
+                         "sl": [int((e - s).clip(min=0).sum())],
+                         "n": [len(s)]})
+
+    st = right.select_columns([start_col, end_col]) \
+        .map_batches(_stats, batch_format="pyarrow", batch_size=None) \
+        .to_pandas()
+    t0, t1 = int(st["mn"].min()), int(st["mx"].max())
+    n_iv = int(st["n"].sum())
+    if n_iv == 0 or t1 < t0:
+        # no usable intervals: inner -> empty; left -> all-null right cols
+        return _run_broadcast(_need_df().iloc[:0])
+
+    mean_len = max(int(st["sl"].sum()) // max(n_iv, 1), 1)
+    if bucket_width is None:
+        span = max(t1 - t0 + 1, 1)
+        width = max(min(max(mean_len, span // (8 * default_num_buckets())),
+                        span), 1)
+    else:
+        width = max(int(bucket_width), 1)
+    n_buckets = (t1 - t0) // width
+    long_w = width * long_bucket_span
+
+    def _long_only(t):
+        s = _to_i64(t.column(start_col).to_numpy(zero_copy_only=False))
+        e = _to_i64(t.column(end_col).to_numpy(zero_copy_only=False))
+        return t.filter((e - s) > long_w)
+
+    long_df = right.map_batches(_long_only, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if len(long_df) > 1_000_000:
+        raise ValueError(
+            f"interval_join: {len(long_df)} intervals span more than "
+            f"{long_bucket_span} buckets; raise bucket_width")
+    long_ref = ray.put(long_df[need]) if len(long_df) else None
+
+    lcols = list(left.schema().names)
+    ltypes = _schema_dtypes(left, lcols)
+    rtypes = _schema_dtypes(right, need)
+    rmap = {c: "__iv__" + c for c in need}
+
+    def tag_points(ldf: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        out = ldf.copy()
+        ts = _to_i64(ldf[ts_col].to_numpy())
+        out["__role"] = np.zeros(len(ldf), dtype=np.int8)
+        out["__tb"] = np.clip((ts - t0) // width, 0, n_buckets)
+        for c in need:
+            out[rmap[c]] = None
+        return out[lcols + ["__role", "__tb"] + [rmap[c] for c in need]]
+
+    def tag_intervals(rdf: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        s = _to_i64(rdf[start_col].to_numpy())
+        e = _to_i64(rdf[end_col].to_numpy())
+        keep = (e - s) <= long_w
+        rdf = rdf.loc[keep, need].reset_index(drop=True)
+        s, e = s[keep], e[keep]
+        b0 = np.clip((s - t0) // width, 0, n_buckets)
+        b1 = np.clip((e - t0) // width, 0, n_buckets)
+        cnt = np.maximum(b1 - b0 + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(rdf)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        tb = (np.arange(int(cnt.sum()), dtype=np.int64)
+              - np.repeat(offs, cnt) + np.repeat(b0, cnt))
+        out = rdf.iloc[idx].reset_index(drop=True)
+        out.columns = [rmap[c] for c in need]
+        for c in lcols:
+            out[c] = None
+        out["__role"] = np.ones(len(out), dtype=np.int8)
+        out["__tb"] = tb
+        return out[lcols + ["__role", "__tb"] + [rmap[c] for c in need]]
+
+    pts = left.map_batches(tag_points, batch_format="pandas",
+                           batch_size=None)
+    ivs = right.map_batches(tag_intervals, batch_format="pandas",
+                            batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        is_iv = g["__role"].to_numpy() == 1
+        ldf = _restore_types(g.loc[~is_iv, lcols].reset_index(drop=True),
+                             ltypes)
+        rdf = g.loc[is_iv, [rmap[c] for c in need]].reset_index(drop=True)
+        rdf.columns = need
+        rdf = _restore_types(rdf, rtypes)
+        if long_ref is not None:
+            rdf = pd.concat([rdf, ray.get(long_ref)], ignore_index=True)
+        li, ri = _match_block(ldf, rdf, ts_col, start_col, end_col, on)
+        return _assemble(ldf, rdf, li, ri, how, rcols, rtypes)
+
+    return map_groups_typed(union_any(pts, ivs), "__tb", per_bucket,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
