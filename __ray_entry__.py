@@ -1517,6 +1517,41 @@ def q_hopping_agg(sf_dir: str):
                              "avg_value"])
 
 
+def q_shard_shuffle(sf_dir: str):
+    """Seeded global shuffle into ~50k-char training shards: every doc gets
+    a deterministic multiplicative-hash shuffle position, and its EXACT
+    global running char count at that position — a global prefix sum with
+    NO global sort (analytic range partition of the uniform hash, one
+    shuffle-free bincount pass for bucket offsets, one bucketed exchange
+    with local cumsum). Exact DuckDB running-SUM window oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.shard import seeded_shard_shuffle
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    out = seeded_shard_shuffle(docs, "doc_id", shard_budget=50_000,
+                               weight_col="n_chars").to_pandas()
+    return _round_cols(out[["doc_id", "source", "n_chars", "h",
+                            "cum_weight", "shard"]], ["cum_weight"])
+
+
+def q_score_norm(sf_dir: str):
+    """Per-source percentile-rank normalization (exact CUME_DIST of
+    n_chars within each source): a per-batch combiner collapses rows to
+    the distinct-score HISTOGRAM, the driver cumsums it per key, one
+    object-store broadcast, and a shuffle-free searchsorted row pass.
+    Exact DuckDB CUME_DIST window oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.rank import cume_dist
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    out = cume_dist(docs, "n_chars", key_col="source",
+                    strategy="broadcast").to_pandas()
+    return _round_cols(out[["doc_id", "source", "n_chars", "cume_dist"]],
+                       ["cume_dist"])
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -1946,6 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": q_latest_snapshot,
         "range_join": q_range_join,
         "hopping_agg": q_hopping_agg,
+        "shard_shuffle": q_shard_shuffle,
+        "score_norm": q_score_norm,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2602,6 +2639,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "shard_shuffle": """
+            SELECT doc_id, source, n_chars, h,
+                   CAST(cw AS DOUBLE) AS cum_weight,
+                   CAST(floor((cw - n_chars) / 50000.0) AS BIGINT) AS shard
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     (doc_id * 2654435761) % 2147483648 AS h,
+                     SUM(n_chars) OVER (
+                         ORDER BY (doc_id * 2654435761) % 2147483648,
+                                  doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cw
+              FROM documents)
+        """,
+        "score_norm": """
+            SELECT doc_id, source, n_chars,
+                   ROUND(CUME_DIST() OVER (
+                       PARTITION BY source ORDER BY n_chars), 6)
+                       AS cume_dist
+            FROM documents
         """,
         "token_budget": r"""
             WITH w AS (

@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "asof_tolerance", "fuzzy_decontaminate", "compact_vocab",
     "decayed_sum", "tfidf", "label_join", "latest_snapshot",
     "token_budget", "top_per_user", "nb_classify", "snapshot_diff",
-    "pca_embed", "range_join", "hopping_agg",
+    "pca_embed", "range_join", "hopping_agg", "shard_shuffle",
+    "score_norm",
 ]
 
 
