@@ -1552,6 +1552,53 @@ def q_score_norm(sf_dir: str):
                        ["cume_dist"])
 
 
+def q_kmeans_embed(sf_dir: str):
+    """Distributed full-dataset Lloyd k-means over the embedding column
+    (per-iteration: one streaming assignment pass emitting k mergeable
+    (count, sum, SSE) partials per block, tiny driver fold; seeded
+    k-means++ init from a driver sample). Property oracle (iterative
+    clustering is not SQL-expressible): the distributed fit must equal a
+    single-process numpy Lloyd from the SAME init (atol 1e-8), inertia
+    must be non-increasing, and the assignment column must be the argmin
+    distance to the fitted centroids."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    k, iters = 8, 5
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = kmeans_fit(emb, "embedding", k, iters=iters, seed=13)
+    out = kmeans_assign(emb, model, dist_col="d2").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    X = np.stack(out["embedding"].to_numpy()).astype(np.float64)
+    c = model["init"].copy()
+    ref_inertia = []
+    for _ in range(iters):
+        sc = X @ c.T - 0.5 * (c * c).sum(axis=1)
+        a = sc.argmax(axis=1)
+        ref_inertia.append(float(((X * X).sum(axis=1)
+                                  - 2.0 * sc.max(axis=1)).sum()))
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, X)
+        cnt = np.bincount(a, minlength=len(c)).astype(np.float64)
+        nz = cnt > 0
+        c = c.copy()
+        c[nz] = sums[nz] / cnt[nz, None]
+
+    parity = int(np.allclose(model["centroids"], c, atol=1e-8))
+    inertia_ok = int((np.diff(np.asarray(model["inertia"])) <= 1e-6).all())
+    cf = model["centroids"]
+    am = (X @ cf.T - 0.5 * (cf * cf).sum(axis=1)).argmax(axis=1)
+    assign_ok = int((out["cluster"].to_numpy() == am).all())
+    return pd.DataFrame({
+        "n_rows": [np.int64(len(out))],
+        "k_clusters": [np.int64(len(model["centroids"]))],
+        "parity": [np.int64(parity)],
+        "inertia_monotone": [np.int64(inertia_ok)],
+        "assign_is_argmin": [np.int64(assign_ok)],
+    })
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -1983,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_agg": q_hopping_agg,
         "shard_shuffle": q_shard_shuffle,
         "score_norm": q_score_norm,
+        "kmeans_embed": q_kmeans_embed,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2639,6 +2687,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "kmeans_embed": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(8 AS BIGINT) AS k_clusters,
+                   CAST(1 AS BIGINT) AS parity,
+                   CAST(1 AS BIGINT) AS inertia_monotone,
+                   CAST(1 AS BIGINT) AS assign_is_argmin
+            FROM embeddings
         """,
         "shard_shuffle": """
             SELECT doc_id, source, n_chars, h,
