@@ -1599,6 +1599,22 @@ def q_kmeans_embed(sf_dir: str):
     })
 
 
+def q_mixture_sample(sf_dir: str):
+    """Mixture resampling to TARGET proportions (the DoReMi data-mixing
+    shape): keep rates DERIVED from distributed per-source counts and
+    integer target weights (src0..src9 weighted (k%4)+1, the rest
+    dropped), with exact arbitrary-precision integer thresholds so a SQL
+    engine replays the keep rule bit-for-bit. One shuffle-free counting
+    pass + one broadcast hash filter. Exact DuckDB integer-ceil oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import mixture_sample
+
+    weights = {f"src{k}": (k % 4) + 1 for k in range(10)}
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    return mixture_sample(docs, weights).to_pandas()
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -2031,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle": q_shard_shuffle,
         "score_norm": q_score_norm,
         "kmeans_embed": q_kmeans_embed,
+        "mixture_sample": q_mixture_sample,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2687,6 +2704,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "mixture_sample": """
+            WITH w(source, wt) AS (
+              VALUES ('src0', 1), ('src1', 2), ('src2', 3), ('src3', 4),
+                     ('src4', 1), ('src5', 2), ('src6', 3), ('src7', 4),
+                     ('src8', 1), ('src9', 2)
+            ), j AS (
+              SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.wt) AS wt
+              FROM documents d JOIN w USING (source) GROUP BY d.source
+            ), tot AS (SELECT SUM(wt) AS W FROM j),
+            nn AS (SELECT MIN(n * W // wt) AS nsel FROM j, tot),
+            thr AS (
+              SELECT source,
+                     LEAST((nsel * wt * 4294967296 + (W * n) - 1)
+                               // (W * n),
+                           4294967296) AS t
+              FROM j, tot, nn
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE ((d.doc_id % 1048576) * 2654435761) % 4294967296 < thr.t
         """,
         "kmeans_embed": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -766,3 +766,66 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset", needle_texts, *,
                 .drop_columns(["contaminated"])
 
     return flagged.map_batches(drop, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling: derive per-stratum keep rates from TARGET proportions
+# --------------------------------------------------------------------------
+
+def mixture_thresholds(counts: dict, weights: dict,
+                       mod_bits: int = 20) -> tuple[int, dict]:
+    """Exact integer keep-thresholds that downsample strata to target
+    mixture ``weights`` (the DoReMi / data-mixing reweight shape).
+
+    Only strata present in BOTH ``counts`` and ``weights`` participate;
+    W = sum of their weights.  The achievable output size is
+    ``N = min_s floor(n_s * W / w_s)`` (the largest total for which no
+    stratum must be upsampled).  A row is kept iff
+    ``knuth_hash_u32(id) < thr_s`` with ``thr_s = ceil(N*w_s*2^32 /
+    (W*n_s))`` — computed in arbitrary-precision Python ints, so the rule
+    is EXACTLY ``h < N*w_s*2^32 / (W*n_s)`` with no float boundary, and a
+    SQL engine replays it with the same integer ceil-division.
+    Returns ``(N, {stratum: thr})``."""
+    live = {s: (int(counts[s]), int(weights[s]))
+            for s in weights if s in counts and counts[s] > 0
+            and weights[s] > 0}
+    if not live:
+        return 0, {}
+    W = sum(w for _, w in live.values())
+    N = min(n * W // w for n, w in live.values())
+    thr = {s: min((N * w * (1 << 32) + (W * n) - 1) // (W * n), 1 << 32)
+           for s, (n, w) in live.items()}
+    return N, thr
+
+
+def mixture_sample(ds: "ray.data.Dataset", weights: dict,
+                   strata_col: str = "source", id_col: str = "doc_id",
+                   mod_bits: int = 20, concurrency=(1, 8),
+                   batch_size: int = 8192) -> "ray.data.Dataset":
+    """Deterministically downsample to target mixture proportions: one
+    shuffle-free counting pass (per-batch value_counts partials summed on
+    the driver — #strata rows, never data), exact integer thresholds via
+    :func:`mixture_thresholds`, then the same broadcast hash filter as
+    :func:`stratified_sample`.  Strata without a weight are dropped."""
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[strata_col].value_counts()
+        return pd.DataFrame({"s": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    parts = ds.select_columns([strata_col]) \
+        .map_batches(count_partial, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    counts = parts.groupby("s")["n"].sum().to_dict()
+    _, thr = mixture_thresholds(counts, weights, mod_bits)
+
+    class _MixFilter:
+        def __init__(self):
+            self.thr = thr
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            h = knuth_hash_u32(df[id_col].to_numpy(), mod_bits) \
+                .astype(np.uint64)
+            t = df[strata_col].map(self.thr).fillna(0).to_numpy(np.uint64)
+            return df[h < t]
+
+    return ds.map_batches(_MixFilter, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
