@@ -1615,6 +1615,48 @@ def q_mixture_sample(sf_dir: str):
     return mixture_sample(docs, weights).to_pandas()
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-ngram
+    (uni+bi) bucket distributions for a TARGET domain (src0/src1 docs)
+    and the raw rest-of-corpus with shuffle-free sparse count partials,
+    broadcast the smoothed log-ratio table once, score raw docs in one
+    streaming pass (explode grams vectorized, per-doc bincount sum), and
+    keep the top-k by deterministic Gumbel-perturbed weight via sort-free
+    order statistics. Property oracle (hashing not SQL-expressible): the
+    selected set must equal the exact top-k of a driver-side vectorized
+    recompute (the domain-preference property is pinned by
+    tests/test_dsir.py on a corpus with real domain signal)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.dsir import (_bucketize, _explode_grams,
+                                          dsir_select)
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    target = docs.filter(expr="source == 'src0' or source == 'src1'")
+    raw = docs.filter(expr="source != 'src0' and source != 'src1'")
+    raw_n = raw.count()
+    k = max(raw_n // 10, 1)
+    sel, model = dsir_select(raw, target, k, num_buckets=2048)
+    out = sel.to_pandas()
+
+    # exact verdict: vectorized driver recompute of every raw doc's key
+    rdf = raw.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    gdoc, grams = _explode_grams(rdf["text"])
+    b = _bucketize(grams, model["num_buckets"])
+    logw = np.bincount(gdoc, weights=model["table"][b], minlength=len(rdf))
+    from openmldb_ray.stages.curation import knuth_hash_u32
+    u = (knuth_hash_u32(rdf["doc_id"].to_numpy()).astype(np.float64)
+         + 0.5) / float(1 << 32)
+    key = logw - np.log(-np.log(u))
+    order = np.lexsort((rdf["doc_id"].to_numpy(), -key))
+    ref_ids = set(rdf["doc_id"].to_numpy()[order[:k]])
+    return pd.DataFrame({
+        "n_selected": [np.int64(len(out))],
+        "k_requested": [np.int64(k)],
+        "topk_exact": [np.int64(set(out["doc_id"]) == ref_ids)],
+    })
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -2048,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_norm": q_score_norm,
         "kmeans_embed": q_kmeans_embed,
         "mixture_sample": q_mixture_sample,
+        "dsir_select": q_dsir_select,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2704,6 +2747,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "dsir_select": """
+            SELECT CAST(COUNT(*) // 10 AS BIGINT) AS n_selected,
+                   CAST(COUNT(*) // 10 AS BIGINT) AS k_requested,
+                   CAST(1 AS BIGINT) AS topk_exact
+            FROM documents WHERE source NOT IN ('src0', 'src1')
         """,
         "mixture_sample": """
             WITH w(source, wt) AS (

@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "decayed_sum", "tfidf", "label_join", "latest_snapshot",
     "token_budget", "top_per_user", "nb_classify", "snapshot_diff",
     "pca_embed", "range_join", "hopping_agg", "shard_shuffle",
-    "score_norm", "kmeans_embed", "mixture_sample",
+    "score_norm", "kmeans_embed", "mixture_sample", "dsir_select",
 ]
 
 
