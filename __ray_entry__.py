@@ -1657,6 +1657,47 @@ def q_dsir_select(sf_dir: str):
     })
 
 
+def q_incremental_docs(sf_dir: str):
+    """Incremental corpus refresh: new-crawl docs whose TEXT content is
+    not already in yesterday's corpus — a distributed ANTI-join on the
+    content column (NOT EXISTS semantics). Shuffle strategy: ONE coarse
+    co-exchange on the content-hash bucket, the right side reduced to
+    per-block DISTINCT keys before it moves, value-exact probe within the
+    bucket. Exact DuckDB NOT EXISTS oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.semijoin import anti_join
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text", "n_chars"])
+
+    def _mod_ne(m):
+        def fn(t):
+            return t.filter(t.column("doc_id").to_numpy() % m != 0)
+        return fn
+
+    old = docs.map_batches(_mod_ne(3), batch_format="pyarrow",
+                           batch_size=None)
+    new = docs.map_batches(_mod_ne(5), batch_format="pyarrow",
+                           batch_size=None)
+    out = anti_join(new, old, "text", strategy="shuffle").to_pandas()
+    return out[["doc_id", "source", "n_chars"]]
+
+
+def q_weighted_sample(sf_dir: str):
+    """Exactly-k weighted sampling without replacement (probability
+    proportional to n_chars): deterministic Efraimidis-Spirakis keys
+    ln(u)/w with u a multiplicative hash of the id, selected by sort-free
+    order statistics — stable under reruns/repartition/resume. The key is
+    SQL-expressible, so the oracle is an exact DuckDB window top-k."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import weighted_sample
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    out = weighted_sample(docs, 300, "n_chars").to_pandas()
+    return out[["doc_id", "source", "n_chars"]]
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -2091,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": q_kmeans_embed,
         "mixture_sample": q_mixture_sample,
         "dsir_select": q_dsir_select,
+        "incremental_docs": q_incremental_docs,
+        "weighted_sample": q_weighted_sample,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2747,6 +2790,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "incremental_docs": """
+            WITH old AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+                 new AS (SELECT * FROM documents WHERE doc_id % 5 <> 0)
+            SELECT n.doc_id, n.source, n.n_chars
+            FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ln((((doc_id % 1048576) * 2654435761) % 4294967296
+                         + 0.5) / 4294967296.0)
+                         / n_chars AS k
+              FROM documents WHERE n_chars > 0)
+            QUALIFY ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) <= 300
         """,
         "dsir_select": """
             SELECT CAST(COUNT(*) // 10 AS BIGINT) AS n_selected,

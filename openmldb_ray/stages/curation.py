@@ -829,3 +829,37 @@ def mixture_sample(ds: "ray.data.Dataset", weights: dict,
 
     return ds.map_batches(_MixFilter, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def weighted_sample(ds: "ray.data.Dataset", k: int, weight_col: str,
+                    id_col: str = "doc_id", key_col: str = "__ws_key"):
+    """Exactly-k weighted sampling WITHOUT replacement (probability
+    proportional to ``weight_col``), deterministic and distributed.
+
+    Efraimidis–Spirakis A-ES keys: each row gets
+    ``key = ln(u) / w`` with ``u = (knuth_hash_u32(id)+0.5) / 2^32`` —
+    the k LARGEST keys are exactly a weight-proportional sample without
+    replacement, and because u is a hash of the id the sample is stable
+    under reruns, repartitioning and resume.  Selection reuses
+    ``select.budget_select`` (sort-free order statistics), so no global
+    sort and no driver materialization.  Rows with null or non-positive
+    weight are never selected.  The key column is dropped from the
+    output."""
+    from .select import budget_select
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        w = df[weight_col].to_numpy(np.float64)
+        u = (knuth_hash_u32(df[id_col].to_numpy()).astype(np.float64)
+             + 0.5) / float(1 << 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key[~(w > 0)] = np.nan          # null/zero/negative: never sampled
+        df[key_col] = key
+        return df
+
+    keyed = ds.map_batches(add_key, batch_format="pandas",
+                           batch_size=8192)
+    out = budget_select(keyed, key_col, budget=k, id_col=id_col,
+                        materialize_narrow=True)
+    return out.drop_columns([key_col])

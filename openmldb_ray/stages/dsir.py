@@ -136,4 +136,5 @@ def dsir_select(raw_ds, target_ds, k: int, *, text_col: str = "text",
     model = model or dsir_fit(target_ds, raw_ds, text_col=text_col,
                               num_buckets=num_buckets, alpha=alpha)
     scored = dsir_score(raw_ds, model, text_col=text_col, id_col=id_col)
-    return budget_select(scored, "dsir_key", budget=k, id_col=id_col), model
+    return budget_select(scored, "dsir_key", budget=k, id_col=id_col,
+                         materialize_narrow=True), model

@@ -71,6 +71,7 @@ def budget_select(
     bins: int = 4096,
     collect_cap: int = 100_000,
     max_rounds: int = 40,
+    materialize_narrow: bool = False,
 ):
     """Keep, per ``key_col`` value (or globally when None), the maximal
     prefix of rows in ``(order_col`` desc-by-default, ``id_col`` asc)
@@ -82,6 +83,14 @@ def budget_select(
     sign = 1.0 if ascending else -1.0
     cols = [c for c in (key_col, order_col, id_col, weight_col) if c]
     narrow = ds.select_columns(list(dict.fromkeys(cols)))
+    if materialize_narrow:
+        # the refinement loop scans `narrow` O(log n) times; when the
+        # upstream pipeline is expensive (model scoring, gram explosion),
+        # pin the 3-4 column projection in the object store ONCE — it is
+        # orders of magnitude smaller than the rows it derives from, so
+        # this is the scale-correct trade (the final full-row filter pass
+        # still streams the original ds exactly once)
+        narrow = narrow.materialize()
 
     def _keys_of(t):
         """Key column of a pyarrow batch as a str object ndarray."""
