@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 
 
 def _to_i64(values) -> np.ndarray:
@@ -301,61 +302,72 @@ def interval_join(
             f"{long_bucket_span} buckets; raise bucket_width")
     long_ref = ray.put(long_df[need]) if len(long_df) else None
 
+    import pyarrow as pa
+
     lcols = list(left.schema().names)
-    ltypes = _schema_dtypes(left, lcols)
     rtypes = _schema_dtypes(right, need)
     rmap = {c: "__iv__" + c for c in need}
 
-    def tag_points(ldf: pd.DataFrame) -> pd.DataFrame:
-        quiet_ray_data_logs()
-        out = ldf.copy()
-        ts = _to_i64(ldf[ts_col].to_numpy())
-        out["__role"] = np.zeros(len(ldf), dtype=np.int8)
-        out["__tb"] = np.clip((ts - t0) // width, 0, n_buckets)
-        for c in need:
-            out[rmap[c]] = None
-        return out[lcols + ["__role", "__tb"] + [rmap[c] for c in need]]
+    def _pa_type(ds_schema, name):
+        tp = ds_schema.types[list(ds_schema.names).index(name)]
+        return tp if isinstance(tp, pa.DataType) \
+            else pa.from_numpy_dtype(np.dtype(tp))
 
-    def tag_intervals(rdf: pd.DataFrame) -> pd.DataFrame:
+    l_patypes = {c: _pa_type(left.schema(), c) for c in lcols}
+    r_patypes = {c: _pa_type(right.schema(), c) for c in need}
+    union_names = lcols + ["__role", "__tb"] + [rmap[c] for c in need]
+
+    # the exchange is typed Arrow end-to-end: null padding is pa.nulls
+    # with the REAL column types (an object/pandas union would both slow
+    # the shuffle and round 2^63-scale epoch-us ints through float64)
+    def tag_points(t: pa.Table) -> pa.Table:
         quiet_ray_data_logs()
-        s = _to_i64(rdf[start_col].to_numpy())
-        e = _to_i64(rdf[end_col].to_numpy())
+        ts = _to_i64(t.column(ts_col).to_numpy(zero_copy_only=False))
+        tb = np.clip((ts - t0) // width, 0, n_buckets)
+        arrays = [pc.cast(t.column(c), l_patypes[c]) for c in lcols]
+        arrays.append(pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        arrays.append(pa.array(tb, type=pa.int64()))
+        arrays += [pa.nulls(t.num_rows, r_patypes[c]) for c in need]
+        return pa.table(dict(zip(union_names, arrays)))
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        s = _to_i64(t.column(start_col).to_numpy(zero_copy_only=False))
+        e = _to_i64(t.column(end_col).to_numpy(zero_copy_only=False))
         keep = (e - s) <= long_w
-        rdf = rdf.loc[keep, need].reset_index(drop=True)
+        t = t.select(need).filter(pa.array(keep))
         s, e = s[keep], e[keep]
         b0 = np.clip((s - t0) // width, 0, n_buckets)
         b1 = np.clip((e - t0) // width, 0, n_buckets)
         cnt = np.maximum(b1 - b0 + 1, 0).astype(np.int64)
-        idx = np.repeat(np.arange(len(rdf)), cnt)
+        idx = np.repeat(np.arange(t.num_rows), cnt)
         offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
         tb = (np.arange(int(cnt.sum()), dtype=np.int64)
               - np.repeat(offs, cnt) + np.repeat(b0, cnt))
-        out = rdf.iloc[idx].reset_index(drop=True)
-        out.columns = [rmap[c] for c in need]
-        for c in lcols:
-            out[c] = None
-        out["__role"] = np.ones(len(out), dtype=np.int8)
-        out["__tb"] = tb
-        return out[lcols + ["__role", "__tb"] + [rmap[c] for c in need]]
+        rep = t.take(pa.array(idx))
+        arrays = [pa.nulls(len(idx), l_patypes[c]) for c in lcols]
+        arrays.append(pa.array(np.ones(len(idx), dtype=np.int8)))
+        arrays.append(pa.array(tb, type=pa.int64()))
+        arrays += [pc.cast(rep.column(c), r_patypes[c]) for c in need]
+        return pa.table(dict(zip(union_names, arrays)))
 
-    pts = left.map_batches(tag_points, batch_format="pandas",
+    pts = left.map_batches(tag_points, batch_format="pyarrow",
                            batch_size=None)
-    ivs = right.map_batches(tag_intervals, batch_format="pandas",
+    ivs = right.map_batches(tag_intervals, batch_format="pyarrow",
                             batch_size=None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pa.Table) -> pd.DataFrame:
         quiet_ray_data_logs()
-        is_iv = g["__role"].to_numpy() == 1
-        ldf = _restore_types(g.loc[~is_iv, lcols].reset_index(drop=True),
-                             ltypes)
-        rdf = g.loc[is_iv, [rmap[c] for c in need]].reset_index(drop=True)
-        rdf.columns = need
-        rdf = _restore_types(rdf, rtypes)
+        is_iv = pc.equal(g["__role"], 1)
+        ldf = g.filter(pc.invert(is_iv)).select(lcols).to_pandas()
+        riv = g.filter(is_iv).select([rmap[c] for c in need])
+        riv = riv.rename_columns(need)
+        rdf = riv.to_pandas()
         if long_ref is not None:
             rdf = pd.concat([rdf, ray.get(long_ref)], ignore_index=True)
         li, ri = _match_block(ldf, rdf, ts_col, start_col, end_col, on)
         return _assemble(ldf, rdf, li, ri, how, rcols, rtypes)
 
     return map_groups_typed(union_any(pts, ivs), "__tb", per_bucket,
-                            batch_format="pandas",
+                            batch_format="pyarrow",
                             num_partitions=num_partitions)
