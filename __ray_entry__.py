@@ -1698,6 +1698,60 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_tokens_to_shards(sf_dir: str):
+    """The full pretraining-data tail in ONE streaming composition:
+    quality rules -> text->tokens bridge -> greedy packing into <=256-token
+    examples -> seeded shard shuffle cutting the example stream into
+    ~20k-token shards via the sort-free global prefix sum. Invariants
+    oracled in SQL: the total token count equals SUM(n_words) over the
+    quality-kept docs (exact nested-predicate replay), every example is
+    within the cap, every shard's token sum is within budget+max_example
+    (the floor((cum-w)/budget) bound), and the final running count equals
+    the total (prefix-sum conservation)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import quality_filter
+    from openmldb_ray.stages.shard import seeded_shard_shuffle
+    from openmldb_ray.stages.tokenops import pack_sequences, tokenize_text
+
+    budget = 20_000
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = quality_filter(docs)
+    toks = tokenize_text(kept, batch_size=None).drop_columns(["tokens"])
+    packed = pack_sequences(toks, max_len=256)
+    out = seeded_shard_shuffle(packed, "example_id", shard_budget=budget,
+                               weight_col="total_tok").to_pandas()
+    total = int(out["total_tok"].sum())
+    shard_sums = out.groupby("shard")["total_tok"].sum()
+    max_row = int(out["total_tok"].max()) if len(out) else 0
+    return pd.DataFrame({
+        "total_tok": [np.int64(total)],
+        "within_cap": [np.int64(int((out["total_tok"] <= 256).all()))],
+        "shards_bounded": [np.int64(int(
+            (shard_sums <= budget + max_row).all()))],
+        "prefix_conserved": [np.int64(int(
+            abs(float(out["cum_weight"].max()) - total) < 1e-6))],
+    })
+
+
+def q_knn_pq(sf_dir: str):
+    """Product-quantized ANN: m=8 per-subspace codebooks trained in
+    iters streaming passes (ALL subspaces per pass, mergeable
+    (count,sum,SSE) partials), vectors compressed 32x to 8-byte codes,
+    and top-5 answered by asymmetric distance computation (per-query
+    lookup tables broadcast once, one np.take gather-sum per subspace —
+    no decode). Property oracle: recall@5 vs the exact brute force
+    (itself DuckDB-oracled in `knn`) must clear 0.6."""
+    from openmldb_ray.stages.pq import pq_adc_topk, pq_encode, pq_fit
+
+    def method(emb, qm, qids):
+        model = pq_fit(emb, m=8, nbits=8, iters=4, seed=7)
+        return pq_adc_topk(pq_encode(emb, model), model, qm, qids, k=5)
+
+    recall = _ann_recall(sf_dir, method)
+    return pd.DataFrame({"metric": ["pq_adc_recall_at_5"],
+                         "recall_floor_ok": [np.int64(recall >= 0.6)]})
+
+
 def q_token_budget(sf_dir: str):
     """Token-budget curation (fill a per-source word budget with the best
     docs first): per source, docs in (n_chars DESC, doc_id) order while the
@@ -2134,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "incremental_docs": q_incremental_docs,
         "weighted_sample": q_weighted_sample,
+        "tokens_to_shards": q_tokens_to_shards,
+        "knn_pq": q_knn_pq,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
         "nb_classify": q_nb_classify,
@@ -2669,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         # --- property oracles: the Ray query computes the check itself; the
         # --- SQL states the invariant the result must equal
         "knn_lsh": "SELECT 'lsh_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
+        "knn_pq": "SELECT 'pq_adc_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
         "knn_ivf": "SELECT 'ivf_recall_at_5' AS metric, CAST(1 AS BIGINT) AS recall_floor_ok",
         "minhash_dedup": f"""
             SELECT CAST({_N_PLANT} AS BIGINT) AS planted,
@@ -2790,6 +2847,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "tokens_to_shards": r"""
+            SELECT CAST(SUM(n_words) AS BIGINT) AS total_tok,
+                   CAST(1 AS BIGINT) AS within_cap,
+                   CAST(1 AS BIGINT) AS shards_bounded,
+                   CAST(1 AS BIGINT) AS prefix_conserved
+            FROM (
+              SELECT doc_id, n_words,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                         / GREATEST(n_words, 1) AS mean_word_len,
+                     len(list_filter(words,
+                         w -> w IN ('the','a','of','to','and','in')))
+                         AS stopword_hits,
+                     len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                         / GREATEST(n_words, 1) AS alpha_frac
+              FROM (
+                SELECT doc_id, text, words,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(words) END AS n_words
+                FROM (SELECT doc_id, text,
+                             regexp_split_to_array(trim(text), '\s+')
+                                 AS words
+                      FROM documents) t0) t1) t2
+            WHERE n_words BETWEEN 30 AND 100000
+              AND mean_word_len BETWEEN 3 AND 10
+              AND stopword_hits >= 2
+              AND alpha_frac >= 0.8
         """,
         "incremental_docs": """
             WITH old AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "token_budget", "top_per_user", "nb_classify", "snapshot_diff",
     "pca_embed", "range_join", "hopping_agg", "shard_shuffle",
     "score_norm", "kmeans_embed", "mixture_sample", "dsir_select",
-    "incremental_docs", "weighted_sample",
+    "incremental_docs", "weighted_sample", "tokens_to_shards", "knn_pq",
 ]
 
 

@@ -1,0 +1,212 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+At 100 TB an embedding column is the dominant payload (a 768-d float32
+vector is 3 KB/row); PQ (Jegou et al., 2011) compresses it ~100-400× by
+splitting each vector into ``m`` subspaces and replacing every slice with
+the id of its nearest codeword from a per-subspace k-means codebook —
+``m`` bytes per vector at ``nbits=8`` — while asymmetric distance
+computation (ADC) still answers top-k queries directly on the codes with
+one (m, 2^nbits) lookup table per query.
+
+Scale design:
+* ``pq_fit`` trains ALL ``m`` codebooks in the SAME streaming pass per
+  Lloyd iteration — each batch reshapes to (n, m, dsub), assigns every
+  subspace with one matmul, and emits m × k mergeable (count, sum, SSE)
+  partial rows; the driver fold is tiny (same shape as
+  cluster.kmeans_fit, m-way batched so iters passes total, NOT m×iters);
+* ``pq_encode`` is a broadcast + matmul-per-batch streaming pass emitting
+  fixed-width ``binary`` codes (Arrow zero-copy, shuffle-friendly);
+* ``pq_adc_topk`` broadcasts the query ADC tables once; each batch
+  decodes NOTHING — one ``np.take`` gather per subspace sums the lookup
+  tables over the code bytes, local top-k, then the same tiny
+  groupby(query) reduce as knn_brute_force.
+
+Vectors are L2-normalized before fit/encode (cosine contract, matching
+simsearch); ADC then ranks by L2 over normalized vectors, monotone with
+cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .cluster import _kmeanspp
+from .simsearch import _normalize
+
+
+def _stack(col) -> np.ndarray:
+    return np.ascontiguousarray(np.stack(col.to_numpy()), dtype=np.float64)
+
+
+def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
+           iters: int = 6, sample_init: int = 2048, seed: int = 7) -> dict:
+    """Train m per-subspace codebooks of 2^nbits codewords each.
+    Returns {"codebooks": (m, ksub, dsub), "m", "dsub", "col", "inertia"}."""
+    import ray
+
+    ksub = 1 << nbits
+    sample = _normalize(_stack(ds.limit(sample_init).to_pandas()[col]))
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.stack([
+        _kmeanspp(np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+                  min(ksub, len(sample)), rng)
+        for j in range(m)])
+    ksub = books.shape[1]
+    inertia = []
+
+    for _ in range(iters):
+        ref = ray.put(np.ascontiguousarray(books))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            from ..core.hashing import quiet_ray_data_logs
+            quiet_ray_data_logs()
+            cb = ray.get(ref)                      # (m, ksub, dsub)
+            x = _normalize(_stack(df[col])).reshape(-1, m, dsub)
+            rows = {"j": [], "cl": [], "cnt": [], "sse": [], "s": []}
+            for j in range(m):
+                xj = np.ascontiguousarray(x[:, j, :])
+                cj = cb[j]
+                sc = xj @ cj.T - 0.5 * (cj * cj).sum(axis=1)
+                a = sc.argmax(axis=1)
+                sums = np.stack([np.bincount(a, weights=xj[:, t],
+                                             minlength=ksub)
+                                 for t in range(dsub)], axis=1)
+                cnt = np.bincount(a, minlength=ksub).astype(np.int64)
+                sse = np.bincount(
+                    a, weights=(xj * xj).sum(axis=1) - 2.0 * sc.max(axis=1),
+                    minlength=ksub)
+                rows["j"].append(np.full(ksub, j, dtype=np.int64))
+                rows["cl"].append(np.arange(ksub, dtype=np.int64))
+                rows["cnt"].append(cnt)
+                rows["sse"].append(sse)
+                rows["s"].append([v.tobytes() for v in sums])
+            return pd.DataFrame({
+                "j": np.concatenate(rows["j"]),
+                "cl": np.concatenate(rows["cl"]),
+                "cnt": np.concatenate(rows["cnt"]),
+                "sse": np.concatenate(rows["sse"]),
+                "s": sum(rows["s"], [])})
+
+        parts = ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas", batch_size=None).to_pandas()
+        it_sse = 0.0
+        new = books.copy()
+        for (j, cl), g in parts.groupby(["j", "cl"]):
+            cnt = int(g["cnt"].sum())
+            it_sse += float(g["sse"].sum())
+            if cnt > 0:
+                s = np.sum(np.stack([np.frombuffer(b, dtype=np.float64)
+                                     for b in g["s"]]), axis=0)
+                new[j, cl] = s / cnt
+        books = new
+        inertia.append(it_sse)
+
+    return {"codebooks": books, "m": m, "dsub": dsub, "col": col,
+            "inertia": inertia}
+
+
+def _encode_mat(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized -> (n, m) uint8/int codes."""
+    m, ksub, dsub = books.shape
+    xs = x.reshape(len(x), m, dsub)
+    codes = np.empty((len(x), m), dtype=np.uint8 if ksub <= 256
+                     else np.uint16)
+    for j in range(m):
+        cj = books[j]
+        sc = np.ascontiguousarray(xs[:, j, :]) @ cj.T \
+            - 0.5 * (cj * cj).sum(axis=1)
+        codes[:, j] = sc.argmax(axis=1)
+    return codes
+
+
+def pq_encode(ds, model: dict, *, col: str | None = None,
+              out_col: str = "pq_code"):
+    """Append fixed-width binary PQ codes (m bytes/row at nbits=8)."""
+    import ray
+
+    col = col or model["col"]
+    ref = ray.put(np.ascontiguousarray(model["codebooks"]))
+
+    class _Enc:
+        def __init__(self):
+            self.books = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from ..core.hashing import quiet_ray_data_logs
+            quiet_ray_data_logs()
+            df = df.copy()
+            if not len(df):
+                df[out_col] = pd.Series([], dtype=object)
+                return df
+            codes = _encode_mat(_normalize(_stack(df[col])), self.books)
+            df[out_col] = [c.tobytes() for c in codes]
+            return df
+
+    return ds.map_batches(_Enc, batch_format="pandas",
+                          concurrency=(1, 16))
+
+
+def pq_adc_topk(ds, model: dict, queries: np.ndarray,
+                query_ids: np.ndarray, *, k: int = 5,
+                code_col: str = "pq_code", id_col: str = "vec_id",
+                concurrency=(1, 8)):
+    """Asymmetric-distance top-k over PQ codes: per query one
+    (m, ksub) table of squared slice distances, per batch one np.take
+    gather-sum per subspace — no decode, no float vectors moved.
+    Output schema matches knn_brute_force (query_id, neighbor_id, score,
+    rank); score is NEGATIVE squared ADC distance (higher = closer)."""
+    import ray
+
+    books = model["codebooks"]                     # (m, ksub, dsub)
+    m, ksub, dsub = books.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qs = q.reshape(len(q), m, dsub)
+    # tables[i, j, c] = ||q_i[j] - books[j, c]||^2
+    tables = ((qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put({"tables": np.ascontiguousarray(tables),
+                   "qids": np.asarray(query_ids)})
+
+    class _ADC:
+        def __init__(self):
+            st = ray.get(ref)
+            self.tables, self.qids = st["tables"], st["qids"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from ..core.hashing import quiet_ray_data_logs
+            quiet_ray_data_logs()
+            if not len(df):
+                return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                     "score": []})
+            codes = np.frombuffer(
+                b"".join(df[code_col].to_numpy()),
+                dtype=np.uint8).reshape(len(df), m)
+            ids = df[id_col].to_numpy()
+            outs = []
+            for i, qid in enumerate(self.qids):
+                t = self.tables[i]                 # (m, ksub)
+                d2 = np.zeros(len(df))
+                for j in range(m):
+                    d2 += t[j][codes[:, j]]
+                top = np.argsort(d2, kind="stable")[:k]
+                outs.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[top],
+                    "score": -d2[top]}))
+            return pd.concat(outs, ignore_index=True)
+
+    cands = ds.map_batches(_ADC, batch_format="pandas",
+                           concurrency=concurrency)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True], kind="stable") \
+             .head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(reduce_topk,
+                                                batch_format="pandas")

@@ -1,0 +1,117 @@
+"""Product quantization: fit parity, encode roundtrip, ADC recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from openmldb_ray.stages.pq import (_encode_mat, pq_adc_topk, pq_encode,
+                                    pq_fit)
+from openmldb_ray.stages.simsearch import _normalize, knn_brute_force
+
+M, NBITS = 4, 5  # small codebooks keep the fit-parity tests fast
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(19)
+    centers = rng.normal(scale=5, size=(10, 16))
+    X = np.concatenate([c + rng.normal(size=(300, 16)) for c in centers])
+    perm = rng.permutation(len(X))
+    X = X[perm]
+    df = pd.DataFrame({"vec_id": np.arange(len(X)),
+                       "embedding": list(X.astype(np.float32))})
+    return df, _normalize(X.astype(np.float64))
+
+
+def _naive_fit(Xn, init, iters):
+    m, ksub, dsub = init.shape
+    books = init.copy()
+    xs = Xn.reshape(len(Xn), m, dsub)
+    for _ in range(iters):
+        for j in range(m):
+            xj = np.ascontiguousarray(xs[:, j, :])
+            cj = books[j]
+            a = (xj @ cj.T - 0.5 * (cj * cj).sum(axis=1)).argmax(axis=1)
+            for c in range(ksub):
+                sel = a == c
+                if sel.any():
+                    books[j, c] = xj[sel].mean(axis=0)
+    return books
+
+
+def test_fit_matches_naive(data):
+    df, Xn = data
+    ds = ray.data.from_pandas(df).repartition(5)
+    model = pq_fit(ds, m=M, nbits=NBITS, iters=3, seed=7)
+    # reconstruct the deterministic init and run the same Lloyd naively
+    from openmldb_ray.stages.cluster import _kmeanspp
+    sample = _normalize(np.stack(
+        ds.limit(2048).to_pandas()["embedding"].to_numpy())
+        .astype(np.float64))
+    rng = np.random.default_rng(7)
+    dsub = Xn.shape[1] // M
+    init = np.stack([_kmeanspp(
+        np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+        1 << NBITS, rng) for j in range(M)])
+    ref = _naive_fit(Xn, init, 3)
+    np.testing.assert_allclose(model["codebooks"], ref, atol=1e-8)
+    assert (np.diff(np.asarray(model["inertia"])) <= 1e-6).all()
+
+
+def test_encode_and_reconstruction(data):
+    df, Xn = data
+    ds = ray.data.from_pandas(df).repartition(4)
+    model = pq_fit(ds, m=M, nbits=NBITS, iters=4, seed=7)
+    out = pq_encode(ds, model).to_pandas().sort_values("vec_id")
+    codes = np.frombuffer(b"".join(out["pq_code"]), dtype=np.uint8) \
+        .reshape(len(out), M)
+    np.testing.assert_array_equal(
+        codes, _encode_mat(Xn, model["codebooks"]))
+    # reconstruction beats the crude 1-codeword-per-subspace baseline
+    books = model["codebooks"]
+    dsub = model["dsub"]
+    rec = np.concatenate([books[j][codes[:, j]] for j in range(M)], axis=1)
+    mse = ((Xn - rec) ** 2).mean()
+    mean_rec = np.concatenate(
+        [np.tile(Xn.reshape(len(Xn), M, dsub)[:, j, :].mean(axis=0),
+                 (len(Xn), 1)) for j in range(M)], axis=1)
+    assert mse < 0.5 * ((Xn - mean_rec) ** 2).mean()
+
+
+def test_adc_recall_vs_exact(data):
+    # realistic codebook size (m=8 subspaces x 256 codewords) for recall
+    df, _ = data
+    ds = ray.data.from_pandas(df).repartition(4)
+    model = pq_fit(ds, m=8, nbits=8, iters=4, seed=7)
+    coded = pq_encode(ds, model)
+    q = np.stack(df["embedding"].to_numpy()[:8]).astype(np.float64)
+    qids = df["vec_id"].to_numpy()[:8]
+    approx = pq_adc_topk(coded, model, q, qids, k=5).to_pandas()
+    exact = knn_brute_force(ds, q, qids, k=5).to_pandas()
+    recall = np.mean([
+        len(set(approx.loc[approx["query_id"] == i, "neighbor_id"])
+            & set(exact.loc[exact["query_id"] == i, "neighbor_id"])) / 5
+        for i in qids])
+    assert recall >= 0.6
+    # each query's own vector lands in its own ADC top-5
+    hit = np.mean([qid in set(
+        approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        for qid in qids])
+    assert hit >= 0.9
+
+
+def test_split_invariance(data):
+    df, _ = data
+    books = []
+    for nparts in (2, 7):
+        m = pq_fit(ray.data.from_pandas(df).repartition(nparts),
+                   m=M, nbits=NBITS, iters=2, seed=7)
+        books.append(m["codebooks"])
+    np.testing.assert_allclose(books[0], books[1], atol=1e-8)
+
+
+def test_bad_dim():
+    df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(10)]})
+    with pytest.raises(ValueError):
+        pq_fit(ray.data.from_pandas(df), m=4, nbits=2, iters=1)
