@@ -1698,6 +1698,56 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph dedup (Wenzek et al. 2020): split docs into
+    8-word sentences (the synthetic docs carry no newlines, so the
+    sentence derivation is part of the fixture and replayed exactly in
+    SQL), keep only the globally FIRST occurrence of each sentence in
+    (doc_id, position) order, reassemble docs, drop docs that end up
+    empty. Exact DuckDB oracle: parallel-unnest words -> GROUP BY word
+    chunk -> ROW_NUMBER() dedup -> ordered string_agg reassembly."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.paradedup import paragraph_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_sentences(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].astype(str).str.strip() != ""].copy()
+        out = []
+        for t in df["text"]:
+            w = str(t).split()
+            out.append("\n".join(" ".join(w[i:i + 8])
+                                 for i in range(0, len(w), 8)))
+        df["text"] = out
+        return df
+
+    prepped = docs.map_batches(to_sentences, batch_format="pandas",
+                               batch_size=None)
+    out = paragraph_dedup(prepped, "text", "doc_id",
+                          min_chars=1).to_pandas()
+    return out[["doc_id", "text"]]
+
+
+def q_exact_quantile(sf_dir: str):
+    """Exact corpus-wide quantiles with no global sort (iterative
+    histogram refinement over the single-column projection; each round is
+    one streaming scan emitting tiny mergeable histogram partials).
+    Values match DuckDB's quantile_disc / quantile_cont bit-for-bit —
+    ties, heavy tails and all."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.quantile import exact_quantiles
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = [0.25, 0.5, 0.9, 0.99]
+    disc = exact_quantiles(li, "l_extendedprice", qs,
+                           interpolation="disc", collect_cap=50_000)
+    cont = exact_quantiles(li, "l_extendedprice", qs,
+                           interpolation="cont", collect_cap=50_000)
+    return pd.DataFrame({"q": qs,
+                         "disc": disc["value"].to_numpy(),
+                         "cont": cont["value"].to_numpy()})
+
+
 def q_tokens_to_shards(sf_dir: str):
     """The full pretraining-data tail in ONE streaming composition:
     quality rules -> text->tokens bridge -> greedy packing into <=256-token
@@ -2189,6 +2239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_docs": q_incremental_docs,
         "weighted_sample": q_weighted_sample,
         "tokens_to_shards": q_tokens_to_shards,
+        "paragraph_dedup": q_paragraph_dedup,
+        "exact_quantile": q_exact_quantile,
         "knn_pq": q_knn_pq,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
@@ -2847,6 +2899,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "paragraph_dedup": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+                     unnest(range(0, len(regexp_split_to_array(trim(text),
+                                                               '\s+'))))
+                         AS wi
+              FROM documents WHERE trim(text) <> ''
+            ), sents AS (
+              SELECT doc_id, wi // 8 AS si,
+                     string_agg(w, ' ' ORDER BY wi) AS p
+              FROM words GROUP BY doc_id, wi // 8
+            ), flagged AS (
+              SELECT doc_id, si, p,
+                     ROW_NUMBER() OVER (PARTITION BY p
+                                        ORDER BY doc_id, si) = 1 AS keep
+              FROM sents
+            ), kept AS (
+              SELECT doc_id, string_agg(p, chr(10) ORDER BY si) AS text
+              FROM flagged WHERE keep GROUP BY doc_id
+            )
+            SELECT doc_id, text FROM kept WHERE trim(text) <> ''
+        """,
+        "exact_quantile": """
+            SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS disc,
+                   quantile_cont(l_extendedprice, 0.25) AS cont
+            FROM lineitem
+            UNION ALL
+            SELECT 0.5, quantile_disc(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT 0.9, quantile_disc(l_extendedprice, 0.9),
+                   quantile_cont(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL
+            SELECT 0.99, quantile_disc(l_extendedprice, 0.99),
+                   quantile_cont(l_extendedprice, 0.99) FROM lineitem
         """,
         "tokens_to_shards": r"""
             SELECT CAST(SUM(n_words) AS BIGINT) AS total_tok,
