@@ -1698,6 +1698,36 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_domain_filter(sf_dir: str):
+    """Group-level curation (RefinedWeb/C4 "drop bad DOMAINS"): keep
+    every doc whose source's mean n_chars clears the bar. Pass 1 is a
+    per-block combiner (<= #distinct-keys narrow partial rows per block)
+    folded by one coarse key-hash shuffle — integer sums stay int64 so
+    the mean is bit-identical to SQL AVG; pass 2 is the distributed
+    semi-join. Exact DuckDB IN-subquery oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import keyed_threshold_filter
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    out = keyed_threshold_filter(docs, "source", "n_chars", agg="mean",
+                                 threshold=300.0).to_pandas()
+    return out[["doc_id", "source", "n_chars"]]
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment: integer-exact knuth-hash
+    intervals (floor(cum_frac * 2^32) edges), one shuffle-free streaming
+    pass, stable under rerun/repartition/resume. The rule is
+    SQL-expressible, so the oracle replays it bit-for-bit."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import hash_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    return out[["doc_id", "split"]]
+
+
 def q_paragraph_dedup(sf_dir: str):
     """CCNet-style paragraph dedup (Wenzek et al. 2020): split docs into
     8-word sentences (the synthetic docs carry no newlines, so the
@@ -2240,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "tokens_to_shards": q_tokens_to_shards,
         "paragraph_dedup": q_paragraph_dedup,
+        "domain_filter": q_domain_filter,
+        "hash_split": q_hash_split,
         "exact_quantile": q_exact_quantile,
         "knn_pq": q_knn_pq,
         "token_budget": q_token_budget,
@@ -2899,6 +2931,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "domain_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source IN (SELECT source FROM documents
+                             GROUP BY source HAVING avg(n_chars) >= 300)
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h < {int(0.8 * (1 << 32))} THEN 'train'
+                        WHEN h < {int(np.floor(0.9 * (1 << 32)))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id % 1048576) * 2654435761) % 4294967296 AS h
+                  FROM documents) t
         """,
         "paragraph_dedup": r"""
             WITH words AS (

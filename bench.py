@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "pca_embed", "range_join", "hopping_agg", "shard_shuffle",
     "score_norm", "kmeans_embed", "mixture_sample", "dsir_select",
     "incremental_docs", "weighted_sample", "tokens_to_shards", "knn_pq",
-    "paragraph_dedup", "exact_quantile",
+    "paragraph_dedup", "exact_quantile", "domain_filter", "hash_split",
 ]
 
 

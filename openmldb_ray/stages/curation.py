@@ -863,3 +863,103 @@ def weighted_sample(ds: "ray.data.Dataset", k: int, weight_col: str,
     out = budget_select(keyed, key_col, budget=k, id_col=id_col,
                         materialize_narrow=True)
     return out.drop_columns([key_col])
+
+
+def keyed_threshold_filter(ds: "ray.data.Dataset", key_col: str,
+                           value_col: str, *, agg: str = "mean",
+                           threshold: float, op: str = ">=",
+                           num_buckets: int = 256,
+                           num_partitions: int | None = None):
+    """Two-pass group-level filtering — the RefinedWeb / C4 "drop bad
+    DOMAINS, not bad documents" shape: keep every row whose ``key_col``
+    group's aggregate of ``value_col`` clears ``threshold``.
+
+    Pass 1 computes the per-key aggregate with a per-block COMBINER
+    (each block emits at most #distinct-keys-in-block narrow partial
+    rows: sum/count/min/max — all mergeable), folded by one coarse
+    key-hash shuffle; integer sums stay int64 so ``mean`` is (exact
+    integer sum)/count — bit-identical to a SQL engine's AVG. Pass 2
+    hands the (small) passing-key set to :func:`semijoin.semi_join`,
+    which broadcasts it below its limit or co-shuffles above — millions
+    of web domains never land on the driver.
+
+    SQL equivalent (the oracle):
+    ``WHERE key IN (SELECT key FROM t GROUP BY key HAVING agg(v) >= thr)``.
+    Null values are excluded from the aggregate (SQL semantics); keys
+    whose values are all null never pass.
+    """
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import bucket_ids, quiet_ray_data_logs
+    from .semijoin import semi_join
+
+    if agg not in ("mean", "sum", "count", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if op not in (">=", ">", "<=", "<"):
+        raise ValueError(f"unsupported op {op!r}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        v = pd.to_numeric(df[value_col], errors="coerce")
+        g = pd.DataFrame({key_col: df[key_col], "v": v}).groupby(
+            key_col, dropna=True, sort=False)["v"]
+        out = pd.DataFrame({"s": g.sum(), "c": g.count(),
+                            "mn": g.min(), "mx": g.max()}).reset_index()
+        out["__kb"] = bucket_ids(out, [key_col], num_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        f = g.groupby(key_col, sort=False).agg(
+            s=("s", "sum"), c=("c", "sum"), mn=("mn", "min"),
+            mx=("mx", "max")).reset_index()
+        f = f[f["c"] > 0]
+        if agg == "mean":
+            val = f["s"].to_numpy(np.float64) / f["c"].to_numpy(np.float64)
+        elif agg == "sum":
+            val = f["s"].to_numpy()
+        elif agg == "count":
+            val = f["c"].to_numpy()
+        elif agg == "min":
+            val = f["mn"].to_numpy()
+        else:
+            val = f["mx"].to_numpy()
+        keep = {"<": val < threshold, "<=": val <= threshold,
+                ">": val > threshold, ">=": val >= threshold}[op]
+        return f.loc[keep, [key_col]]
+
+    partials = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None)
+    passing = map_groups_typed(partials, "__kb", fold,
+                               num_partitions=num_partitions)
+    return semi_join(ds, passing, key_col)
+
+
+def hash_split(ds: "ray.data.Dataset", fractions: dict[str, float],
+               id_col: str = "doc_id", *, split_col: str = "split",
+               mod_bits: int = 20):
+    """Deterministic train/val/test assignment by an integer-exact hash
+    rule — stable under reruns, repartitioning and resume, and replayable
+    bit-for-bit by a SQL engine (the same knuth-multiply rule
+    mixture_sample's oracle replays).
+
+    Each row lands in the split whose cumulative-fraction interval
+    contains ``knuth_hash_u32(id)``; interval edges are exact integers
+    ``floor(cum_frac * 2^32)``. One shuffle-free streaming pass appending
+    one column. Fractions must sum to 1 (±1e-9); iteration order of
+    ``fractions`` fixes the interval order."""
+    names = list(fractions)
+    fr = np.array([fractions[n] for n in names], np.float64)
+    if (fr < 0).any() or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError("fractions must be >= 0 and sum to 1")
+    edges = np.floor(np.cumsum(fr) * float(1 << 32)).astype(np.uint64)
+    edges[-1] = np.uint64(1 << 32)  # guard the last interval exactly
+    labels = np.array(names, dtype=object)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = knuth_hash_u32(df[id_col].to_numpy(),
+                           mod_bits=mod_bits).astype(np.uint64)
+        df[split_col] = labels[np.searchsorted(edges, h, side="right")]
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=None)
