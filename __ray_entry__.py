@@ -578,7 +578,11 @@ def _ann_recall(sf_dir: str, method) -> pd.DataFrame:
     from openmldb_ray.sources.io import read_table
     from openmldb_ray.stages.simsearch import knn_brute_force
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # the method under test + the exact baseline together scan this
+    # narrow 2-column projection several times (pq_fit alone scans once
+    # per Lloyd iteration); pin it in the object store once
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).materialize()
     qdf = emb.filter(expr="vec_id < 10").to_pandas()
     qm = np.stack([np.asarray(v, float) for v in qdf["embedding"]])
     qids = qdf["vec_id"].to_numpy()
@@ -1711,7 +1715,8 @@ def q_domain_filter(sf_dir: str):
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "source", "n_chars"])
     out = keyed_threshold_filter(docs, "source", "n_chars", agg="mean",
-                                 threshold=300.0).to_pandas()
+                                 threshold=300.0,
+                                 num_partitions=8).to_pandas()
     return out[["doc_id", "source", "n_chars"]]
 
 
@@ -1753,8 +1758,8 @@ def q_paragraph_dedup(sf_dir: str):
 
     prepped = docs.map_batches(to_sentences, batch_format="pandas",
                                batch_size=None)
-    out = paragraph_dedup(prepped, "text", "doc_id",
-                          min_chars=1).to_pandas()
+    out = paragraph_dedup(prepped, "text", "doc_id", min_chars=1,
+                          num_partitions=16).to_pandas()
     return out[["doc_id", "text"]]
 
 
@@ -1769,13 +1774,9 @@ def q_exact_quantile(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
     qs = [0.25, 0.5, 0.9, 0.99]
-    disc = exact_quantiles(li, "l_extendedprice", qs,
-                           interpolation="disc", collect_cap=50_000)
-    cont = exact_quantiles(li, "l_extendedprice", qs,
-                           interpolation="cont", collect_cap=50_000)
-    return pd.DataFrame({"q": qs,
-                         "disc": disc["value"].to_numpy(),
-                         "cont": cont["value"].to_numpy()})
+    out = exact_quantiles(li, "l_extendedprice", qs, interpolation="both",
+                          collect_cap=50_000, materialize_narrow=True)
+    return out[["q", "disc", "cont"]]
 
 
 def q_tokens_to_shards(sf_dir: str):

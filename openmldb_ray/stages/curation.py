@@ -929,8 +929,12 @@ def keyed_threshold_filter(ds: "ray.data.Dataset", key_col: str,
 
     partials = ds.select_columns([key_col, value_col]).map_batches(
         partial, batch_format="pandas", batch_size=None)
+    # materialize the passing-key table (it is #passing-keys rows — the
+    # small side by contract): semi_join's auto strategy counts it and
+    # its broadcast path reads it, which would otherwise re-run the
+    # combiner + fold shuffle twice
     passing = map_groups_typed(partials, "__kb", fold,
-                               num_partitions=num_partitions)
+                               num_partitions=num_partitions).materialize()
     return semi_join(ds, passing, key_col)
 
 

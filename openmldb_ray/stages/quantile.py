@@ -47,12 +47,20 @@ class _QState:
         self.resolved = None
 
 
-def _order_stats(ds, ranks: list[int], col: str, *, bins: int,
-                 collect_cap: int, max_rounds: int) -> dict[int, float]:
+def _order_stats(narrow, ranks: list[int], col: str, *, bins: int,
+                 collect_cap: int, max_rounds: int,
+                 init: tuple | None = None) -> dict[int, float]:
     """value at each 0-based ``rank`` of the ascending-sorted non-null
-    column. Ranks must already be validated against the count."""
+    column of the single-column dataset ``narrow``. Ranks must already be
+    validated against the count. ``init=(n, gmin, gmax)`` seeds every
+    state from an already-run observe pass (skips the first round)."""
     states = {r: _QState(r) for r in sorted(set(ranks))}
-    narrow = ds.select_columns([col])
+    if init is not None:
+        n0, gmin, gmax = init
+        for s in states.values():
+            s.lo, s.hi, s.n_in = gmin, gmax, n0
+            if gmin == gmax:
+                s.resolved = gmin
 
     for _ in range(max_rounds):
         active = [(r, s) for r, s in states.items() if s.resolved is None
@@ -149,32 +157,9 @@ def _order_stats(ds, ranks: list[int], col: str, *, bins: int,
     return {r: states[r].resolved for r in set(ranks)}
 
 
-def exact_quantiles(ds: "ray.data.Dataset", col: str, qs, *,
-                    interpolation: str = "disc", bins: int = 4096,
-                    collect_cap: int = 200_000,
-                    max_rounds: int = 24) -> pd.DataFrame:
-    """Exact quantiles of a numeric column at fractions ``qs``.
-
-    ``interpolation='disc'`` matches DuckDB/Postgres ``quantile_disc`` /
-    ``percentile_disc``: the first element whose cumulative fraction
-    reaches q, i.e. the 0-based rank ``ceil(q*n) - 1``.
-    ``interpolation='cont'`` matches ``quantile_cont``: linear
-    interpolation at position ``q*(n-1)``. Nulls/NaNs are excluded (SQL
-    semantics). Returns a small DataFrame ``(q, value)`` on the driver —
-    the aggregate is scalar-sized by nature."""
-    qs = [float(q) for q in qs]
-    if any(q < 0 or q > 1 for q in qs):
-        raise ValueError("quantile fractions must be in [0, 1]")
-    # one cheap count pass (column-pruned) to turn fractions into ranks
-    n = int(ds.select_columns([col]).map_batches(
-        lambda t: {"c": np.array(
-            [len(t[col]) - int(pd.isna(
-                t[col].to_numpy(zero_copy_only=False)).sum())])},
-        batch_format="pyarrow", batch_size=None).sum("c") or 0)
-    if n == 0:
-        return pd.DataFrame({"q": qs, "value": [math.nan] * len(qs)})
-
-    ranks = set()
+def _rank_plan(qs, n: int, interpolation: str):
+    """fractions → (0-based ranks, per-q (ranks, weights) mix)."""
+    ranks: set[int] = set()
     per_q: list[tuple[float, list[int], list[float]]] = []
     for q in qs:
         if interpolation == "disc":
@@ -192,9 +177,73 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs, *,
                 ranks.update((lo, lo + 1))
         else:
             raise ValueError(f"unknown interpolation {interpolation!r}")
+    return ranks, per_q
 
-    got = _order_stats(ds, sorted(ranks), col, bins=bins,
-                       collect_cap=collect_cap, max_rounds=max_rounds)
-    vals = [sum(w * got[r] for r, w in zip(rs, ws))
-            for (_, rs, ws) in per_q]
-    return pd.DataFrame({"q": qs, "value": vals})
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str, qs, *,
+                    interpolation: str = "disc", bins: int = 4096,
+                    collect_cap: int = 200_000, max_rounds: int = 24,
+                    materialize_narrow: bool = False) -> pd.DataFrame:
+    """Exact quantiles of a numeric column at fractions ``qs``.
+
+    ``interpolation='disc'`` matches DuckDB/Postgres ``quantile_disc`` /
+    ``percentile_disc``: the first element whose cumulative fraction
+    reaches q, i.e. the 0-based rank ``ceil(q*n) - 1``.
+    ``interpolation='cont'`` matches ``quantile_cont``: linear
+    interpolation at position ``q*(n-1)``. ``'both'`` computes the two in
+    ONE refinement (their ranks share every scan) and returns columns
+    ``(q, disc, cont)``. Nulls/NaNs are excluded (SQL semantics).
+    Returns a small driver DataFrame — the aggregate is scalar-sized by
+    nature. ``materialize_narrow`` pins the single-column projection in
+    the object store once; the refinement scans it O(log) times, so when
+    the upstream is a parquet read or an expensive pipeline this is the
+    scale-correct trade (same knob as select.budget_select)."""
+    qs = [float(q) for q in qs]
+    if any(q < 0 or q > 1 for q in qs):
+        raise ValueError("quantile fractions must be in [0, 1]")
+    kinds = (["disc", "cont"] if interpolation == "both"
+             else [interpolation])
+    narrow = ds.select_columns([col])
+    if materialize_narrow:
+        narrow = narrow.materialize()
+
+    # observe pass: global count / min / max in one scan (seeds every
+    # state, replacing both the count pass and the first observe round)
+    def observe(t):
+        import pyarrow as pa
+
+        x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if not len(x):
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"c": [len(x)], "mn": [float(x.min())],
+                         "mx": [float(x.max())]})
+
+    obs = narrow.map_batches(observe, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    n = int(obs["c"].sum()) if len(obs) else 0
+    if n == 0:
+        out = {"q": qs}
+        for k in kinds:
+            out["value" if len(kinds) == 1 else k] = [math.nan] * len(qs)
+        return pd.DataFrame(out)
+    gmin, gmax = float(obs["mn"].min()), float(obs["mx"].max())
+
+    ranks: set[int] = set()
+    plans = {}
+    for k in kinds:
+        rk, per_q = _rank_plan(qs, n, k)
+        ranks |= rk
+        plans[k] = per_q
+    got = _order_stats(narrow, sorted(ranks), col, bins=bins,
+                       collect_cap=collect_cap, max_rounds=max_rounds,
+                       init=(n, gmin, gmax))
+    out = {"q": qs}
+    for k in kinds:
+        out["value" if len(kinds) == 1 else k] = [
+            sum(w * got[r] for r, w in zip(rs, ws))
+            for (_, rs, ws) in plans[k]]
+    return pd.DataFrame(out)
