@@ -1634,8 +1634,13 @@ def q_dsir_select(sf_dir: str):
     from openmldb_ray.stages.dsir import (_bucketize, _explode_grams,
                                           dsir_select)
 
+    # the narrow 3-column projection is consumed 5+ times downstream
+    # (count, two fit passes, scoring base, final filter, verification);
+    # pin it once — same materialize-below-threshold trade as the
+    # flagship (at 100 TB you'd re-stream the raw side instead and pay
+    # the re-read, or cap with pipelines/flagship.py's size guard)
     docs = read_table(sf_dir, "documents",
-                      columns=["doc_id", "source", "text"])
+                      columns=["doc_id", "source", "text"]).materialize()
     target = docs.filter(expr="source == 'src0' or source == 'src1'")
     raw = docs.filter(expr="source != 'src0' and source != 'src1'")
     raw_n = raw.count()
@@ -1700,6 +1705,67 @@ def q_weighted_sample(sf_dir: str):
                       columns=["doc_id", "source", "n_chars"])
     out = weighted_sample(docs, 300, "n_chars").to_pandas()
     return out[["doc_id", "source", "n_chars"]]
+
+
+def q_drift_psi(sf_dir: str):
+    """Snapshot drift monitoring: Population Stability Index of n_chars
+    between two corpus halves (sources src0-9 as the reference snapshot,
+    src10-19 as current) over FIXED bin edges. Each snapshot is ONE
+    streaming pass emitting <= #bins mergeable count partials per block;
+    the driver folds two #bins-row histograms — no shuffle. Exact DuckDB
+    oracle replaying the clamped searchsorted binning, the GREATEST
+    epsilon floor and the (q-p)*ln(q/p) terms."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.drift import drift_psi
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    refs = [f"src{k}" for k in range(10)]
+
+    def split(which):
+        def fn(df):
+            m = df["source"].isin(refs)
+            return df[m if which == "ref" else ~m]
+        return fn
+
+    ref = docs.map_batches(split("ref"), batch_format="pandas",
+                           batch_size=None)
+    cur = docs.map_batches(split("cur"), batch_format="pandas",
+                           batch_size=None)
+    edges = [0, 250, 280, 300, 320, 350, 100000]
+    out = drift_psi(ref, cur, "n_chars", edges)
+    # fractions are bit-exact (integer count / integer n divisions);
+    # PSI itself goes through ln(), whose last bits differ between numpy
+    # and DuckDB's libm — compare it at interpretive precision (the
+    # standard <0.1 / <0.25 stability bands) instead of bit-for-bit
+    psi = out["psi"].to_numpy()
+    band = np.where(psi < 0.1, "stable",
+                    np.where(psi < 0.25, "moderate", "shifted"))
+    return pd.DataFrame({"bin": out["bin"], "ref_frac": out["ref_frac"],
+                         "cur_frac": out["cur_frac"], "psi_band": band})
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (the pass every dedup pipeline runs
+    first): lowercase -> punctuation strip -> whitespace collapse, all
+    vectorized pandas str kernels in one shuffle-free pass. The fixture
+    first derives a deliberately messy column (upper-cased copy glued
+    with punctuation — replayed identically in SQL) so the op has real
+    work; the oracle replays lower + two regexp_replace passes."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import normalize_text
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = (df["text"].astype(str).str.upper()
+                      + "  ,, !! " + df["text"].astype(str))
+        return df
+
+    out = normalize_text(
+        docs.map_batches(messy, batch_format="pandas", batch_size=None),
+        strip_punct=True).to_pandas()
+    return out[["doc_id", "text"]]
 
 
 def q_domain_filter(sf_dir: str):
@@ -2272,6 +2338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_to_shards": q_tokens_to_shards,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
+        "drift_psi": q_drift_psi,
+        "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
         "exact_quantile": q_exact_quantile,
         "knn_pq": q_knn_pq,
@@ -2932,6 +3000,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "drift_psi": """
+            WITH e(v) AS (VALUES (0), (250), (280), (300), (320), (350),
+                                 (100000)),
+            rb AS (SELECT LEAST(GREATEST(
+                       (SELECT count(*) FROM e WHERE e.v <= d.n_chars) - 1,
+                       0), 5) AS bin
+                   FROM documents d
+                   WHERE CAST(substr(source, 4) AS INT) < 10
+                     AND n_chars IS NOT NULL),
+            cb AS (SELECT LEAST(GREATEST(
+                       (SELECT count(*) FROM e WHERE e.v <= d.n_chars) - 1,
+                       0), 5) AS bin
+                   FROM documents d
+                   WHERE CAST(substr(source, 4) AS INT) >= 10
+                     AND n_chars IS NOT NULL),
+            bins AS (SELECT unnest(range(0, 6)) AS bin),
+            rc AS (SELECT b.bin, count(rb.bin) AS c FROM bins b
+                   LEFT JOIN rb ON rb.bin = b.bin GROUP BY b.bin),
+            cc AS (SELECT b.bin, count(cb.bin) AS c FROM bins b
+                   LEFT JOIN cb ON cb.bin = b.bin GROUP BY b.bin),
+            f AS (SELECT rc.bin,
+                         GREATEST(rc.c * 1.0 / (SELECT sum(c) FROM rc),
+                                  1e-6) AS p,
+                         GREATEST(cc.c * 1.0 / (SELECT sum(c) FROM cc),
+                                  1e-6) AS q
+                  FROM rc JOIN cc USING (bin))
+            SELECT bin, p AS ref_frac, q AS cur_frac,
+                   CASE WHEN SUM((q - p) * ln(q / p)) OVER () < 0.1
+                        THEN 'stable'
+                        WHEN SUM((q - p) * ln(q / p)) OVER () < 0.25
+                        THEN 'moderate' ELSE 'shifted' END AS psi_band
+            FROM f
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        lower(upper(text) || '  ,, !! ' || text),
+                        '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+            FROM documents
         """,
         "domain_filter": """
             SELECT doc_id, source, n_chars FROM documents

@@ -330,3 +330,43 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
                           fn_constructor_kwargs=dict(
                               ref=ref, text_col=text_col, id_col=id_col,
                               top_k=top_k))
+
+
+def normalize_text(ds: "ray.data.Dataset", text_col: str = "text", *,
+                   lowercase: bool = True, collapse_ws: bool = True,
+                   strip_punct: bool = False, nfkc: bool = False,
+                   out_col: str | None = None,
+                   batch_size: int | None = None):
+    """Canonical text normalization — the pass every dedup/decontamination
+    pipeline runs FIRST so that trivial variants ("Hello  World!" vs
+    "hello world") hash identically (CCNet normalizes before line dedup,
+    Lee et al. 2021 before suffix-array dedup).
+
+    One shuffle-free streaming pass of vectorized pandas str kernels:
+    optional lowercase, Unicode NFKC folding, punctuation strip
+    (everything outside [\\w\\s]), and whitespace collapse (runs -> one
+    space, ends trimmed) — applied in that order. All steps except
+    ``nfkc`` are SQL-replayable (lower + regexp_replace), which is what
+    the driver oracle checks; NFKC is exposed because real corpora need
+    it but is off by default. Writes ``out_col`` (default: in place)."""
+    out_col = out_col or text_col
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        df = df.copy()
+        s = df[text_col].astype(str)
+        if lowercase:
+            s = s.str.lower()
+        if nfkc:
+            s = s.str.normalize("NFKC")
+        if strip_punct:
+            s = s.str.replace(r"[^\w\s]", " ", regex=True)
+        if collapse_ws:
+            s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+        df[out_col] = s
+        return df
+
+    return ds.map_batches(norm, batch_format="pandas",
+                          batch_size=batch_size)
