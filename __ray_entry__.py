@@ -1707,6 +1707,29 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_knn_join(sf_dir: str):
+    """Dataset-to-dataset cosine top-3 join (every even vec against the
+    odd-vec corpus) on the exact broadcast path: right side stacked into
+    one normalized matrix in the object store, each left batch answers
+    its own top-k with a single matmul — no shuffle, no reduce. Exact
+    DuckDB CROSS JOIN + list_cosine_similarity ROW_NUMBER oracle (the
+    IVF scale path is recall-tested in tests/test_knn_join.py)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.simsearch import knn_join
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def parity(p):
+        return lambda df: df[df["vec_id"].to_numpy() % 2 == p]
+
+    left = emb.map_batches(parity(0), batch_format="pandas",
+                           batch_size=None)
+    right = emb.map_batches(parity(1), batch_format="pandas",
+                            batch_size=None)
+    out = knn_join(left, right, k=3, strategy="broadcast").to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_drift_psi(sf_dir: str):
     """Snapshot drift monitoring: Population Stability Index of n_chars
     between two corpus halves (sources src0-9 as the reference snapshot,
@@ -2338,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_to_shards": q_tokens_to_shards,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
+        "knn_join": q_knn_join,
         "drift_psi": q_drift_psi,
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
@@ -3000,6 +3024,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "knn_join": """
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.embedding,
+                                                        v.embedding) DESC,
+                                 v.vec_id) AS BIGINT) AS rank
+            FROM embeddings q CROSS JOIN embeddings v
+            WHERE q.vec_id % 2 = 0 AND v.vec_id % 2 = 1
+            QUALIFY rank <= 3
         """,
         "drift_psi": """
             WITH e(v) AS (VALUES (0), (250), (280), (300), (320), (350),

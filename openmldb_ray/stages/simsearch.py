@@ -432,3 +432,160 @@ def semantic_dedup(
                  .groupby("__c")
                  .map_groups(cluster_dups, batch_format="pandas"))
     return anti_join_ids(ds, dup_ids, id_col)
+
+
+def knn_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    k: int = 1,
+    *,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 2048,
+    seed: int = 42,
+    concurrency=(1, 8),
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Dataset-to-dataset cosine top-k join: for EVERY left row, its k
+    nearest right rows — the all-rows generalization of knn_brute_force's
+    fixed query set (cross-corpus near-dup linking, retrieval-augmented
+    labeling, eval-to-train contamination tracing).
+
+    ``broadcast`` (exact): the right side is materialized once, stacked
+    into one L2-normalized matrix in the object store, and every LEFT
+    batch answers its own top-k with a single matmul — no shuffle, no
+    reduce, one streaming pass over left. Right side must fit a worker
+    heap (``broadcast_limit`` rows caps it; 2M x 64 f64 = ~1 GB).
+
+    ``ivf`` (approximate, the scale path): a coarse k-means quantizer
+    from a driver sample of right buckets BOTH sides — right rows to
+    their nearest centroid, left rows replicated to their ``nprobe``
+    nearest — then ONE bucket co-shuffle and a per-bucket matmul + local
+    top-k, reduced to the global top-k by a final small groupby on the
+    left id. Cost scales with nprobe/num_centroids like knn_ivf; recall
+    is tested, not assumed. Ties broken (score desc, right_id asc).
+
+    Returns (query_id, neighbor_id, rank) with query_id = left ids.
+    """
+    right = right.select_columns([right_id, vec_col]).materialize()
+    n_right = right.count()  # metadata — materialized above
+    if n_right == 0:
+        raise ValueError("right side is empty")
+    if strategy == "auto":
+        strategy = "broadcast" if n_right <= broadcast_limit else "ivf"
+
+    if strategy == "broadcast":
+        mats, idps = [], []
+        for b in right.iter_batches(batch_format="pandas"):
+            mats.append(_normalize(_stack(b[vec_col])))
+            idps.append(b[right_id].to_numpy())
+        ref = ray.put({"mat": np.ascontiguousarray(np.vstack(mats)),
+                       "ids": np.concatenate(idps)})
+
+        class _JoinScorer:
+            def __init__(self):
+                st = ray.get(ref)
+                self.mat, self.ids = st["mat"], st["ids"]
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if len(df) == 0:
+                    return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                         "rank": []})
+                x = _normalize(_stack(df[vec_col]))
+                lids = df[left_id].to_numpy()
+                s = x @ self.mat.T                      # (nb, n_right)
+                kk = min(k, s.shape[1])
+                top = np.argpartition(-s, kth=kk - 1, axis=1)[:, :kk]
+                rows = np.arange(len(x))[:, None]
+                ts = s[rows, top]
+                # deterministic (score desc, right_id asc) within the top
+                order = np.lexsort((self.ids[top], -ts), axis=1)
+                sel = np.take_along_axis(top, order, axis=1)
+                return pd.DataFrame({
+                    "query_id": np.repeat(lids, kk),
+                    "neighbor_id": self.ids[sel].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                    len(x))})
+
+        return left.select_columns([left_id, vec_col]).map_batches(
+            _JoinScorer, batch_format="pandas", batch_size=None,
+            concurrency=concurrency)
+
+    if strategy != "ivf":
+        raise ValueError(f"strategy={strategy!r}")
+
+    sample = _stack(right.limit(sample_size).to_pandas()[vec_col])
+    centroids = _kmeans_lite(_normalize(sample), num_centroids, seed=seed)
+    cref = ray.put(centroids)
+    dim = sample.shape[1]
+
+    def pack(df: pd.DataFrame, idc: str, role: int) -> pd.DataFrame:
+        v = _normalize(_stack(df[vec_col]))
+        c = ray.get(cref)
+        s = v @ c.T
+        if role == 1:                       # right: single nearest bucket
+            bk = s.argmax(axis=1)[:, None]
+        else:                               # left: nprobe nearest buckets
+            npk = min(nprobe, s.shape[1])
+            bk = np.argpartition(-s, kth=npk - 1, axis=1)[:, :npk]
+        reps = bk.shape[1]
+        rows = np.ascontiguousarray(np.repeat(v, reps, axis=0),
+                                    dtype=np.float64)
+        blob = rows.tobytes(order="C")
+        w = dim * 8
+        return pd.DataFrame({
+            "__kb": bk.ravel().astype(np.int64),
+            "__role": np.full(len(df) * reps, role, np.int8),
+            "__id": np.repeat(df[idc].to_numpy(), reps),
+            "__vec": [blob[i * w:(i + 1) * w] for i in range(len(rows))],
+        })
+
+    from ..core.empty_ds import union_any
+    from ..core.grouping import map_groups_typed
+
+    l_rows = left.select_columns([left_id, vec_col]).map_batches(
+        lambda df: pack(df, left_id, 0), batch_format="pandas",
+        batch_size=None)
+    r_rows = right.map_batches(
+        lambda df: pack(df, right_id, 1), batch_format="pandas",
+        batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        is_r = g["__role"].to_numpy() == 1
+        if not is_r.any() or is_r.all():
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "score": []})
+        unb = np.frombuffer(b"".join(g["__vec"].tolist()),
+                            np.float64).reshape(-1, dim)
+        xl, xr = unb[~is_r], unb[is_r]
+        lids = g["__id"].to_numpy()[~is_r]
+        rids = g["__id"].to_numpy()[is_r]
+        s = xl @ xr.T
+        kk = min(k, s.shape[1])
+        top = np.argpartition(-s, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(xl))[:, None]
+        return pd.DataFrame({
+            "query_id": np.repeat(lids, kk),
+            "neighbor_id": rids[top].ravel(),
+            "score": s[rows, top].ravel().astype(np.float64)})
+
+    cands = map_groups_typed(union_any(l_rows, r_rows), "__kb", per_bucket,
+                             num_partitions=num_partitions)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["score"])
+
+    return map_groups_typed(cands, "query_id", reduce_topk,
+                            num_partitions=num_partitions)
