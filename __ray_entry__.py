@@ -1707,6 +1707,22 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_collocations(sf_dir: str):
+    """Corpus-wide collocation extraction (Church & Hanks association
+    ratio): top-30 word bigrams by lift = count(ab)*N/(count(a)*count(b))
+    with min_count 5. One combiner pass (distinct grams per batch ride
+    the shuffle, not occurrences), one gram-hash fold where the
+    min_count prune also bounds the broadcast unigram table, one
+    streaming scoring pass with per-block top-k. Ranking uses lift, not
+    ln(lift): IEEE multiply/divide are exactly specified, so the float
+    is bit-identical to the DuckDB oracle's expression."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.colloc import collocations
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return collocations(docs, top_k=30, min_count=5, num_partitions=16)
+
+
 def q_knn_join(sf_dir: str):
     """Dataset-to-dataset cosine top-3 join (every even vec against the
     odd-vec corpus) on the exact broadcast path: right side stacked into
@@ -2362,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
         "knn_join": q_knn_join,
+        "collocations": q_collocations,
         "drift_psi": q_drift_psi,
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
@@ -3024,6 +3041,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "collocations": r"""
+            WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents WHERE trim(text) <> ''),
+            uni AS (SELECT u AS g, count(*) AS c
+                    FROM (SELECT unnest(ws) AS u FROM w) GROUP BY u),
+            tot AS (SELECT sum(c) AS n FROM uni),
+            bi AS (SELECT a, b, count(*) AS cab FROM (
+                     SELECT unnest(ws[1:len(ws)-1]) AS a,
+                            unnest(ws[2:len(ws)]) AS b
+                     FROM w WHERE len(ws) >= 2) GROUP BY a, b
+                   HAVING count(*) >= 5)
+            SELECT bi.a AS w1, bi.b AS w2, cab AS pair_cnt,
+                   ua.c AS w1_cnt, ub.c AS w2_cnt,
+                   (cab * 1.0 * n) / (ua.c * 1.0 * ub.c) AS lift
+            FROM bi JOIN uni ua ON ua.g = bi.a
+                    JOIN uni ub ON ub.g = bi.b CROSS JOIN tot
+            ORDER BY lift DESC, w1, w2 LIMIT 30
         """,
         "knn_join": """
             SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "score_norm", "kmeans_embed", "mixture_sample", "dsir_select",
     "incremental_docs", "weighted_sample", "tokens_to_shards", "knn_pq",
     "paragraph_dedup", "exact_quantile", "domain_filter", "hash_split",
-    "drift_psi", "normalize_text", "knn_join",
+    "drift_psi", "normalize_text", "knn_join", "collocations",
 ]
 
 
