@@ -1707,6 +1707,24 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_quantile_by_key(sf_dir: str):
+    """GROUP BY exact quantiles (per-source p25/p50/p95 of n_chars,
+    disc + cont in one refinement): every round is ONE streaming scan of
+    the (key, value) projection — each active (key, q) bins its own
+    interval inside the scan, the driver folds a (#active x bins)
+    histogram. Exact DuckDB per-group quantile_disc/quantile_cont
+    oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.quantile import exact_quantiles_by_key
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    out = exact_quantiles_by_key(docs, "n_chars", [0.25, 0.5, 0.95],
+                                 "source", interpolation="both",
+                                 collect_cap=50_000,
+                                 materialize_narrow=True)
+    return out[["source", "q", "disc", "cont"]]
+
+
 def q_collocations(sf_dir: str):
     """Corpus-wide collocation extraction (Church & Hanks association
     ratio): top-30 word bigrams by lift = count(ab)*N/(count(a)*count(b))
@@ -2379,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_filter": q_domain_filter,
         "knn_join": q_knn_join,
         "collocations": q_collocations,
+        "quantile_by_key": q_quantile_by_key,
         "drift_psi": q_drift_psi,
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
@@ -3041,6 +3060,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "quantile_by_key": """
+            SELECT source, 0.25 AS q,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS disc,
+                   quantile_cont(n_chars, 0.25) AS cont
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source, 0.5, CAST(quantile_disc(n_chars, 0.5) AS DOUBLE),
+                   quantile_cont(n_chars, 0.5)
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source, 0.95,
+                   CAST(quantile_disc(n_chars, 0.95) AS DOUBLE),
+                   quantile_cont(n_chars, 0.95)
+            FROM documents GROUP BY source
         """,
         "collocations": r"""
             WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws

@@ -247,3 +247,180 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str, qs, *,
             sum(w * got[r] for r, w in zip(rs, ws))
             for (_, rs, ws) in plans[k]]
     return pd.DataFrame(out)
+
+
+def _order_stats_keyed(narrow, kranks, col: str, key_col: str, *,
+                       bins: int, collect_cap: int, max_rounds: int,
+                       init: dict) -> dict:
+    """Keyed variant: value at 0-based ``rank`` within each key's own
+    ascending order. ``kranks`` is a set of (key, rank); ``init`` maps
+    key -> (n, min, max) from the observe pass. Driver state is
+    O(#keys x bins) — keys are assumed small-cardinality (sources /
+    languages), the same contract as select.budget_select."""
+    states = {}
+    for key, r in sorted(set(kranks)):
+        s = _QState(r)
+        n0, gmin, gmax = init[key]
+        s.lo, s.hi, s.n_in = gmin, gmax, n0
+        if gmin == gmax:
+            s.resolved = gmin
+        states[(key, r)] = s
+
+    for _ in range(max_rounds):
+        active = [(kr, s) for kr, s in states.items()
+                  if s.resolved is None and s.n_in > collect_cap]
+        if not active:
+            break
+        specs = []
+        for i, ((key, r), s) in enumerate(active):
+            edges = (None if s.lo == s.hi
+                     else np.linspace(s.lo, s.hi, bins + 1)[1:-1])
+            specs.append((i, key, s.lo, s.hi, edges))
+
+        def scan(t, specs=specs):
+            import pyarrow as pa
+
+            x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+            kk = t.column(key_col).to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(x)
+            x, kk = x[ok], kk[ok]
+            si, bk, ck, mn, mx = [], [], [], [], []
+            for (i, key, lo, hi, edges) in specs:
+                m = (kk == key) & (x >= lo) & (x <= hi)
+                v = x[m]
+                if not len(v):
+                    continue
+                if edges is None:
+                    si.append(i); bk.append(0); ck.append(len(v))
+                    mn.append(float(v.min())); mx.append(float(v.max()))
+                    continue
+                idx = np.searchsorted(edges, v, side="right")
+                cnt = np.bincount(idx, minlength=bins)
+                occ = np.flatnonzero(cnt)
+                bmin = np.full(bins, np.inf)
+                bmax = np.full(bins, -np.inf)
+                np.minimum.at(bmin, idx, v)
+                np.maximum.at(bmax, idx, v)
+                si.extend([i] * len(occ)); bk.extend(occ.tolist())
+                ck.extend(cnt[occ].tolist())
+                mn.extend(bmin[occ].tolist()); mx.extend(bmax[occ].tolist())
+            return pa.table({"s": pa.array(si, pa.int64()),
+                             "b": pa.array(bk, pa.int64()),
+                             "c": pa.array(ck, pa.int64()),
+                             "mn": pa.array(mn, pa.float64()),
+                             "mx": pa.array(mx, pa.float64())})
+
+        parts = narrow.map_batches(scan, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
+        agg = parts.groupby(["s", "b"]).agg(
+            c=("c", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        have = set(agg.index.get_level_values(0))
+        for (kr, s), (i, key, lo, hi, edges) in zip(active, specs):
+            if i not in have:
+                raise RuntimeError(f"key {key!r} rank {s.rank}: interval "
+                                   f"[{lo}, {hi}] lost its population")
+            sub = agg.loc[i]
+            counts = sub["c"].to_numpy()
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, s.rank + 1))
+            if j >= len(cum):
+                raise RuntimeError(f"key {key!r}: rank {s.rank} beyond "
+                                   f"interval population {int(cum[-1])}")
+            s.rank -= int(cum[j - 1]) if j else 0
+            s.lo = float(sub["mn"].to_numpy()[j])
+            s.hi = float(sub["mx"].to_numpy()[j])
+            s.n_in = int(counts[j])
+            if s.lo == s.hi:
+                s.resolved = s.lo
+
+    pend = {kr: s for kr, s in states.items() if s.resolved is None}
+    if pend:
+        los = min(s.lo for s in pend.values())
+        his = max(s.hi for s in pend.values())
+        pkeys = {kr[0] for kr in pend}
+
+        def keep(t, pkeys=sorted(pkeys)):
+            import pyarrow as pa
+
+            x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+            kk = t.column(key_col).to_numpy(zero_copy_only=False)
+            m = ~np.isnan(x) & (x >= los) & (x <= his) & np.isin(kk, pkeys)
+            return pa.table({"k": pa.array(kk[m].astype(str)),
+                             "v": pa.array(x[m], pa.float64())})
+
+        frames = [b for b in
+                  narrow.map_batches(keep, batch_format="pyarrow",
+                                     batch_size=None)
+                  .iter_batches(batch_format="pandas")]
+        allk = (np.concatenate([f["k"].to_numpy(dtype=object)
+                                for f in frames])
+                if frames else np.empty(0, object))
+        allv = (np.concatenate([f["v"].to_numpy() for f in frames])
+                if frames else np.empty(0, np.float64))
+        for (key, r), s in pend.items():
+            inside = np.sort(allv[(allk == str(key)) & (allv >= s.lo)
+                                  & (allv <= s.hi)])
+            if s.rank >= len(inside):
+                raise RuntimeError(f"key {key!r}: rank {s.rank} beyond "
+                                   f"collected population {len(inside)}")
+            s.resolved = float(inside[s.rank])
+    return {kr: s.resolved for kr, s in states.items()}
+
+
+def exact_quantiles_by_key(ds: "ray.data.Dataset", col: str, qs,
+                           key_col: str, *, interpolation: str = "disc",
+                           bins: int = 4096, collect_cap: int = 200_000,
+                           max_rounds: int = 24,
+                           materialize_narrow: bool = False) -> pd.DataFrame:
+    """GROUP BY quantiles with the same exact semantics as
+    :func:`exact_quantiles`, one refinement shared across ALL keys: every
+    round is still ONE streaming scan of the (key, value) projection —
+    each active (key, quantile) bins its own interval inside the scan and
+    the driver folds a (#active x bins) histogram table. Keys must be
+    small-cardinality (driver state O(#keys x bins) — the
+    budget_select contract); for per-window percentiles use the window
+    UDAFs instead. Returns (key, q, value) / (key, q, disc, cont)."""
+    qs = [float(q) for q in qs]
+    if any(q < 0 or q > 1 for q in qs):
+        raise ValueError("quantile fractions must be in [0, 1]")
+    kinds = (["disc", "cont"] if interpolation == "both"
+             else [interpolation])
+    narrow = ds.select_columns([key_col, col])
+    if materialize_narrow:
+        narrow = narrow.materialize()
+
+    def observe(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[col], errors="coerce")
+        g = pd.DataFrame({key_col: df[key_col], "v": v}).dropna(
+            subset=["v"]).groupby(key_col, sort=False)["v"]
+        return pd.DataFrame({"c": g.count(), "mn": g.min(),
+                             "mx": g.max()}).reset_index()
+
+    obs = narrow.map_batches(observe, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    fold = obs.groupby(key_col).agg(c=("c", "sum"), mn=("mn", "min"),
+                                    mx=("mx", "max"))
+    init = {k: (int(row["c"]), float(row["mn"]), float(row["mx"]))
+            for k, row in fold.iterrows() if row["c"] > 0}
+
+    kranks = set()
+    plans = {}
+    for key, (n, _, _) in init.items():
+        for kind in kinds:
+            rk, per_q = _rank_plan(qs, n, kind)
+            kranks |= {(key, r) for r in rk}
+            plans[(key, kind)] = per_q
+    got = _order_stats_keyed(narrow, kranks, col, key_col, bins=bins,
+                             collect_cap=collect_cap,
+                             max_rounds=max_rounds, init=init)
+    keys = sorted(init)
+    out = {key_col: [k for k in keys for _ in qs],
+           "q": [q for _ in keys for q in qs]}
+    for kind in kinds:
+        cname = "value" if len(kinds) == 1 else kind
+        out[cname] = [sum(w * got[(k, r)] for r, w in zip(rs, ws))
+                      for k in keys
+                      for (_, rs, ws) in plans[(k, kind)]]
+    return pd.DataFrame(out)

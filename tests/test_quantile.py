@@ -59,3 +59,47 @@ def test_empty_and_bad_q(ray_session):
     assert np.isnan(got["value"].iloc[0])
     with pytest.raises(ValueError):
         exact_quantiles(ds, "x", [1.5])
+
+
+def test_by_key_matches_duckdb(ray_session):
+    from openmldb_ray.stages.quantile import exact_quantiles_by_key
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": [f"s{i % 7}" for i in range(n)],
+        "x": np.concatenate([rng.normal(50 + 10 * (i % 7), 5 + (i % 7), 1)
+                             for i in range(n)]).round(3),
+    })
+    df.loc[::97, "x"] = 42.0      # tie runs
+    df.loc[::131, "x"] = np.nan   # nulls
+    got = exact_quantiles_by_key(
+        ray.data.from_pandas(df).repartition(9), "x",
+        [0.25, 0.5, 0.95], "k", interpolation="both", collect_cap=200)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT k, 0.25 AS q, quantile_disc(x, 0.25) AS disc,
+               quantile_cont(x, 0.25) AS cont FROM t GROUP BY k
+        UNION ALL
+        SELECT k, 0.5, quantile_disc(x, 0.5), quantile_cont(x, 0.5)
+        FROM t GROUP BY k
+        UNION ALL
+        SELECT k, 0.95, quantile_disc(x, 0.95), quantile_cont(x, 0.95)
+        FROM t GROUP BY k
+        ORDER BY k, q
+    """).fetchdf()
+    got = got.sort_values(["k", "q"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["disc"], exp["disc"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["cont"], exp["cont"], rtol=0, atol=1e-9)
+
+
+def test_by_key_split_invariance(ray_session):
+    from openmldb_ray.stages.quantile import exact_quantiles_by_key
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"k": [f"g{i % 3}" for i in range(3000)],
+                       "x": rng.integers(0, 40, 3000).astype(float)})
+    outs = [exact_quantiles_by_key(
+        ray.data.from_pandas(df).repartition(p), "x", [0.5, 0.9], "k",
+        collect_cap=32).sort_values(["k", "q"]).reset_index(drop=True)
+        for p in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
