@@ -1707,6 +1707,42 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_hll_by_key(sf_dir: str):
+    """Per-key HyperLogLog ("distinct texts per source"): each batch
+    emits one 4KB register row per key it contains, one key groupby
+    max-merges them — the shuffle carries kilobytes per (key, batch)
+    regardless of input size. Exact per-key distinct comes from the Ray
+    exact-dedup pipeline; each estimate must land within 5 standard
+    errors (sigma = 1.04/sqrt(2^12))."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import hll_by_key
+    from openmldb_ray.stages.dedup import exact_dedup
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    est = hll_by_key(docs, "text", "source",
+                     num_partitions=8).to_pandas()
+
+    def add_st(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__st"] = df["source"].astype(str) + "\x01" + \
+            df["text"].astype(str)
+        return df
+
+    exact = exact_dedup(
+        docs.map_batches(add_st, batch_format="pandas", batch_size=None),
+        "__st", keep_by="doc_id").groupby("source").count().to_pandas()
+    merged = exact.rename(columns={"count()": "exact_distinct"}).merge(
+        est, on="source")
+    sigma = 1.04 / (1 << 6)
+    ok = (merged["distinct_est"] / merged["exact_distinct"] - 1).abs() \
+        <= 5 * sigma
+    return pd.DataFrame({
+        "source": merged["source"],
+        "exact_distinct": merged["exact_distinct"].astype(np.int64),
+        "est_within_5sigma": ok.astype(np.int64)})
+
+
 def q_quantile_by_key(sf_dir: str):
     """GROUP BY exact quantiles (per-source p25/p50/p95 of n_chars,
     disc + cont in one refinement): every round is ONE streaming scan of
@@ -2398,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,
         "collocations": q_collocations,
         "quantile_by_key": q_quantile_by_key,
+        "hll_by_key": q_hll_by_key,
         "drift_psi": q_drift_psi,
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
@@ -3060,6 +3097,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "hll_by_key": """
+            SELECT source, COUNT(DISTINCT text) AS exact_distinct,
+                   CAST(1 AS BIGINT) AS est_within_5sigma
+            FROM documents GROUP BY source
         """,
         "quantile_by_key": """
             SELECT source, 0.25 AS q,

@@ -540,29 +540,43 @@ class _HllPartial:
         self.m = 1 << self.p
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from ..core.hashing import stable_hash64
-
-        h = stable_hash64(df[self.col]).astype(np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rho = position of the leftmost 1-bit in the remaining 64-p bits
-        rho = np.zeros(len(h), np.uint8)
-        if len(h):
-            # count leading zeros via float64 exponent would lose precision
-            # past 2^53; do it with a 6-step binary search, branch-free
-            x = rest.copy()
-            shift = np.uint64(32)
-            lz = np.zeros(len(h), np.uint64)
-            for s in (32, 16, 8, 4, 2, 1):
-                s64 = np.uint64(s)
-                hi = x >> np.uint64(64 - s)
-                zero = hi == 0
-                lz = np.where(zero, lz + s64, lz)
-                x = np.where(zero, x << s64, x)
-            rho = (lz + 1).astype(np.uint8)
+        idx, rho = _hll_idx_rho(df[self.col], self.p)
         regs = np.zeros(self.m, np.uint8)
         np.maximum.at(regs, idx, rho)
         return pd.DataFrame({"__regs": [regs.tobytes()]})
+
+
+def _hll_idx_rho(col, p: int):
+    """(register index, rho) per value — the HLL hash decomposition."""
+    from ..core.hashing import stable_hash64
+
+    h = stable_hash64(col).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rho = position of the leftmost 1-bit in the remaining 64-p bits
+    rho = np.zeros(len(h), np.uint8)
+    if len(h):
+        # count leading zeros via float64 exponent would lose precision
+        # past 2^53; do it with a 6-step binary search, branch-free
+        x = rest.copy()
+        lz = np.zeros(len(h), np.uint64)
+        for s in (32, 16, 8, 4, 2, 1):
+            s64 = np.uint64(s)
+            hi = x >> np.uint64(64 - s)
+            zero = hi == 0
+            lz = np.where(zero, lz + s64, lz)
+            x = np.where(zero, x << s64, x)
+        rho = (lz + 1).astype(np.uint8)
+    return idx, rho
+
+
+def _hll_estimate(regs: np.ndarray, m: int) -> float:
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return float(est)
 
 
 def hll_distinct(ds: "ray.data.Dataset", col: str, p: int = 12,
@@ -600,12 +614,56 @@ def hll_distinct(ds: "ray.data.Dataset", col: str, p: int = 12,
     regs = np.zeros(m, np.uint8)
     for r in rows:
         np.maximum(regs, np.frombuffer(r["__regs"], np.uint8), out=regs)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
-        est = m * np.log(m / zeros)
-    return float(est)
+    return _hll_estimate(regs, m)
+
+
+def hll_by_key(ds: "ray.data.Dataset", col: str, key_col: str, *,
+               p: int = 12, batch_size: int = 65536,
+               num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT col) GROUP BY key — "distinct users per
+    domain" at corpus scale with bounded memory: each batch emits ONE
+    2^p-byte register row per key it contains (mergeable by element-wise
+    max), one key groupby folds them and emits the per-key estimate.
+    The shuffle carries #distinct-keys-per-batch x 2^p bytes instead of
+    the raw values; pick p by the per-key error you need (sigma =
+    1.04/sqrt(2^p): ~1.6% at p=12, 4 KB/row). Returns a Dataset
+    ``(key_col, distinct_est)`` — keys may be many; nothing lands on the
+    driver."""
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import quiet_ray_data_logs
+
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        keys = df[key_col].to_numpy()
+        idx, rho = _hll_idx_rho(df[col], p)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(ks)]))
+        out_k, out_r = [], []
+        for s, e in zip(starts, ends):
+            sel = order[s:e]
+            regs = np.zeros(m, np.uint8)
+            np.maximum.at(regs, idx[sel], rho[sel])
+            out_k.append(ks[s])
+            out_r.append(regs.tobytes())
+        return pd.DataFrame({key_col: out_k, "__regs": out_r})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        regs = np.zeros(m, np.uint8)
+        for buf in g["__regs"]:
+            np.maximum(regs, np.frombuffer(buf, np.uint8), out=regs)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "distinct_est": [_hll_estimate(regs, m)]})
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pandas", batch_size=batch_size)
+    return map_groups_typed(partials, key_col, merge,
+                            num_partitions=num_partitions)
 
 
 class StratumSampler:

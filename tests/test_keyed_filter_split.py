@@ -82,3 +82,22 @@ def test_hash_split_validation(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1]}))
     with pytest.raises(ValueError):
         hash_split(ds, {"a": 0.5, "b": 0.4})
+
+
+def test_hll_by_key_accuracy_and_merge_invariance(ray_session):
+    from openmldb_ray.stages.curation import hll_by_key
+    rng = np.random.default_rng(13)
+    n = 60_000
+    df = pd.DataFrame({
+        "k": [f"s{i % 5}" for i in range(n)],
+        "v": [f"u{rng.integers(0, 2000 * (1 + i % 5))}" for i in range(n)],
+    })
+    exact = df.groupby("k")["v"].nunique()
+    sigma = 1.04 / np.sqrt(1 << 12)
+    for parts in (1, 9):
+        got = hll_by_key(ray.data.from_pandas(df).repartition(parts),
+                         "v", "k", num_partitions=4).to_pandas()
+        got = got.set_index("k")["distinct_est"]
+        for k in exact.index:
+            assert abs(got[k] / exact[k] - 1) <= 5 * sigma, (k, got[k],
+                                                             exact[k])
