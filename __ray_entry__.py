@@ -1707,6 +1707,61 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "source", "n_chars"]]
 
 
+def q_winsorize(sf_dir: str):
+    """Outlier clipping at exact corpus percentiles (the feature-eng
+    winsorize): P01/P99 come from the sort-free exact-quantile
+    refinement (quantile_disc semantics, so the clip bounds are ACTUAL
+    data values — the clipped output is bit-exact, no float arithmetic
+    beyond comparisons), then one shuffle-free streaming clip pass.
+    Exact DuckDB LEAST/GREATEST-over-quantile_disc oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.quantile import exact_quantiles
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+    qv = exact_quantiles(li, "l_extendedprice", [0.01, 0.99],
+                         interpolation="disc", collect_cap=50_000,
+                         materialize_narrow=True)
+    lo, hi = float(qv["value"].iloc[0]), float(qv["value"].iloc[1])
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["price_w"] = df["l_extendedprice"].clip(lo, hi)
+        return df
+
+    out = li.map_batches(clip, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return out[["l_orderkey", "l_linenumber", "price_w"]]
+
+
+def q_per_key_sample(sf_dir: str):
+    """Exactly-k uniform sample PER KEY (balanced eval subsets: 10 docs
+    per source), deterministic under rerun/repartition/resume: order by
+    the integer-exact knuth hash of the id and keep the per-key top-10
+    via the high-cardinality-safe per-key cap (per-block combiner keeps
+    <= n rows per key per block, one coarse-bucket shuffle). The hash is
+    SQL-expressible, so the oracle is an exact per-key ROW_NUMBER."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.curation import knuth_hash_u32
+    from openmldb_ray.stages.select import top_n_per_key
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = knuth_hash_u32(df["doc_id"].to_numpy(),
+                                   mod_bits=20).astype(np.int64)
+        return df
+
+    out = top_n_per_key(
+        docs.map_batches(add_h, batch_format="pandas", batch_size=None),
+        "source", "__h", 10, tiebreak="doc_id", ascending=True,
+        num_partitions=8).to_pandas()
+    return out[["doc_id", "source", "n_chars"]]
+
+
 def q_hll_by_key(sf_dir: str):
     """Per-key HyperLogLog ("distinct texts per source"): each batch
     emits one 4KB register row per key it contains, one key groupby
@@ -2435,6 +2490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "quantile_by_key": q_quantile_by_key,
         "hll_by_key": q_hll_by_key,
+        "winsorize": q_winsorize,
+        "per_key_sample": q_per_key_sample,
         "drift_psi": q_drift_psi,
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
@@ -3097,6 +3154,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
             GROUP BY event_type, window_start
+        """,
+        "winsorize": """
+            SELECT l_orderkey, l_linenumber,
+                   LEAST(GREATEST(l_extendedprice,
+                         (SELECT quantile_disc(l_extendedprice, 0.01)
+                          FROM lineitem)),
+                         (SELECT quantile_disc(l_extendedprice, 0.99)
+                          FROM lineitem)) AS price_w
+            FROM lineitem
+        """,
+        "per_key_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY ((doc_id % 1048576) * 2654435761)
+                                  % 4294967296, doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 10
         """,
         "hll_by_key": """
             SELECT source, COUNT(DISTINCT text) AS exact_distinct,

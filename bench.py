@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "incremental_docs", "weighted_sample", "tokens_to_shards", "knn_pq",
     "paragraph_dedup", "exact_quantile", "domain_filter", "hash_split",
     "drift_psi", "normalize_text", "knn_join", "collocations",
-    "quantile_by_key", "hll_by_key",
+    "quantile_by_key", "hll_by_key", "winsorize", "per_key_sample",
 ]
 
 
