@@ -47,7 +47,7 @@ def _gram_partials(text_col: str):
         from ..core.hashing import quiet_ray_data_logs
 
         quiet_ray_data_logs()
-        parts = df[text_col].astype(str).str.split()
+        parts = df[text_col].fillna("").astype(str).str.split()
         counts = parts.str.len().to_numpy(np.int64)
         import itertools
 

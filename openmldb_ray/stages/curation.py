@@ -636,6 +636,7 @@ def hll_by_key(ds: "ray.data.Dataset", col: str, key_col: str, *,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         quiet_ray_data_logs()
+        df = df[df[key_col].notna()]  # null keys: no group (SQL IN shape)
         keys = df[key_col].to_numpy()
         idx, rho = _hll_idx_rho(df[col], p)
         order = np.argsort(keys, kind="stable")

@@ -50,7 +50,7 @@ def _split_counts(texts: pd.Series, sep: str):
     """Vectorized split: flat object ndarray of paragraphs + per-doc
     counts. ``str.split`` is the pandas C loop; the flatten is one
     C-speed ``fromiter`` over ``chain`` (no per-row Python append)."""
-    parts = texts.astype(str).str.split(sep)
+    parts = texts.fillna("").astype(str).str.split(sep)
     counts = parts.str.len().to_numpy(np.int64)
     flat = np.fromiter(itertools.chain.from_iterable(parts),
                        dtype=object, count=int(counts.sum()))

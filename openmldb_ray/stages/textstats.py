@@ -356,7 +356,7 @@ def normalize_text(ds: "ray.data.Dataset", text_col: str = "text", *,
 
         quiet_ray_data_logs()
         df = df.copy()
-        s = df[text_col].astype(str)
+        s = df[text_col].fillna("").astype(str)  # nulls -> "" not "None"
         if lowercase:
             s = s.str.lower()
         if nfkc:
