@@ -83,8 +83,7 @@ def collocations(ds: "ray.data.Dataset", text_col: str = "text", *,
                  top_k: int = 50, min_count: int = 5,
                  num_buckets: int | None = None,
                  num_partitions: int | None = None,
-                 batch_size: int = 8192,
-                 concurrency=(1, 8)) -> pd.DataFrame:
+                 batch_size: int = 8192) -> pd.DataFrame:
     """Top-k word bigrams by lift (ties: lift desc, then (w1, w2) asc).
     Returns a small driver DataFrame
     ``(w1, w2, pair_cnt, w1_cnt, w2_cnt, lift)`` — top-k is

@@ -179,11 +179,12 @@ def paragraph_dedup(
         if n_drop == 0:
             out = ds
         else:
-            pid = np.concatenate([b["__pid"].to_numpy() for b in
-                                  drops.iter_batches(batch_format="pandas")])
-            pos = np.concatenate([b["__pos"].to_numpy() for b in
-                                  drops.iter_batches(batch_format="pandas")])
-            dref = ray.put(_drops_to_map(pid, pos))
+            pids, poss = [], []
+            for b in drops.iter_batches(batch_format="pandas"):
+                pids.append(b["__pid"].to_numpy())
+                poss.append(b["__pos"].to_numpy())
+            dref = ray.put(_drops_to_map(np.concatenate(pids),
+                                         np.concatenate(poss)))
 
             def apply_b(df: pd.DataFrame) -> pd.DataFrame:
                 from ..core.hashing import quiet_ray_data_logs
@@ -224,7 +225,7 @@ def paragraph_dedup(
             return t.append_column(
                 "__pos", pa.array(np.full(t.num_rows, -1, np.int64)))
 
-        add_b = add_bucket_column([id_col], "__db", 256)
+        add_b = add_bucket_column([id_col], "__db", nb)
         left = ds_a.map_batches(mark, batch_format="pyarrow",
                                 batch_size=None) \
                    .map_batches(add_b, batch_format="pyarrow",

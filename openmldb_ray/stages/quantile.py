@@ -128,18 +128,24 @@ def _order_stats(narrow, ranks: list[int], col: str, *, bins: int,
             if s.lo == s.hi:
                 s.resolved = s.lo
 
-    # collect phase: every unresolved state has a small population
+    # collect phase: every unresolved state has a small population.
+    # Filter by the UNION of the per-state intervals (bounded by
+    # #pend x collect_cap rows), NOT their bounding box — for distant
+    # quantiles (p01 and p99) the box spans nearly the whole column and
+    # would drag it onto the driver.
     pend = {r: s for r, s in states.items() if s.resolved is None}
     if pend:
-        los = min(s.lo for s in pend.values())
-        his = max(s.hi for s in pend.values())
+        ivals = [(s.lo, s.hi) for s in pend.values()]
 
-        def keep(t):
+        def keep(t, ivals=ivals):
             import pyarrow as pa
 
             x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
                            dtype=np.float64)
-            v = x[~np.isnan(x) & (x >= los) & (x <= his)]
+            m = np.zeros(len(x), dtype=bool)
+            for lo, hi in ivals:
+                m |= (x >= lo) & (x <= hi)
+            v = x[~np.isnan(x) & m]
             return pa.table({col: pa.array(v, pa.float64())})
 
         vals = np.sort(np.concatenate(
@@ -336,18 +342,28 @@ def _order_stats_keyed(narrow, kranks, col: str, key_col: str, *,
 
     pend = {kr: s for kr, s in states.items() if s.resolved is None}
     if pend:
-        los = min(s.lo for s in pend.values())
-        his = max(s.hi for s in pend.values())
-        pkeys = {kr[0] for kr in pend}
+        # per-key UNION of pending intervals (not the global bounding
+        # box — see _order_stats): bounded by #pend x collect_cap rows
+        by_key: dict = {}
+        for (key, _), s in pend.items():
+            by_key.setdefault(str(key), []).append((s.lo, s.hi))
 
-        def keep(t, pkeys=sorted(pkeys)):
+        def keep(t, by_key=by_key):
             import pyarrow as pa
 
             x = np.asarray(t.column(col).to_numpy(zero_copy_only=False),
                            dtype=np.float64)
             kk = t.column(key_col).to_numpy(zero_copy_only=False)
-            m = ~np.isnan(x) & (x >= los) & (x <= his) & np.isin(kk, pkeys)
-            return pa.table({"k": pa.array(kk[m].astype(str)),
+            ks = np.asarray([str(k) for k in kk], dtype=object)
+            m = np.zeros(len(x), dtype=bool)
+            for key, ivals in by_key.items():
+                mk = ks == key
+                mi = np.zeros(len(x), dtype=bool)
+                for lo, hi in ivals:
+                    mi |= (x >= lo) & (x <= hi)
+                m |= mk & mi
+            m &= ~np.isnan(x)
+            return pa.table({"k": pa.array(ks[m].astype(str)),
                              "v": pa.array(x[m], pa.float64())})
 
         frames = [b for b in
@@ -392,8 +408,10 @@ def exact_quantiles_by_key(ds: "ray.data.Dataset", col: str, qs,
         narrow = narrow.materialize()
 
     def observe(df: pd.DataFrame) -> pd.DataFrame:
-        v = pd.to_numeric(df[col], errors="coerce")
-        g = pd.DataFrame({key_col: df[key_col], "v": v}).dropna(
+        # strict cast, same policy as the refinement/collect scans:
+        # non-numeric data fails FAST here instead of mid-refinement
+        v = pd.Series(df[col].to_numpy(dtype=np.float64, na_value=np.nan))
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(), "v": v}).dropna(
             subset=["v"]).groupby(key_col, sort=False)["v"]
         return pd.DataFrame({"c": g.count(), "mn": g.min(),
                              "mx": g.max()}).reset_index()
