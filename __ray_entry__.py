@@ -1019,7 +1019,10 @@ def q_bottomk_sample(sf_dir: str):
     from openmldb_ray.stages.curation import bottomk_sample
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
-    return bottomk_sample(docs, k=7).to_pandas()[["doc_id", "source"]]
+    # mod_bits=20 so the oracle can replay the multiply in signed BIGINT;
+    # the library default is the full 64-bit hash (see bottomk_sample)
+    return bottomk_sample(docs, k=7,
+                          mod_bits=20).to_pandas()[["doc_id", "source"]]
 
 
 def q_heavy_hitters(sf_dir: str):

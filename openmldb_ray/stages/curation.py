@@ -63,7 +63,7 @@ class QualityRules:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        s = df[self.text_col].astype(str).str.strip()
+        s = df[self.text_col].fillna("").astype(str).str.strip()
         words = s.str.split()  # \s+ splitting on trimmed text
         n_words = words.map(len).to_numpy(np.int64)
         n_wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
@@ -127,7 +127,7 @@ class PiiRedactor:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        s = df[self.text_col].astype(str)
+        s = df[self.text_col].fillna("").astype(str)
         for name, rx, repl in self.patterns:
             df[name] = s.str.count(rx).to_numpy(np.int64)
             s = s.str.replace(rx, repl, regex=True)
@@ -163,7 +163,7 @@ class NeedleFilter:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        s = df[self.text_col].astype(str)
+        s = df[self.text_col].fillna("").astype(str)
         if not self.needles:
             hit = np.zeros(len(df), dtype=bool)
         elif self.alt_re is not None:
@@ -193,7 +193,7 @@ def decontaminate(ds: "ray.data.Dataset", needles: list[str],
 def _doc_bigrams(texts: pd.Series) -> pd.Series:
     """All word bigrams ('w1 w2') of each doc, exploded with the doc's
     positional index as the series index. One groupby-shift, no row loop."""
-    words = texts.astype(str).str.strip().str.split()
+    words = texts.fillna("").astype(str).str.strip().str.split()
     ex = words.reset_index(drop=True).explode()
     nxt = ex.groupby(level=0).shift(-1)
     mask = nxt.notna() & ex.notna()
@@ -256,7 +256,7 @@ class RepetitionStats:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        words = df[self.text_col].astype(str).str.strip().str.split()
+        words = df[self.text_col].fillna("").astype(str).str.strip().str.split()
         n = words.map(len).to_numpy(np.int64)
         nuniq = words.map(lambda ws: len(set(ws))).to_numpy(np.int64)
         df["dup_word_frac"] = np.where(n > 0, 1 - nuniq / np.maximum(n, 1), 0.0)
@@ -314,7 +314,7 @@ def _word_ngram_hashes(texts: pd.Series, n: int) -> tuple:
     one hash call."""
     from ..core.hashing import stable_hash64
 
-    words = texts.astype(str).str.strip().str.split()
+    words = texts.fillna("").astype(str).str.strip().str.split()
     ex = words.reset_index(drop=True).explode()
     g = ex.astype(str)
     grp = ex.groupby(level=0)
@@ -402,7 +402,8 @@ def knuth_hash_u32(ids: np.ndarray, mod_bits: int = 64) -> np.ndarray:
 def bottomk_sample(ds: "ray.data.Dataset", k: int,
                    strata_col: str = "source", id_col: str = "doc_id",
                    concurrency=(1, 8), batch_size: int = 8192,
-                   num_partitions: int | None = None) -> "ray.data.Dataset":
+                   num_partitions: int | None = None,
+                   mod_bits: int = 64) -> "ray.data.Dataset":
     """Exactly-k uniform sample per stratum via distributed bottom-k:
     keep the k rows with the smallest hash(id) per stratum.
 
@@ -411,13 +412,22 @@ def bottomk_sample(ds: "ray.data.Dataset", k: int,
     the per-stratum reduce — the shuffle carries at most k × #batches rows
     per stratum instead of the whole stratum. Deterministic (hash order,
     id tiebreak), so the sample is stable under reruns, repartitioning,
-    and resume — and exactly replayable in SQL with a window rank."""
+    and resume.
+
+    ``mod_bits=64`` (default) uses the full 64-bit multiply — required
+    for uniformity at scale: reducing the id first (small mod_bits) makes
+    ids congruent mod 2^mod_bits hash IDENTICALLY, so strata larger than
+    2^mod_bits rows would sample whole residue classes together instead
+    of independent rows. Pass ``mod_bits=20`` only when a SQL engine
+    must replay the rule in signed-BIGINT arithmetic (the driver oracle
+    does; its test strata are far below 2^20 rows)."""
     import pyarrow as pa
 
     from ..core.hashing import add_bucket_column, quiet_ray_data_logs
 
     def keep_bottomk(df: pd.DataFrame) -> pd.DataFrame:
-        h = knuth_hash_u32(df[id_col].to_numpy(), 20).astype(np.int64)
+        h = knuth_hash_u32(df[id_col].to_numpy(),
+                           mod_bits).astype(np.int64)
         df = df.assign(__h=h)
         return (df.sort_values(["__h", id_col], kind="stable")
                   .groupby(strata_col, sort=False).head(k))

@@ -46,7 +46,8 @@ def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
     import ray
 
     ksub = 1 << nbits
-    sample = _normalize(_stack(ds.limit(sample_init).to_pandas()[col]))
+    sample = _normalize(_stack(ds.select_columns([col])
+                               .limit(sample_init).to_pandas()[col]))
     d = sample.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -182,9 +183,12 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
             if not len(df):
                 return pd.DataFrame({"query_id": [], "neighbor_id": [],
                                      "score": []})
+            # code width follows the codebook size (uint16 past 256
+            # codewords — matches _encode_mat's dtype choice)
+            cdt = np.uint8 if ksub <= 256 else np.uint16
             codes = np.frombuffer(
                 b"".join(df[code_col].to_numpy()),
-                dtype=np.uint8).reshape(len(df), m)
+                dtype=cdt).reshape(len(df), m)
             ids = df[id_col].to_numpy()
             outs = []
             for i, qid in enumerate(self.qids):
@@ -192,7 +196,9 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
                 d2 = np.zeros(len(df))
                 for j in range(m):
                     d2 += t[j][codes[:, j]]
-                top = np.argsort(d2, kind="stable")[:k]
+                kk = min(k, len(d2))
+                top = np.argpartition(d2, kth=kk - 1)[:kk]  # O(n); the
+                # final reduce re-sorts candidates by (score, id)
                 outs.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": ids[top],
                     "score": -d2[top]}))

@@ -285,6 +285,25 @@ def knn_ivf(
     return cands.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
+def _greedy_cosine_prefix(cosine_threshold: float):
+    """Greedy kept-prefix duplicate scan shared by embedding_dedup and
+    semantic_dedup: walk ids in order, compare each vector against the
+    KEPT prefix with one matvec; >= threshold -> duplicate, else it joins
+    the prefix. Shape-compatible with dedup._chunked_verify's verify_fn
+    contract (vec, idv, out)."""
+    def greedy(vec, idv, out):
+        K = np.empty_like(vec)
+        K[0] = vec[0]
+        kn = 1
+        for i in range(1, len(idv)):
+            if float((K[:kn] @ vec[i]).max()) >= cosine_threshold:
+                out.append(idv[i])
+            else:
+                K[kn] = vec[i]
+                kn += 1
+    return greedy
+
+
 def embedding_dedup(
     ds: "ray.data.Dataset",
     *,
@@ -334,16 +353,7 @@ def embedding_dedup(
             np.dtype((np.void, v.shape[1] * v.itemsize))).ravel()
         ids, v, vv = _collapse_exact(vv, ids, v, dups)
 
-        def greedy(vec, idv, out):
-            K = np.empty_like(vec)
-            K[0] = vec[0]
-            kn = 1
-            for i in range(1, len(idv)):
-                if float((K[:kn] @ vec[i]).max()) >= cosine_threshold:
-                    out.append(idv[i])
-                else:
-                    K[kn] = vec[i]
-                    kn += 1
+        greedy = _greedy_cosine_prefix(cosine_threshold)
 
         if len(ids) > 1:
             _chunked_verify(v, ids, vv, greedy, dups)
@@ -411,16 +421,7 @@ def semantic_dedup(
             np.dtype((np.void, v.shape[1] * v.itemsize))).ravel()
         ids, v, vv = _collapse_exact(vv, ids, v, dups)
 
-        def greedy(vec, idv, out):
-            K = np.empty_like(vec)
-            K[0] = vec[0]
-            kn = 1
-            for i in range(1, len(idv)):
-                if float((K[:kn] @ vec[i]).max()) >= cosine_threshold:
-                    out.append(idv[i])
-                else:
-                    K[kn] = vec[i]
-                    kn += 1
+        greedy = _greedy_cosine_prefix(cosine_threshold)
 
         if len(ids) > 1:
             _chunked_verify(v, ids, vv, greedy, dups)
@@ -432,6 +433,26 @@ def semantic_dedup(
                  .groupby("__c")
                  .map_groups(cluster_dups, batch_format="pandas"))
     return anti_join_ids(ds, dup_ids, id_col)
+
+
+def _topk_rows_tieexact(s: np.ndarray, rids: np.ndarray,
+                        kk: int) -> np.ndarray:
+    """Per-row top-kk candidate indices by EXACT (score desc, id asc)
+    order — including boundary score ties. Fast path is one
+    argpartition + within-top lexsort; rows where an unselected
+    candidate ties the boundary score (rare: exact float equality) fall
+    back to a full lexsort of that row."""
+    top = np.argpartition(-s, kth=kk - 1, axis=1)[:, :kk]
+    rows = np.arange(s.shape[0])[:, None]
+    ts = s[rows, top]
+    order = np.lexsort((rids[top], -ts), axis=1)
+    sel = np.take_along_axis(top, order, axis=1)
+    bmin = ts.min(axis=1)
+    total_ties = (s == bmin[:, None]).sum(axis=1)
+    sel_ties = (ts == bmin[:, None]).sum(axis=1)
+    for r in np.flatnonzero(total_ties > sel_ties):
+        sel[r] = np.lexsort((rids, -s[r]))[:kk]
+    return sel
 
 
 def knn_join(
@@ -484,8 +505,13 @@ def knn_join(
         for b in right.iter_batches(batch_format="pandas"):
             mats.append(_normalize(_stack(b[vec_col])))
             idps.append(b[right_id].to_numpy())
-        ref = ray.put({"mat": np.ascontiguousarray(np.vstack(mats)),
-                       "ids": np.concatenate(idps)})
+        mat = np.vstack(mats)
+        rids = np.concatenate(idps)
+        # canonical layout (sorted by right_id): block order must never
+        # influence which of two tied-score neighbors is returned
+        order = np.argsort(rids, kind="stable")
+        ref = ray.put({"mat": np.ascontiguousarray(mat[order]),
+                       "ids": rids[order]})
 
         class _JoinScorer:
             def __init__(self):
@@ -500,12 +526,7 @@ def knn_join(
                 lids = df[left_id].to_numpy()
                 s = x @ self.mat.T                      # (nb, n_right)
                 kk = min(k, s.shape[1])
-                top = np.argpartition(-s, kth=kk - 1, axis=1)[:, :kk]
-                rows = np.arange(len(x))[:, None]
-                ts = s[rows, top]
-                # deterministic (score desc, right_id asc) within the top
-                order = np.lexsort((self.ids[top], -ts), axis=1)
-                sel = np.take_along_axis(top, order, axis=1)
+                sel = _topk_rows_tieexact(s, self.ids, kk)
                 return pd.DataFrame({
                     "query_id": np.repeat(lids, kk),
                     "neighbor_id": self.ids[sel].ravel(),
@@ -570,12 +591,12 @@ def knn_join(
         rids = g["__id"].to_numpy()[is_r]
         s = xl @ xr.T
         kk = min(k, s.shape[1])
-        top = np.argpartition(-s, kth=kk - 1, axis=1)[:, :kk]
+        sel = _topk_rows_tieexact(s, rids, kk)
         rows = np.arange(len(xl))[:, None]
         return pd.DataFrame({
             "query_id": np.repeat(lids, kk),
-            "neighbor_id": rids[top].ravel(),
-            "score": s[rows, top].ravel().astype(np.float64)})
+            "neighbor_id": rids[sel].ravel(),
+            "score": s[rows, sel].ravel().astype(np.float64)})
 
     cands = map_groups_typed(union_any(l_rows, r_rows), "__kb", per_bucket,
                              num_partitions=num_partitions)

@@ -82,3 +82,22 @@ def test_auto_routes_by_size(ray_session):
     with pytest.raises(ValueError):
         knn_join(ray.data.from_pandas(ldf),
                  ray.data.from_pandas(rdf).filter(lambda r: False), k=1)
+
+
+def test_boundary_tie_determinism(ray_session):
+    # two identical right vectors tie exactly at the k boundary: the
+    # lexicographically smaller id must win, independent of block order
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(1, 8))
+    dup = np.repeat(base, 3, axis=0)          # ids 10, 11, 12 identical
+    other = rng.normal(size=(5, 8))
+    rdf = pd.DataFrame({"vec_id": [10, 11, 12, 20, 21, 22, 23, 24],
+                        "embedding": list(np.vstack([dup, other]))})
+    ldf = pd.DataFrame({"vec_id": [0], "embedding": [base[0]]})
+    outs = []
+    for parts in (1, 4, 8):
+        got = knn_join(ray.data.from_pandas(ldf),
+                       ray.data.from_pandas(rdf).repartition(parts),
+                       k=2, strategy="broadcast").to_pandas()
+        outs.append(got.sort_values("rank")["neighbor_id"].tolist())
+    assert outs[0] == outs[1] == outs[2] == [10, 11]

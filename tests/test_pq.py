@@ -115,3 +115,21 @@ def test_bad_dim():
     df = pd.DataFrame({"vec_id": [0], "embedding": [np.ones(10)]})
     with pytest.raises(ValueError):
         pq_fit(ray.data.from_pandas(df), m=4, nbits=2, iters=1)
+
+
+def test_nbits_over_8(ray_session):
+    # uint16 code path: 512 codewords
+    import numpy as np
+    import pandas as pd
+    import ray
+    from openmldb_ray.stages.pq import pq_adc_topk, pq_encode, pq_fit
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(1200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(1200), "embedding": list(v)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    model = pq_fit(ds, "embedding", m=4, nbits=9, iters=2,
+                   sample_init=1200)
+    out = pq_adc_topk(pq_encode(ds, model), model, v[:3],
+                      np.arange(3), k=5).to_pandas()
+    assert len(out) == 15
+    assert (out.groupby("query_id").size() == 5).all()
