@@ -2017,7 +2017,8 @@ def q_tokens_to_shards(sf_dir: str):
     toks = tokenize_text(kept, batch_size=None).drop_columns(["tokens"])
     packed = pack_sequences(toks, max_len=256)
     out = seeded_shard_shuffle(packed, "example_id", shard_budget=budget,
-                               weight_col="total_tok").to_pandas()
+                               weight_col="total_tok",
+                               materialize_input=True).to_pandas()
     total = int(out["total_tok"].sum())
     shard_sums = out.groupby("shard")["total_tok"].sum()
     max_row = int(out["total_tok"].max()) if len(out) else 0

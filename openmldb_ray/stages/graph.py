@@ -93,9 +93,11 @@ def connected_components(edges: "ray.data.Dataset", *,
         import ray.data as rd
 
         df = sym_edges.to_pandas()
-        half = len(df) // 2
-        out = _driver_union_find(df["node"].to_numpy()[:half],
-                                 df["peer"].to_numpy()[:half])
+        # feed BOTH directions to the DSU: blocks interleave fwd/rev rows
+        # (sym emits per block), so any prefix-halving would drop real
+        # edges on multi-block inputs; reverse duplicates are harmless
+        out = _driver_union_find(df["node"].to_numpy(),
+                                 df["peer"].to_numpy())
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
                              .replace_schema_metadata(None))
 
@@ -157,10 +159,15 @@ def connected_components(edges: "ray.data.Dataset", *,
                   .map_batches(add_n, batch_format="pyarrow", batch_size=None)
                   .groupby("__nb").map_groups(reduce_min, batch_format="pandas")
                   .materialize())
-        # labels only decrease -> stable checksum == converged. Numeric ids
-        # sum labels; string ids sum stable 64-bit hashes of them.
-        s = labels.map_batches(_label_checksum, batch_format="pandas",
-                               batch_size=None).sum("c")
+        # labels only decrease, so an UNCHANGED exact checksum means
+        # converged. The sum is exact integer arithmetic (per-block
+        # 32-bit-split int64 partials folded as Python ints) — a float64
+        # sum's ulp grows with the total and would declare convergence
+        # early once per-round decreases drop below its resolution.
+        parts = labels.map_batches(_label_checksum, batch_format="pandas",
+                                   batch_size=None).to_pandas()
+        s = (int(parts["lo"].sum()) + (int(parts["hi"].sum()) << 32),
+             int(parts["n"].sum()))
         if s == prev_sum:
             break
         prev_sum = s
@@ -170,14 +177,23 @@ def connected_components(edges: "ray.data.Dataset", *,
 
 
 def _label_checksum(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact per-block label-sum partial: the uint64 label (numeric ids
+    directly, string ids via stable hash) split into 32-bit halves, each
+    summed in int64 (exact for blocks < 2^31 rows); the driver recombines
+    with Python ints so the global sum never rounds."""
     lab = df["label"]
-    if lab.dtype.kind in "iuf":
-        v = lab.to_numpy(np.float64)
+    if lab.dtype.kind in "iu":
+        v = lab.to_numpy().astype(np.uint64)
+    elif lab.dtype.kind == "f":
+        v = lab.to_numpy(np.float64).astype(np.uint64)
     else:
         from ..core.hashing import stable_hash64
 
-        v = stable_hash64(lab).astype(np.float64)
-    return pd.DataFrame({"c": [float(v.sum())]})
+        v = stable_hash64(lab).astype(np.uint64)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    hi = (v >> np.uint64(32)).astype(np.int64)
+    return pd.DataFrame({"lo": [int(lo.sum())], "hi": [int(hi.sum())],
+                         "n": [len(v)]})
 
 
 def dup_clusters(ds: "ray.data.Dataset", text_col: str, id_col: str, *,

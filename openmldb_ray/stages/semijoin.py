@@ -30,16 +30,22 @@ import numpy as np
 import pandas as pd
 
 
+def _probe_mask(lkeys: pd.DataFrame, rkeys: pd.DataFrame,
+                on: list[str]) -> np.ndarray:
+    """EXISTS hit mask per left row against distinct ``rkeys`` (null left
+    keys never hit)."""
+    lnull = lkeys[on].isna().any(axis=1).to_numpy()
+    rk = rkeys.dropna(subset=on).drop_duplicates(subset=on)
+    if not len(rk):
+        return np.zeros(len(lkeys), dtype=bool)
+    m = lkeys[on].merge(rk[on], on=on, how="left", indicator=True)
+    return (m["_merge"].to_numpy() == "both") & ~lnull
+
+
 def _probe(ldf: pd.DataFrame, rkeys: pd.DataFrame, on: list[str],
            anti: bool) -> pd.DataFrame:
     """Filter ``ldf`` by EXISTS/NOT EXISTS against distinct ``rkeys``."""
-    lnull = ldf[on].isna().any(axis=1).to_numpy()
-    rk = rkeys.dropna(subset=on).drop_duplicates(subset=on)
-    if not len(rk):
-        hit = np.zeros(len(ldf), dtype=bool)
-    else:
-        m = ldf[on].merge(rk[on], on=on, how="left", indicator=True)
-        hit = (m["_merge"].to_numpy() == "both") & ~lnull
+    hit = _probe_mask(ldf, rkeys, on)
     return ldf[~hit if anti else hit]
 
 
@@ -68,6 +74,11 @@ def semi_join(
         return df[on].dropna(subset=on).drop_duplicates(subset=on)
 
     if strategy == "auto":
+        # materialize ONCE (object store, spillable): the count below and
+        # the chosen path's distinct-keys pass / exchange would otherwise
+        # each re-run right's full upstream lineage (the last_join /
+        # anti_join_ids materialize-once pattern)
+        right = right.materialize()
         strategy = ("broadcast" if right.count() <= broadcast_limit
                     else "shuffle")
 
@@ -95,60 +106,77 @@ def semi_join(
     if strategy != "shuffle":
         raise ValueError(f"strategy={strategy!r}")
 
-    from .interval_join import _restore_types, _schema_dtypes
+    # typed-Arrow exchange end-to-end (the interval_join f35fe6e shape):
+    # right rows pad non-key columns with pa.nulls of the LEFT schema's
+    # types, and the per-bucket probe filters the left Arrow table by a
+    # key-only membership mask — left payload columns never round-trip
+    # through pandas, so nullable int64 payloads neither crash a restore
+    # cast nor lose >2^53 precision to float64 unification.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     nb = num_buckets or default_num_buckets()
-    lcols = list(left.schema().names)
-    ltypes = _schema_dtypes(left, lcols)
+    ds_a = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=None)
+    schema = ds_a.schema()
+    names, types = list(schema.names), list(schema.types)
     add_b = add_bucket_column(on, "__b", nb)
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        quiet_ray_data_logs()
-        out = df.copy()
-        out["__role"] = np.zeros(len(df), dtype=np.int8)
-        return out
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        quiet_ray_data_logs()
-        out = distinct_keys(df).copy()
-        for c in lcols:
-            if c not in out.columns:
-                out[c] = None
-        out["__role"] = np.ones(len(out), dtype=np.int8)
-        return out[lcols + ["__role"]]
+    def null_key_mask(t: pa.Table):
+        m = None
+        for c in on:
+            mc = pc.is_null(t[c])
+            m = mc if m is None else pc.or_(m, mc)
+        return m
 
     # null-keyed left rows can't be routed by key hash and never match —
     # resolve them up front (anti keeps, semi drops) and exclude from the
     # exchange entirely
-    def null_side(df: pd.DataFrame) -> pd.DataFrame:
+    def null_side(t: pa.Table) -> pa.Table:
         quiet_ray_data_logs()
-        m = df[on].isna().any(axis=1)
-        return df[m] if anti else df.iloc[:0]
+        t = t.select(names).replace_schema_metadata(None)
+        return t.filter(null_key_mask(t)) if anti else t.slice(0, 0)
 
-    def nonnull(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df[on].isna().any(axis=1)]
+    def mark_left(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        t = t.select(names).replace_schema_metadata(None)
+        t = t.filter(pc.invert(null_key_mask(t)))
+        return t.append_column("__role",
+                               pa.array(np.zeros(t.num_rows, np.int8)))
 
-    nulls = left.map_batches(null_side, batch_format="pandas",
+    def pad_right(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        arrays = []
+        for name, typ in zip(names, types):
+            if name in on:
+                arrays.append(pc.cast(t[name], typ).combine_chunks())
+            else:
+                arrays.append(pa.nulls(t.num_rows, typ))
+        out = pa.Table.from_arrays(arrays, names=names)
+        return out.append_column("__role",
+                                 pa.array(np.ones(t.num_rows, np.int8)))
+
+    nulls = ds_a.map_batches(null_side, batch_format="pyarrow",
                              batch_size=None)
-    l_tag = left.map_batches(nonnull, batch_format="pandas",
+    l_tag = ds_a.map_batches(mark_left, batch_format="pyarrow",
                              batch_size=None) \
-        .map_batches(tag_left, batch_format="pandas", batch_size=None) \
         .map_batches(add_b, batch_format="pyarrow", batch_size=None)
     r_tag = right.select_columns(on) \
-        .map_batches(tag_right, batch_format="pandas", batch_size=None) \
+        .map_batches(distinct_keys, batch_format="pandas",
+                     batch_size=None) \
+        .map_batches(pad_right, batch_format="pyarrow", batch_size=None) \
         .map_batches(add_b, batch_format="pyarrow", batch_size=None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pa.Table) -> pa.Table:
         quiet_ray_data_logs()
-        is_r = g["__role"].to_numpy() == 1
-        ldf = _restore_types(g.loc[~is_r, lcols].reset_index(drop=True),
-                             ltypes)
-        rk = _restore_types(g.loc[is_r, on].reset_index(drop=True),
-                            {c: ltypes[c] for c in on if c in ltypes})
-        return _probe(ldf, rk, on, anti)
+        is_r = pc.equal(g["__role"], 1)
+        lt = g.filter(pc.invert(is_r)).select(names)
+        rk = g.filter(is_r).select(on).to_pandas()
+        hit = _probe_mask(lt.select(on).to_pandas(), rk, on)
+        return lt.filter(pa.array(~hit if anti else hit))
 
     joined = map_groups_typed(union_any(l_tag, r_tag), "__b", per_bucket,
-                              batch_format="pandas",
+                              batch_format="pyarrow",
                               num_partitions=num_partitions)
     return union_any(joined, nulls)
 

@@ -54,14 +54,23 @@ def seeded_shard_shuffle(
     shard_col: str = "shard",
     num_buckets: int | None = None,
     num_partitions: int | None = None,
+    materialize_input: bool = False,
 ):
     """Append ``hash_col`` (the seeded shuffle position), ``cum_col`` (the
     exact inclusive running ``weight_col`` in (h, id) order) and
-    ``shard_col`` (the ~``shard_budget``-sized shard index)."""
+    ``shard_col`` (the ~``shard_budget``-sized shard index).
+
+    ``materialize_input`` pins ``ds`` in the object store once: pass 1's
+    narrow totals scan and pass 2's exchange otherwise EACH re-run the
+    full upstream lineage — when this stage sits at the tail of an
+    expensive curation pipeline (the usual place), that doubles its cost
+    (the budget_select materialize_narrow trade)."""
     from ..core.grouping import map_groups_typed
     from ..core.hashing import default_num_buckets, quiet_ray_data_logs
 
     B = num_buckets or default_num_buckets()
+    if materialize_input:
+        ds = ds.materialize()
 
     # ---- pass 1: per-bucket weight totals, shuffle-free ------------------
     def bucket_totals(t):

@@ -344,3 +344,41 @@ def test_embedding_mega_bucket_end_to_end(ray_session):
     assert len(ids & set(range(100_000, 100_000 + n_dup))) == 1
     assert len(ids & set(range(50))) == 50
     assert elapsed < 120, f"mega bucket took {elapsed:.1f}s"
+
+
+# --- second-review round-3 fixes -------------------------------------------
+
+def test_cc_driver_path_multiblock(ray_session):
+    """Driver union-find must see edges from EVERY block (the prefix-half
+    slicing bug dropped all but the first blocks' edges)."""
+    import pandas as pd
+    import ray
+    from openmldb_ray.stages.graph import connected_components
+    edges = pd.DataFrame({"src": [2, 3, 4, 5, 6],
+                          "dst": [1, 2, 3, 4, 5]})   # one chain 1..6
+    for parts in (1, 3, 5):
+        out = connected_components(
+            ray.data.from_pandas(edges).repartition(parts),
+            strategy="driver").to_pandas()
+        assert set(out["node"]) == {1, 2, 3, 4, 5, 6}
+        assert set(out["cluster_id"]) == {1}
+
+
+def test_semijoin_shuffle_nullable_and_big_int64(ray_session):
+    """Shuffle path must not round-trip left payloads through pandas:
+    nullable int64 used to crash the restore cast and 2^53+1 used to be
+    corrupted by float64 unification."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from openmldb_ray.stages.semijoin import semi_join
+    big = 2**53 + 1
+    lt = pa.table({"k": ["a", "b", "c", "d"],
+                   "v": pa.array([10, None, big, 7], pa.int64())})
+    rt = pa.table({"k": ["a", "c", "x"]})
+    out = semi_join(ray.data.from_arrow(lt).repartition(2),
+                    ray.data.from_arrow(rt).repartition(2), "k",
+                    strategy="shuffle", num_partitions=4).to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert set(got) == {"a", "c"}
+    assert got["a"] == 10 and got["c"] == big  # exact, not 2^53
