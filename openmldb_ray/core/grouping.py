@@ -61,3 +61,25 @@ def map_groups_typed(ds, keys, fn, *, batch_format: str = "pandas",
             pass  # kernel needs rows → run the real (empty) shuffle
     return ds.groupby(keys, num_partitions=num_partitions).map_groups(
         fn, batch_format=batch_format)
+
+
+def key_change_mask(df, keys) -> "np.ndarray":
+    """True at rows where ANY key column differs from the previous row
+    (the frame must already be sorted by ``keys``): one vectorized
+    shift-compare per key column, null-safe (two nulls compare equal).
+    Replaces the per-row ``astype(str).agg(join, axis=1)`` boundary
+    pattern — Python-per-row inside otherwise vectorized kernels."""
+    import numpy as np
+
+    n = len(df)
+    m = np.zeros(n, dtype=bool)
+    if n == 0:
+        return m
+    m[0] = True
+    for k in keys:
+        col = df[k].to_numpy()
+        cur, prev = col[1:], col[:-1]
+        neq = cur != prev
+        cn, pn = pd.isna(cur), pd.isna(prev)
+        m[1:] |= (neq & ~(cn & pn)) | (cn ^ pn)
+    return m

@@ -53,13 +53,20 @@ def _decayed_bucket(g: pd.DataFrame, keys: list, order_by: str,
         g[cnt_col] = np.array([], dtype=np.float64)
         return g.drop(columns="__sb", errors="ignore")
     g = g.sort_values(keys + [order_by], kind="stable").copy()
-    ts = pd.to_numeric(g[order_by]).to_numpy(np.float64)
+    arr = g[order_by].to_numpy()
+    if arr.dtype.kind == "M":
+        # datetime -> epoch MICROSECONDS, the library-wide convention
+        # (interval_join._to_i64, stream_window): half_life for datetime
+        # columns is in us like every other time stage, not pandas' ns
+        ts = arr.astype("datetime64[us]").astype(np.int64) \
+                .astype(np.float64)
+    else:
+        ts = pd.to_numeric(g[order_by]).to_numpy(np.float64)
     v = pd.to_numeric(g[value_col]).to_numpy(np.float64)
     n = len(g)
-    kf = g[keys].astype(str).agg("\x1f".join, axis=1).to_numpy()
-    new_key = np.empty(n, bool)
-    new_key[0] = True
-    new_key[1:] = kf[1:] != kf[:-1]
+    from ..core.grouping import key_change_mask
+
+    new_key = key_change_mask(g, keys)
     key_id = np.cumsum(new_key) - 1
     key_start_ts = ts[new_key][key_id]
     r = lam * (ts - key_start_ts)

@@ -42,6 +42,7 @@ def cume_dist(
     distinct_cap: int = 5_000_000,
     num_buckets: int | None = None,
     num_partitions: int | None = None,
+    materialize_narrow: bool = False,
 ):
     import ray
 
@@ -51,6 +52,13 @@ def cume_dist(
 
     keys = [key_col] if key_col else []
     narrow_cols = keys + [score_col]
+    narrow = ds.select_columns(narrow_cols)
+    if materialize_narrow:
+        # the guard pass + histogram pass each scan this projection (and
+        # the final row pass scans ds itself) — when the upstream is an
+        # expensive pipeline, pin the 1-2 column projection once (the
+        # budget_select materialize_narrow trade)
+        narrow = narrow.materialize()
 
     if strategy == "auto":
         # upper-bound the distinct-(key, score) count with one narrow
@@ -59,7 +67,7 @@ def cume_dist(
             nd = len(df[narrow_cols].drop_duplicates())
             return pd.DataFrame({"nd": [nd]})
 
-        bound = int(ds.select_columns(narrow_cols)
+        bound = int(narrow
                     .map_batches(block_distinct, batch_format="pandas",
                                  batch_size=None).to_pandas()["nd"].sum())
         strategy = "broadcast" if bound <= distinct_cap else "shuffle"
@@ -102,7 +110,7 @@ def cume_dist(
                              "s": idx[score_col].to_numpy(),
                              "c": g.to_numpy()})
 
-    parts = ds.select_columns(narrow_cols) \
+    parts = narrow \
         .map_batches(partial, batch_format="pandas", batch_size=None) \
         .to_pandas()
     if len(parts) > distinct_cap:
@@ -114,7 +122,10 @@ def cume_dist(
 
     lut: dict = {}
     for k, g in (hist.groupby("k") if keys else [(None, hist)]):
-        scores = g["s"].to_numpy(np.float64)
+        # scores keep their NATIVE dtype: casting int64 to float64 here
+        # would merge distinct scores past 2^53 that the shuffle path
+        # ranks exactly — auto must not flip between semantics
+        scores = g["s"].to_numpy()
         cum = np.cumsum(g["c"].to_numpy(np.float64))
         lut[k] = (scores, cum, float(cum[-1]) if len(cum) else 0.0)
     ref = ray.put(lut)
@@ -125,23 +136,27 @@ def cume_dist(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             quiet_ray_data_logs()
-            s = df[score_col].to_numpy(np.float64)
+            sv = df[score_col]
+            notna = ~pd.isna(sv).to_numpy()
+            s = sv.to_numpy()
             out = np.full(len(df), np.nan)
             if not keys:
-                items = [(None, np.ones(len(df), dtype=bool))]
+                items = [(None, np.arange(len(df)))]
             else:
-                kv = df[key_col].to_numpy()
-                items = [(k, kv == k) for k in pd.unique(kv)]
-            for k, m in items:
+                # one C-level factorize pass instead of a full-column
+                # equality scan per distinct key
+                items = df.groupby(key_col, sort=False).indices.items()
+            for k, pos in items:
                 ent = self.lut.get(k)
                 if ent is None:
                     continue
                 scores, cum, n = ent
-                mm = m & ~np.isnan(s)
-                if n > 0 and mm.any():
-                    idx = np.searchsorted(scores, s[mm], side="right") - 1
-                    vals = np.where(idx >= 0, cum[np.maximum(idx, 0)], 0.0)
-                    out[mm] = vals / n
+                pos = pos[notna[pos]]
+                if n > 0 and len(pos):
+                    idx = np.searchsorted(scores, s[pos],
+                                          side="right") - 1
+                    out[pos] = np.where(
+                        idx >= 0, cum[np.maximum(idx, 0)], 0.0) / n
             df = df.copy()
             df[out_col] = out
             return df

@@ -42,10 +42,9 @@ def sessionize(
         if len(g) == 0:
             g[session_col] = np.array([], dtype=np.int64)
             return g.drop(columns="__sb", errors="ignore")
-        key_frame = g[keys].astype(str).agg("\x1f".join, axis=1).to_numpy()
-        new_key = np.empty(len(g), bool)
-        new_key[0] = True
-        new_key[1:] = key_frame[1:] != key_frame[:-1]
+        from ..core.grouping import key_change_mask
+
+        new_key = key_change_mask(g, keys)
         new = np.empty(len(g), dtype=np.int64)
         new[0] = 0
         new[1:] = (np.diff(ts) > gap).astype(np.int64)

@@ -66,9 +66,26 @@ def hopping_window_agg(
     val_cols = sorted({col for (fn, col) in aggs.values() if col})
     nb = num_buckets or default_num_buckets()
 
+    # Blocks must emit IDENTICALLY-typed partials: a pandas conversion
+    # maps int64-with-nulls to float64 only in blocks that contain a
+    # null, so the shuffle would concatenate heterogeneous schemas
+    # (ArrowInvalid on >2^53 ints; silent float precision loss below).
+    # Convert from Arrow with nullable pandas ints instead — every
+    # integer value column is Int64 in EVERY block, exact and stable.
+    import pyarrow as pa
+
+    _null_ints = {pa.int8(): pd.Int64Dtype(), pa.int16(): pd.Int64Dtype(),
+                  pa.int32(): pd.Int64Dtype(), pa.int64(): pd.Int64Dtype(),
+                  pa.uint8(): pd.Int64Dtype(), pa.uint16(): pd.Int64Dtype(),
+                  pa.uint32(): pd.Int64Dtype()}
+
+    def _typed_pdf(t: "pa.Table") -> pd.DataFrame:
+        return t.to_pandas(types_mapper=_null_ints.get)
+
     # partial-column plan: one (sum|min|max|cnt) per (func-kind, col)
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: "pa.Table") -> pd.DataFrame:
         quiet_ray_data_logs()
+        df = _typed_pdf(t)
         n = len(df)
         ts = _to_i64(df[ts_col].to_numpy())
         base = np.floor_divide(ts, hop)
@@ -96,6 +113,9 @@ def hopping_window_agg(
             agg[f"__nnz_{col}"] = gb[f"__nnz_{col}"].sum()
         m = pd.concat(agg, axis=1).reset_index()
         out = m[keys + [out_ts_col]].copy()
+        # the window-start key is never null: plain int64 out (the
+        # nullable Int64 came from the stable-partial conversion)
+        out[out_ts_col] = out[out_ts_col].astype("int64")
         for name, (fn, col) in aggs.items():
             if fn == "count":
                 out[name] = m["__cnt"].astype("int64")
@@ -109,20 +129,19 @@ def hopping_window_agg(
                 out[name] = m[f"__max_{col}"]
             else:  # mean
                 cnt = m[f"__nnz_{col}"].to_numpy().astype(np.float64)
+                s = m[f"__sum_{col}"].to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    out[name] = np.where(
-                        cnt > 0,
-                        m[f"__sum_{col}"].to_numpy(np.float64) / cnt,
-                        np.nan)
+                    out[name] = np.where(cnt > 0, s / cnt, np.nan)
         return out
 
     add_b = add_bucket_column(keys + [out_ts_col], "__b", nb)
-    pre = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    pre = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
              .map_batches(add_b, batch_format="pyarrow", batch_size=None))
 
-    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
-        return final(g.drop(columns="__b"))
+    def bucket_final(t: "pa.Table") -> pd.DataFrame:
+        return final(_typed_pdf(t).drop(columns="__b"))
 
     return map_groups_typed(pre, "__b", bucket_final,
-                            batch_format="pandas",
+                            batch_format="pyarrow",
                             num_partitions=num_partitions)

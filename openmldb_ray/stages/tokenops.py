@@ -360,7 +360,7 @@ class HashTokenizer:
     def __call__(self, df: pd.DataFrame):
         import pyarrow as pa
 
-        s = df[self.text_col].astype(str)
+        s = df[self.text_col].fillna("").astype(str)  # null -> no tokens
         if self.lowercase:
             s = s.str.lower()
         words = s.str.strip().str.split()
@@ -684,6 +684,12 @@ def learn_bpe(ds: "ray.data.Dataset", tokens_col: str = "tokens",
         mx = int(flat.max()) if len(flat) else -1
         u, c = (np.unique(keys, return_counts=True) if len(keys)
                 else (np.zeros(0, np.uint64), np.zeros(0, np.int64)))
+        if not len(u) and mx >= 0:
+            # a block of only <2-token docs still must report its max
+            # token id — next_id = max(mx)+1 would otherwise collide
+            # with an existing token that lives only in such docs
+            u = np.zeros(1, np.uint64)
+            c = np.zeros(1, np.int64)
         return pa.table({"key": pa.array(u, pa.uint64()),
                          "cnt": pa.array(c.astype(np.int64), pa.int64()),
                          "mx": pa.array(np.full(len(u), mx, np.int64),

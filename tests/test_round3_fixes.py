@@ -382,3 +382,40 @@ def test_semijoin_shuffle_nullable_and_big_int64(ray_session):
     got = dict(zip(out["k"], out["v"]))
     assert set(got) == {"a", "c"}
     assert got["a"] == 10 and got["c"] == big  # exact, not 2^53
+
+
+def test_hopping_partials_stable_dtypes(ray_session):
+    """Blocks with and without nulls must emit identically-typed partials
+    (mixed int64/float64 partials used to crash the shuffle concat on
+    >2^53 values and silently lose precision below)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from openmldb_ray.stages.stream_window import hopping_window_agg
+    big = 2**53 + 4
+    t1 = pa.table({"k": ["a", "a"], "ts": [0, 1],
+                   "v": pa.array([10, None], pa.int64())})
+    t2 = pa.table({"k": ["a", "a"], "ts": [2, 3],
+                   "v": pa.array([big, 6], pa.int64())})
+    ds = ray.data.from_arrow([t1, t2])
+    out = hopping_window_agg(
+        ds, ts_col="ts", key_cols=["k"], window=4, hop=4,
+        aggs={"s": ("sum", "v"), "c": ("count", None)},
+        num_partitions=2).to_pandas()
+    row = out[out["window_start"] == 0].iloc[0]
+    assert int(row["s"]) == 10 + big + 6  # exact, not float-rounded
+    assert int(row["c"]) == 4
+
+
+def test_hash_tokenizer_null_text(ray_session):
+    """Null documents tokenize to an empty list, not the word 'None'."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from openmldb_ray.stages.tokenops import tokenize_text
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [None, "real words"]})
+    out = tokenize_text(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id")
+    assert len(out["tokens"].iloc[0]) == 0
+    assert out["n_tok"].iloc[0] == 0
+    assert out["n_tok"].iloc[1] == 2
