@@ -43,7 +43,7 @@ _DOCS_SENTINEL = "\x00docs"
 
 def _explode_words(texts: pd.Series):
     """(doc positional index, word) for all whitespace-split words."""
-    words = texts.astype(str).str.strip().str.split()
+    words = texts.fillna("").astype(str).str.strip().str.split()
     return words.explode().dropna()
 
 

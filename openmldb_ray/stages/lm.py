@@ -37,7 +37,7 @@ import ray
 def _explode_words(texts: pd.Series) -> pd.Series:
     """All whitespace-split words of each doc, exploded with the doc's
     POSITIONAL index as the series index (empty docs contribute nothing)."""
-    words = texts.astype(str).str.strip().str.split()
+    words = texts.fillna("").astype(str).str.strip().str.split()
     ex = words.reset_index(drop=True).explode()
     return ex[ex.notna()].astype(str)
 
@@ -155,7 +155,7 @@ class LmScorer:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         idc = self.id_col
         if len(df) == 0:
-            return pd.DataFrame({idc: pd.Series([], dtype="int64"),
+            return pd.DataFrame({idc: df[idc],  # keep the id dtype
                                  "n_words": pd.Series([], dtype="int64"),
                                  "nll": pd.Series([], dtype="float64")})
         ex = _explode_words(df[self.text_col])

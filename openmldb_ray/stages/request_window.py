@@ -22,6 +22,13 @@ timestamp T — ROWS_RANGE ... PRECEDING AND CURRENT ROW over a WINDOW
 UNION-style buffer (history rows at exactly T are included, like DuckDB's
 RANGE CURRENT ROW peer rows). Empty window → NULL for sum/avg/min/max,
 0 for count/count_star (reference UDAF null semantics).
+
+Known limitation (same class semi_join's exchange fixed in bbe994d, not
+yet applied here): request PAYLOAD columns ride the union exchange
+through pandas, so a nullable-int payload column fails the restore cast
+loudly and int payloads >= 2^53 lose exactness — keep request payloads
+to floats/strings/small ints, or pre-cast. Aggregated VALUE columns are
+unaffected (they are float64 by definition of the aggs).
 """
 
 from __future__ import annotations
@@ -113,6 +120,13 @@ def request_window_agg(
             raise ValueError(f"request_window_agg supports {sorted(_KINDS)}, "
                              f"got {a.kind!r}")
     need_cols = sorted({a.col for a in aggs if a.col})
+    # normalize to Arrow blocks FIRST: a pandas-block dataset's schema()
+    # reports numpy dtypes, which cannot drive the restore casts below
+    # (the anti_join_ids idiom)
+    requests = requests.map_batches(lambda t: t, batch_format="pyarrow",
+                                    batch_size=None)
+    history = history.map_batches(lambda t: t, batch_format="pyarrow",
+                                  batch_size=None)
     req_schema = requests.schema()
     hist_schema = history.schema()
     req_cols = list(req_schema.names)
@@ -179,10 +193,27 @@ def request_window_agg(
     ).map_batches(restore_types, batch_format="pyarrow", batch_size=None)
 
 
+def _ts_f64(col: pd.Series) -> np.ndarray:
+    """order_by as float64 — datetime columns are REJECTED (their raw ns
+    floats would make preceding_ms off by 1e6 and exceed 2^53); convert
+    to an epoch-ms/us integer column upstream, like every caller does."""
+    arr = col.to_numpy()
+    if arr.dtype.kind == "M":
+        raise TypeError(
+            "request_window_agg: datetime order_by not supported — "
+            "convert to an integer epoch column in preceding_ms units "
+            "first (epoch_ms, like the events fixtures)")
+    return col.to_numpy(np.float64)
+
+
 def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
              preceding_ms: int, req_cols: list[str]) -> pd.DataFrame:
     is_req = g[REQ_FLAG].to_numpy(bool)
-    hist = g[~is_req]
+    # null timestamps: a NaN history row would sort to the tail and land
+    # inside any NaN request's searchsorted window — exclude them; null
+    # requests keep their row with NULL/0 aggregates via the empty window
+    tsall = _ts_f64(g[order_by])
+    hist = g[~is_req & ~np.isnan(tsall)]
     req = g[is_req]
     h_ts = hist[order_by].to_numpy(np.float64)
     order_h = np.argsort(h_ts, kind="stable")

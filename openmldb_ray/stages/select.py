@@ -92,10 +92,31 @@ def budget_select(
         # still streams the original ds exactly once)
         narrow = narrow.materialize()
 
+    def _id_f64(t):
+        """id column as float64, refusing ids whose tie-break exactness a
+        float64 cannot represent (>= 2^53): silent corruption would
+        select the wrong boundary rows — remap such ids densely first."""
+        raw = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        if raw.dtype.kind in "iu" and len(raw) and \
+                int(np.abs(raw.astype(np.int64)).max()) >= (1 << 53):
+            raise ValueError(
+                "budget_select: id values >= 2^53 lose exactness in the "
+                "float64 tie-break refinement — remap ids to a dense "
+                "range (compact_vocab-style) first")
+        return raw.astype(np.float64)
+
     def _keys_of(t):
-        """Key column of a pyarrow batch as a str object ndarray."""
-        return t.column(key_col).to_pandas().astype(str) \
-            .to_numpy(dtype=object) if key_col else None
+        """Key column of a pyarrow batch as a str object ndarray. Null
+        keys map to a NUL-framed sentinel (one shared group, SQL GROUP BY
+        style) that cannot collide with a real key named 'None'."""
+        if not key_col:
+            return None
+        s = t.column(key_col).to_pandas()
+        out = s.astype(str).to_numpy(dtype=object)
+        na = pd.isna(s).to_numpy()
+        if na.any():
+            out[na] = "\x00<null>\x00"
+        return out
 
     # ------------------------------------------------ per-round scan body
     def scan_partials(specs):
@@ -107,8 +128,7 @@ def budget_select(
             kcol = _keys_of(t)
             x = np.asarray(t.column(order_col).to_numpy(zero_copy_only=False),
                            dtype=np.float64) * sign
-            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                             dtype=np.float64)
+            ids = _id_f64(t)
             w = (np.asarray(t.column(weight_col).to_numpy(zero_copy_only=False),
                             dtype=np.float64)
                  if weight_col else np.ones(len(x)))
@@ -164,8 +184,7 @@ def budget_select(
         kcol = _keys_of(t)
         x = np.asarray(t.column(order_col).to_numpy(zero_copy_only=False),
                        dtype=np.float64) * sign
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                         dtype=np.float64)
+        ids = _id_f64(t)
         w = (np.asarray(t.column(weight_col).to_numpy(zero_copy_only=False),
                         dtype=np.float64)
              if weight_col else np.ones(len(x)))
@@ -269,8 +288,7 @@ def budget_select(
             kcol = _keys_of(t)
             x = np.asarray(t.column(order_col).to_numpy(zero_copy_only=False),
                            dtype=np.float64) * sign
-            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                             dtype=np.float64)
+            ids = _id_f64(t)
             w = (np.asarray(t.column(weight_col).to_numpy(zero_copy_only=False),
                             dtype=np.float64)
                  if weight_col else np.ones(len(x)))
@@ -321,8 +339,7 @@ def budget_select(
         kcol = _keys_of(t)
         x = np.asarray(t.column(order_col).to_numpy(zero_copy_only=False),
                        dtype=np.float64) * sign
-        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
-                         dtype=np.float64)
+        ids = _id_f64(t)
         keep = np.zeros(len(x), dtype=bool)
         ok = ~np.isnan(x) & ~np.isnan(ids)
         for k, (cut, tie_val, id_cut, explicit) in final.items():

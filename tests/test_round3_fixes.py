@@ -419,3 +419,53 @@ def test_hash_tokenizer_null_text(ray_session):
     assert len(out["tokens"].iloc[0]) == 0
     assert out["n_tok"].iloc[0] == 0
     assert out["n_tok"].iloc[1] == 2
+
+
+def test_lm_nb_null_text_no_phantom_token(ray_session):
+    """Null text must contribute no words to LM training / NB features /
+    LM scoring (was tokenized as the literal word 'None')."""
+    import pandas as pd
+    import ray
+    from openmldb_ray.stages.lm import lm_score, train_bigram_lm
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b a", None, "a b"]})
+    ds = ray.data.from_pandas(df)
+    model = train_bigram_lm(ds)
+    assert "None" not in model["uni"]
+    out = lm_score(ds, model).to_pandas().set_index("doc_id")
+    assert out.loc[2, "n_words"] == 0
+
+
+def test_budget_select_rejects_huge_ids(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    import ray
+    from openmldb_ray.stages.select import budget_select
+    df = pd.DataFrame({"doc_id": np.array([2**53, 2**53 + 1], np.int64),
+                       "score": [1.0, 2.0]})
+    with _pt.raises(Exception, match="2\\^53"):
+        budget_select(ray.data.from_pandas(df), "score", budget=1
+                      ).to_pandas()
+
+
+def test_request_window_null_ts(ray_session):
+    """Null-timestamp history rows never join a window; null-ts requests
+    come back with NULL/0 aggregates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from openmldb_ray.core.aggregates import AggSpec
+    from openmldb_ray.stages.request_window import request_window_agg
+    hist = pd.DataFrame({"k": ["a"] * 3, "ts": [1.0, 2.0, np.nan],
+                         "v": [10.0, 20.0, 99.0]})
+    req = pd.DataFrame({"k": ["a", "a"], "ts": [2.0, np.nan]})
+    out = request_window_agg(
+        rd.from_pandas(req), rd.from_pandas(hist), "k", "ts",
+        [AggSpec(name="s", kind="sum", col="v"),
+         AggSpec(name="n", kind="count_star")],
+        preceding_ms=10).to_pandas()
+    good = out[out["ts"] == 2.0].iloc[0]
+    assert good["s"] == 30.0 and good["n"] == 2  # NaN hist row excluded
+    bad = out[out["ts"].isna()].iloc[0]
+    assert pd.isna(bad["s"]) and bad["n"] == 0
