@@ -55,15 +55,23 @@ def kmeans_fit(
     iters: int = 8,
     sample_init: int = 2048,
     seed: int = 13,
+    materialize_narrow: bool = False,
 ) -> dict:
     """Full-dataset Lloyd iterations; returns
     ``{"centroids": (k, d) float64, "inertia": [per-iteration SSE],
-    "n": row count}``."""
+    "n": row count}``. ``materialize_narrow`` pins the single-column
+    projection once — each Lloyd iteration (plus the init sample) scans
+    it, so an expensive upstream would otherwise re-execute per
+    iteration (the budget_select materialize_narrow trade)."""
     import ray
+
+    narrow = ds.select_columns([col])
+    if materialize_narrow:
+        narrow = narrow.materialize()
 
     # deterministic seeded k-means++ init from a driver sample (init only
     # — every Lloyd iteration below sees the full dataset)
-    sample = _stack(ds.limit(sample_init).to_pandas()[col])
+    sample = _stack(narrow.limit(sample_init).to_pandas()[col])
     rng = np.random.default_rng(seed)
     centroids = _kmeanspp(sample, min(k, len(sample)), rng)
     init = centroids.copy()
@@ -79,6 +87,12 @@ def kmeans_fit(
             from ..core.hashing import quiet_ray_data_logs
             quiet_ray_data_logs()
             c = ray.get(ref)
+            if not len(df):  # np.stack crashes on an empty block
+                return pd.DataFrame({
+                    "cl": np.array([], np.int64),
+                    "cnt": np.array([], np.int64),
+                    "sse": np.array([], np.float64),
+                    "s": pd.Series([], dtype=object)})
             x = _stack(df[col])
             scores = x @ c.T - 0.5 * (c * c).sum(axis=1)
             a = scores.argmax(axis=1)
@@ -97,7 +111,7 @@ def kmeans_fit(
                 "sse": sse,
                 "s": [v.tobytes() for v in sums]})
 
-        parts = ds.select_columns([col]).map_batches(
+        parts = narrow.map_batches(
             partial, batch_format="pandas", batch_size=None).to_pandas()
         sums = np.zeros((k, d))
         for cl, g in parts.groupby("cl"):

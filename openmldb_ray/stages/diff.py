@@ -58,8 +58,17 @@ def snapshot_diff(
     add_b = add_bucket_column([key], "__b", num_buckets)
 
     def bucket_diff(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["__side"] == 0][cols]
-        n = g[g["__side"] == 1][cols]
+        o = g[g["__side"] == 0][cols].copy()
+        n = g[g["__side"] == 1][cols].copy()
+        # integer compare columns ride the outer merge as NULLABLE Int64:
+        # NaN-padding from added/removed keys would otherwise promote
+        # them to float64, where values past 2^53 compare equal and a
+        # genuinely changed row is silently classed 'unchanged' (and the
+        # old_/new_ output dtype would differ per bucket)
+        for c in compare_cols:
+            if o[c].dtype.kind in "iu":
+                o[c] = o[c].astype("Int64")
+                n[c] = n[c].astype("Int64")
         m = o.merge(n, how="outer", on=key, suffixes=("__o", "__n"),
                     indicator=True)
         in_old = m["_merge"] != "right_only"
@@ -67,7 +76,9 @@ def snapshot_diff(
         changed = np.zeros(len(m), dtype=bool)
         for c in compare_cols:
             a, b = m[f"{c}__o"], m[f"{c}__n"]
-            eq = (a == b) | (a.isna() & b.isna())
+            eq = ((a == b) | (a.isna() & b.isna()))
+            if eq.dtype != bool:  # nullable boolean: one-sided NA != equal
+                eq = eq.fillna(False)
             changed |= ~eq.to_numpy(dtype=bool)
         status = np.where(~in_old, "added",
                           np.where(~in_new, "removed",

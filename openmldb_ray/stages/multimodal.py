@@ -40,6 +40,21 @@ def _fake_image_decode(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def _resolve_decode(decode_fn, fake_decode):
+    """Shared decode-fn resolution for the image stages: explicit fn >
+    deterministic fake > a loud stub (no imaging libs in this env)."""
+    if decode_fn is not None:
+        return decode_fn
+    if fake_decode:
+        return _fake_image_decode
+
+    def _raise(_):
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in "
+            "this environment; pass decode_fn or fake_decode=True")
+    return _raise
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: decode → resize → feature vector.
 
@@ -52,16 +67,7 @@ class ImageFeatureExtractor:
                  decode_fn: Callable[[bytes], np.ndarray] | None = None,
                  fake_decode: bool = False):
         self.payload_col = payload_col
-        if decode_fn is not None:
-            self.decode = decode_fn
-        elif fake_decode:
-            self.decode = _fake_image_decode
-        else:
-            def _raise(_):
-                raise NotImplementedError(
-                    "image decode requires an imaging library not present in "
-                    "this environment; pass decode_fn or fake_decode=True")
-            self.decode = _raise
+        self.decode = _resolve_decode(decode_fn, fake_decode)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = []
@@ -77,7 +83,7 @@ class AudioFrameSampler:
     """Actor-pool stage shape for audio: frame-sample metadata extraction.
     Stubbed identically to images (no audio codec available here)."""
 
-    def __init__(self, payload_col: str = "payload", frame_ms: int = 25,
+    def __init__(self, payload_col: str = "payload", frame_ms: int = 10,
                  fake_decode: bool = False):
         self.payload_col = payload_col
         self.frame_ms = frame_ms
@@ -88,7 +94,10 @@ class AudioFrameSampler:
             raise NotImplementedError(
                 "audio decode requires an audio library not present in this "
                 "environment; pass fake_decode=True to exercise the plumbing")
-        n_frames = [max(1, (len(p) if p else 0) // 320) for p in t[self.payload_col].to_pylist()]
+        # 16 kHz mono s16le: sr * 2 bytes/sample * frame_ms / 1000
+        frame_bytes = max(1, 16_000 * 2 * self.frame_ms // 1000)
+        n_frames = [max(1, (len(p) if p else 0) // frame_bytes)
+                    for p in t[self.payload_col].to_pylist()]
         return t.append_column("n_frames", pa.array(n_frames, type=pa.int64()))
 
 
@@ -102,16 +111,7 @@ class ImageResizer:
                  fake_decode: bool = False):
         self.out_hw = tuple(out_hw)
         self.payload_col = payload_col
-        if decode_fn is not None:
-            self.decode = decode_fn
-        elif fake_decode:
-            self.decode = _fake_image_decode
-        else:
-            def _raise(_):
-                raise NotImplementedError(
-                    "image decode requires an imaging library not present in "
-                    "this environment; pass decode_fn or fake_decode=True")
-            self.decode = _raise
+        self.decode = _resolve_decode(decode_fn, fake_decode)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         h, w = self.out_hw

@@ -82,11 +82,20 @@ def _plain_arrow_lists(t):
 
 
 def _partition_dirs(out_dir: str, partition_col: str) -> dict[str, str]:
-    """value -> dir for every hive-layout partition dir present on disk."""
+    """value -> dir for every hive-layout partition dir present on disk.
+    Dir names are hive-ENCODED ('a b' -> 'a%20b'); decode them so every
+    consumer (lineage records, the done-set, filter_completed's
+    str(value) comparison, the incomplete-dir rmtree) works in raw value
+    space — comparing raw values against encoded names let resume append
+    duplicate rows into already-complete partitions. Partition values
+    must be non-null (a null writes __HIVE_DEFAULT_PARTITION__, which no
+    raw value can ever match)."""
+    from urllib.parse import unquote
+
     out = {}
     for p in glob.glob(os.path.join(out_dir, f"{partition_col}=*")):
         if os.path.isdir(p):
-            out[os.path.basename(p).split("=", 1)[1]] = p
+            out[unquote(os.path.basename(p).split("=", 1)[1])] = p
     return out
 
 
@@ -109,6 +118,11 @@ def write_partitioned_with_lineage(
     """
     import pyarrow.parquet as pq
 
+    if not resume:
+        # a fresh run must not leave stale 'complete' records behind:
+        # a LATER resume would trust them and silently drop those
+        # partitions' input rows with no data on disk
+        shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir) if resume else set()
     if done:
@@ -121,7 +135,10 @@ def write_partitioned_with_lineage(
         if v not in done:
             shutil.rmtree(pdir, ignore_errors=True)
 
-    if done and ds.count() == 0:  # resume with nothing left to do
+    # resume with nothing left to do? limit(1) short-circuits: non-empty
+    # inputs answer after ~one block instead of the full pipeline pass a
+    # count() would burn (and the write below would then re-execute)
+    if done and ds.limit(1).count() == 0:
         return {"written": [], "skipped": sorted(done)}
     t0 = time.time()
     ds = ds.map_batches(_plain_arrow_lists, batch_format="pyarrow", batch_size=None)

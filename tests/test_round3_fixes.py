@@ -469,3 +469,31 @@ def test_request_window_null_ts(ray_session):
     assert good["s"] == 30.0 and good["n"] == 2  # NaN hist row excluded
     bad = out[out["ts"].isna()].iloc[0]
     assert pd.isna(bad["s"]) and bad["n"] == 0
+
+
+def test_lineage_hive_encoded_partition_resume(ray_session, tmp_path):
+    """Partition values needing hive encoding ('a b' -> dir p=a%20b) must
+    resume-skip correctly (raw-vs-encoded comparison used to append
+    duplicate rows), and resume=False must clear stale lineage records."""
+    import pandas as pd
+    import ray.data as rd
+    from openmldb_ray.state.lineage import (completed_partitions,
+                                            write_partitioned_with_lineage)
+    out = str(tmp_path / "o")
+    df = pd.DataFrame({"p": ["a b", "a b", "c%d", "plain"],
+                       "doc_id": [1, 2, 3, 4]})
+    s1 = write_partitioned_with_lineage(rd.from_pandas(df), out, "p")
+    assert sorted(s1["written"]) == ["a b", "c%d", "plain"]
+    assert completed_partitions(out) == {"a b", "c%d", "plain"}
+    s2 = write_partitioned_with_lineage(rd.from_pandas(df), out, "p")
+    assert s2["written"] == [] and sorted(s2["skipped"]) == \
+        ["a b", "c%d", "plain"]
+    import duckdb
+    n = duckdb.query(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet', "
+        f"hive_partitioning=1)").fetchone()[0]
+    assert n == 4  # no duplicated rows after the no-op resume
+    # fresh run clears stale records: drop one partition from the input
+    s3 = write_partitioned_with_lineage(
+        rd.from_pandas(df[df["p"] != "plain"]), out, "p", resume=False)
+    assert completed_partitions(out) == {"a b", "c%d"}
