@@ -90,7 +90,24 @@ def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: 
             suffixes=("", "__r"),
         )
     else:
-        merged = good.reindex(columns=list(good.columns) + [c for c in out_cols if c not in good.columns])
+        # no valid left rows in this batch: emit the SAME schema merge_asof
+        # would have produced (left cols + right cols, suffixed on collision,
+        # minus the coalesced same-name on/by columns) so block schemas stay
+        # uniform across batches — and never iterate out_cols (it is None on
+        # the broadcast path when right_cols is None)
+        coalesced = set()
+        if right_key == left_key:
+            coalesced.add(right_key)
+        if right_order == left_ts:
+            coalesced.add(right_order)
+        radd = []
+        for c in rdf.columns:
+            if c in coalesced:
+                continue
+            name = c + "__r" if c in good.columns else c
+            if name not in good.columns and name not in radd:
+                radd.append(name)
+        merged = good.reindex(columns=list(good.columns) + radd)
     if len(bad):
         bad = bad.reindex(columns=list(merged.columns))
         merged = pd.concat([merged, bad], ignore_index=True)
@@ -113,26 +130,36 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
     ldf = ldf.reset_index(drop=True).assign(__lorder=np.arange(len(ldf)))
     m = ldf.merge(rdf, how="inner", left_on=left_key, right_on=right_key,
                   suffixes=("", "__r"))
+
+    def _r(c):
+        # the merge suffixes RIGHT columns that collide with a left name
+        # (except the coalesced same-name join key) — the point-in-time
+        # bound and the order sort must read the right side, or a shared
+        # ts column name would compare left ts to itself (always true:
+        # temporal leakage)
+        return c + "__r" if (c in ldf.columns and c + "__r" in m.columns) else c
+
+    ro = _r(right_order) if right_order is not None else None
     if right_order is not None:
-        m = m[m[right_order].notna()]
+        m = m[m[ro].notna()]
     if left_ts is not None:
         if direction == "forward":
-            m = m[m[right_order] >= m[left_ts]]
+            m = m[m[ro] >= m[left_ts]]
             if tolerance is not None:
-                m = m[m[right_order] <= m[left_ts] + tolerance]
+                m = m[m[ro] <= m[left_ts] + tolerance]
         else:
-            m = m[m[right_order] <= m[left_ts]]
+            m = m[m[ro] <= m[left_ts]]
             if tolerance is not None:
-                m = m[m[right_order] >= m[left_ts] - tolerance]
+                m = m[m[ro] >= m[left_ts] - tolerance]
     if residual is not None and len(m):
         m = m[np.asarray(residual(m), dtype=bool)]
     if len(m):
         if right_order is not None:
-            sort_cols = [right_order, tiebreak_col or RID_COL]
+            sort_cols = [ro, _r(tiebreak_col or RID_COL)]
             m = m.sort_values(sort_cols, kind="stable").groupby("__lorder", sort=False)
             m = m.head(1) if direction == "forward" else m.tail(1)
         else:
-            m = m.sort_values(RID_COL, kind="stable").groupby("__lorder", sort=False).tail(1)
+            m = m.sort_values(_r(RID_COL), kind="stable").groupby("__lorder", sort=False).tail(1)
     right_out = [c for c in rdf.columns if c not in ldf.columns]
     merged = ldf.merge(m[["__lorder", *[c for c in right_out if c in m.columns]]],
                        on="__lorder", how="left", suffixes=("", "__r"))
@@ -228,6 +255,10 @@ def _reduce_single_match(rdf: pd.DataFrame, key: str, order_by: str | None,
     LAST JOIN, max storage rid (last stored row) for unsorted
     (test_lastjoin_simple.yaml id 4-5)."""
     if order_by is not None:
+        # max-order selection skips null orders (same rule _asof_merge
+        # enforces); without this filter NaN sorts LAST and a null-order
+        # row would silently win the group
+        rdf = rdf[rdf[order_by].notna()]
         sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [RID_COL])
         rs = rdf.sort_values(sort_cols, kind="stable")
         return rs.groupby(key, sort=False).tail(1)
@@ -691,7 +722,12 @@ def latest_snapshot(
     sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [])
 
     def local_latest(df: pd.DataFrame) -> pd.DataFrame:
-        # per-block combiner: at most one candidate per key leaves the block
+        # per-block combiner: at most one candidate per key leaves the block.
+        # A null order value cannot be "latest" (max-order skips nulls, the
+        # library-wide rule) — without the filter NaN sorts last and tail(1)
+        # would return the null-ts row whenever a key carries one. The
+        # as_of path already drops nulls via the pc.less_equal filter.
+        df = df[df[order_by].notna()]
         return (df.sort_values(sort_cols, kind="stable")
                   .groupby(key, sort=False).tail(1))
 

@@ -107,7 +107,20 @@ def group_aggregate(
     # the exchange moves Arrow blocks.
     add_bucket = add_bucket_column(keys, "__gb", default_num_buckets())
 
-    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+    # integer columns convert from Arrow as NULLABLE Int64 so a bucket that
+    # happens to carry a null keeps the exact-int evaluator path: a plain
+    # to_pandas() would deliver float64 there, silently corrupting int64
+    # values >= 2^53 (distinct ids collapse) AND flipping the output dtype
+    # per bucket (the data-dependent-schema bug class fixed in
+    # stream_window commit 7fb6252)
+    _null_ints = {pa.int8(): pd.Int64Dtype(), pa.int16(): pd.Int64Dtype(),
+                  pa.int32(): pd.Int64Dtype(), pa.int64(): pd.Int64Dtype(),
+                  pa.uint8(): pd.Int64Dtype(), pa.uint16(): pd.Int64Dtype(),
+                  pa.uint32(): pd.Int64Dtype()}
+
+    def fn(t) -> pd.DataFrame:
+        bucket = t.to_pandas(types_mapper=_null_ints.get) \
+            if isinstance(t, pa.Table) else t
         bucket = bucket.drop(columns="__gb", errors="ignore")
         rows = []
         for key_vals, g in bucket.groupby(keys, sort=False, dropna=False):
@@ -137,7 +150,7 @@ def group_aggregate(
 
     return map_groups_typed(
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
-        "__gb", fn, batch_format="pandas", num_partitions=num_partitions)
+        "__gb", fn, batch_format="pyarrow", num_partitions=num_partitions)
 
 
 def sort_by(ds: "ray.data.Dataset", keys, descending=False) -> "ray.data.Dataset":
