@@ -2409,6 +2409,118 @@ def q_bpe_learn(sf_dir: str):
     })
 
 
+def q_target_encode(sf_dir: str):
+    """Smoothed mean target encoding + leave-one-out (encoders.
+    target_encode): n_chars encoded by source with smoothing 20 and the
+    global mean as prior. ONE streaming stats pass (distinct-category
+    partials through a coarse-bucket fold), then a shuffle-free broadcast
+    apply. Exact DuckDB oracle: integer target → exact int64 sums, and
+    both engines evaluate the identical float64 expression tree."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.encoders import target_encode
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source",
+                                                    "n_chars"])
+    out = target_encode(docs, "source", "n_chars", smoothing=20.0,
+                        loo=True, out_col="src_te").to_pandas()
+    return out[["doc_id", "source", "src_te", "src_te_loo"]]
+
+
+def q_count_encode(sf_dir: str):
+    """Frequency encoding (encoders.count_encode, normalize=True): each
+    event row gains its event_type's share of all rows. Same two-pass
+    broadcast shape as target_encode; exact DuckDB window oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.encoders import count_encode
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    out = count_encode(ev, "event_type", normalize=True,
+                       out_col="et_freq").to_pandas()
+    return out[["event_id", "event_type", "et_freq"]]
+
+
+def q_one_hot(sf_dir: str):
+    """One-hot encoding (encoders.one_hot) of o_orderpriority: a tiny
+    distinct scan fixes the vocab, then one row-local pass emits a 0/1
+    int64 indicator column per category. Exact DuckDB CASE oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.encoders import one_hot
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    out = one_hot(orders, "o_orderpriority", prefix="prio").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_feature_cross(sf_dir: str):
+    """Hashed feature cross (encoders.feature_cross) of c_mktsegment ×
+    c_nationkey into 64 buckets — purely row-local, the engine-wide
+    stable_hash64 combiner. The hash is not SQL-expressible, so the
+    oracle is the in-query property set hash-compared against constant
+    SQL: every bucket in range, every distinct (segment, nation) pair
+    maps to exactly ONE bucket (determinism across blocks/partitions),
+    and the pair count matches DuckDB's COUNT(DISTINCT)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.encoders import feature_cross
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    out = feature_cross(cust, ["c_mktsegment", "c_nationkey"],
+                        num_buckets=64, out_col="seg_nat").to_pandas()
+    per_pair = out.groupby(["c_mktsegment", "c_nationkey"])["seg_nat"]
+    return pd.DataFrame({
+        "pairs": [np.int64(per_pair.ngroups)],
+        "in_range": [bool(out["seg_nat"].between(0, 63).all())],
+        "one_bucket_per_pair": [bool((per_pair.nunique() == 1).all())],
+    })
+
+
+def q_standard_scale(sf_dir: str):
+    """Per-key z-score (scale.standard_scale): n_chars standardized
+    within each source. One streaming (cnt, sum, sumsq) fold + one
+    broadcast apply. Exact DuckDB oracle — both sides evaluate
+    (x - s/c) / sqrt((sq - s*s/c)/c) over exact integer sums cast to
+    DOUBLE before any float arithmetic."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import standard_scale
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    out = standard_scale(docs, "n_chars", by="source",
+                         out_col="chars_z").to_pandas()
+    return out[["doc_id", "source", "chars_z"]]
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-key min-max scaling (scale.minmax_scale): l_extendedprice
+    into [0,1] within each l_returnflag. No sums anywhere — min/max are
+    order-independent — so the float column replays bit-exactly in
+    DuckDB (NULLIF(max-min, 0) for constant groups)."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import minmax_scale
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_extendedprice"])
+    out = minmax_scale(li, "l_extendedprice", by="l_returnflag",
+                       out_col="price_mm").to_pandas()
+    return out[["l_orderkey", "l_linenumber", "l_returnflag", "price_mm"]]
+
+
+def q_bucketize(sf_dir: str):
+    """Fixed-edge discretization (scale.bucketize): n_chars into 5
+    clamped bins — purely row-local, zero shuffle. Exact DuckDB oracle
+    replaying the clamped searchsorted semantics."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import bucketize
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = bucketize(docs, "n_chars", [0, 260, 290, 310, 340, 100000],
+                    out_col="chars_bin").to_pandas()
+    out["chars_bin"] = out["chars_bin"].astype(np.int64)  # no nulls here
+    return out[["doc_id", "chars_bin"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from openmldb_ray.pipelines.flagship import flagship
@@ -2514,6 +2626,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_vocab": q_compact_vocab,
         "decayed_sum": q_decayed_sum,
         "tfidf": q_tfidf,
+        "target_encode": q_target_encode,
+        "count_encode": q_count_encode,
+        "one_hot": q_one_hot,
+        "feature_cross": q_feature_cross,
+        "standard_scale": q_standard_scale,
+        "minmax_scale": q_minmax_scale,
+        "bucketize": q_bucketize,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -3666,5 +3785,83 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem WHERE l_quantity > 10
             GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 5
+        """,
+        "target_encode": """
+            WITH p AS (SELECT CAST(sum(n_chars) AS DOUBLE)
+                              / count(n_chars) AS prior FROM documents),
+            g AS (SELECT source,
+                         CAST(sum(n_chars) AS DOUBLE) AS ts,
+                         CAST(count(n_chars) AS DOUBLE) AS tc
+                  FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   (g.ts + 20.0 * p.prior) / (g.tc + 20.0) AS src_te,
+                   CASE WHEN d.n_chars IS NULL
+                        THEN (g.ts + 20.0 * p.prior) / (g.tc + 20.0)
+                        WHEN g.tc - 1.0 + 20.0 > 0
+                        THEN (g.ts - d.n_chars + 20.0 * p.prior)
+                             / (g.tc - 1.0 + 20.0)
+                        ELSE p.prior END AS src_te_loo
+            FROM documents d CROSS JOIN p JOIN g ON d.source = g.source
+        """,
+        "count_encode": """
+            SELECT event_id, event_type,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM events) AS DOUBLE) AS et_freq
+            FROM events
+        """,
+        "one_hot": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS BIGINT) AS prio_1_URGENT,
+                   CAST(CASE WHEN o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END AS BIGINT) AS prio_2_HIGH,
+                   CAST(CASE WHEN o_orderpriority = '3-MEDIUM'
+                        THEN 1 ELSE 0 END AS BIGINT) AS prio_3_MEDIUM,
+                   CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                        THEN 1 ELSE 0 END AS BIGINT) AS prio_4_NOT_SPECIFIED,
+                   CAST(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 1 ELSE 0 END AS BIGINT) AS prio_5_LOW
+            FROM orders ORDER BY o_orderkey
+        """,
+        "feature_cross": """
+            SELECT (SELECT count(*) FROM
+                      (SELECT DISTINCT c_mktsegment, c_nationkey
+                       FROM customer)) AS pairs,
+                   true AS in_range,
+                   true AS one_bucket_per_pair
+        """,
+        "standard_scale": """
+            WITH g AS (SELECT source,
+                              CAST(count(n_chars) AS DOUBLE) AS c,
+                              CAST(sum(n_chars) AS DOUBLE) AS s,
+                              CAST(sum(n_chars * n_chars) AS DOUBLE) AS sq
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   CASE WHEN sqrt((g.sq - g.s * g.s / g.c) / g.c) = 0
+                        THEN NULL
+                        ELSE (d.n_chars - g.s / g.c)
+                             / sqrt((g.sq - g.s * g.s / g.c) / g.c)
+                   END AS chars_z
+            FROM documents d JOIN g ON d.source = g.source
+        """,
+        "minmax_scale": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   (l_extendedprice
+                    - MIN(l_extendedprice)
+                        OVER (PARTITION BY l_returnflag))
+                   / NULLIF(MAX(l_extendedprice)
+                              OVER (PARTITION BY l_returnflag)
+                          - MIN(l_extendedprice)
+                              OVER (PARTITION BY l_returnflag), 0)
+                   AS price_mm
+            FROM lineitem
+        """,
+        "bucketize": """
+            WITH e(v) AS (VALUES (0), (260), (290), (310), (340), (100000))
+            SELECT doc_id,
+                   CAST(LEAST(GREATEST(
+                       (SELECT count(*) FROM e WHERE e.v <= d.n_chars) - 1,
+                       0), 4) AS BIGINT) AS chars_bin
+            FROM documents d
         """,
     }

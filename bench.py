@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "paragraph_dedup", "exact_quantile", "domain_filter", "hash_split",
     "drift_psi", "normalize_text", "knn_join", "collocations",
     "quantile_by_key", "hll_by_key", "winsorize", "per_key_sample",
+    "target_encode", "count_encode", "one_hot", "feature_cross",
+    "standard_scale", "minmax_scale", "bucketize",
 ]
 
 

@@ -140,7 +140,13 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
         return c + "__r" if (c in ldf.columns and c + "__r" in m.columns) else c
 
     ro = _r(right_order) if right_order is not None else None
-    if right_order is not None:
+    if right_order is not None and left_ts is not None:
+        # PIT/asof: a null order can never satisfy the bound — drop early.
+        # WITHOUT a PIT bound null-order candidates stay ELIGIBLE: the
+        # reference's LAST JOIN matches a null-order row when it is the
+        # key's only candidate (cases/function/join/test_lastjoin_complex
+        # .yaml id 13-1 row 5: subquery row (ee, 24, c7=NULL) must join);
+        # they sort FIRST below so any real order beats them.
         m = m[m[ro].notna()]
     if left_ts is not None:
         if direction == "forward":
@@ -156,7 +162,11 @@ def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
     if len(m):
         if right_order is not None:
             sort_cols = [ro, _r(tiebreak_col or RID_COL)]
-            m = m.sort_values(sort_cols, kind="stable").groupby("__lorder", sort=False)
+            # nulls first: a null order loses to every real order but still
+            # matches when alone (reference semantics, see filter above)
+            m = m.sort_values(sort_cols, kind="stable",
+                              na_position="first").groupby("__lorder",
+                                                           sort=False)
             m = m.head(1) if direction == "forward" else m.tail(1)
         else:
             m = m.sort_values(_r(RID_COL), kind="stable").groupby("__lorder", sort=False).tail(1)
@@ -255,12 +265,13 @@ def _reduce_single_match(rdf: pd.DataFrame, key: str, order_by: str | None,
     LAST JOIN, max storage rid (last stored row) for unsorted
     (test_lastjoin_simple.yaml id 4-5)."""
     if order_by is not None:
-        # max-order selection skips null orders (same rule _asof_merge
-        # enforces); without this filter NaN sorts LAST and a null-order
-        # row would silently win the group
-        rdf = rdf[rdf[order_by].notna()]
+        # null orders sort FIRST: they lose max-order selection to any
+        # real order (NaN previously sorted LAST and silently won) but
+        # remain eligible when a key has ONLY null-order candidates — the
+        # reference's LAST JOIN matches such a row
+        # (test_lastjoin_complex.yaml id 13-1 row 5)
         sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [RID_COL])
-        rs = rdf.sort_values(sort_cols, kind="stable")
+        rs = rdf.sort_values(sort_cols, kind="stable", na_position="first")
         return rs.groupby(key, sort=False).tail(1)
     rs = rdf.sort_values([key, RID_COL], kind="stable")
     return rs.groupby(key, sort=False).tail(1)

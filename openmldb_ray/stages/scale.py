@@ -1,0 +1,286 @@
+"""Numeric feature scaling & discretization — feature-eng core.
+
+The transforms every tabular feature pipeline applies after the raw
+aggregates (reference analog: the scalar expression layer users compose
+in SELECTs; here they are first-class two-pass stages so the statistics
+come from the data instead of hand-written constants):
+
+- ``standard_scale`` — z-score ``(x - mean) / std_pop``, global or
+  per-key.
+- ``minmax_scale``   — ``(x - min) / (max - min)`` into [0, 1], global
+  or per-key (constant groups → null, SQL ``NULLIF`` semantics).
+- ``bucketize``      — clamped fixed-edge binning (same semantics as
+  stages/drift.py: bin i covers ``[edges[i], edges[i+1])``, out-of-range
+  clamps into the end bins, null stays null). Pair with
+  stages/quantile.exact_quantiles to derive edges for equal-frequency
+  (quantile) binning.
+
+Scale shape: ONE streaming stats pass emitting per-block (or per-key
+per-block) partials — (cnt, sum, sumsq, min, max) — folded exactly
+(per-key partials ride a coarse-bucket shuffle of distinct-key rows,
+global partials fold on the driver as #blocks tiny rows), then a
+shuffle-free broadcast apply pass. ``bucketize`` is purely row-local.
+
+Bit-exact SQL replay: for integer columns the folded sum / sumsq are
+exact int64, and both engines evaluate the IDENTICAL float64 expression
+tree — mean ``= CAST(sum AS DOUBLE)/cnt``, variance
+``= (CAST(sumsq AS DOUBLE) - CAST(sum AS DOUBLE)*CAST(sum AS DOUBLE)/cnt)/cnt``
+— so the z-scores hash-match DuckDB bit for bit. Float columns make the
+sum order-dependent; ``minmax_scale`` (no sums) stays bit-exact for any
+numeric dtype. Integer sums assume no int64 overflow (SQL BIGINT's own
+contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+_NULL_KEY = "\x00<null>\x00"
+
+
+def _key_as_str(s: pd.Series) -> pd.Series:
+    out = s.astype(str)
+    out[s.isna().to_numpy()] = _NULL_KEY
+    return out
+
+
+def numeric_stats(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    by: str | None = None,
+    max_keys: int = 1_000_000,
+    num_buckets: int | None = None,
+    batch_size: int = 8192,
+) -> pd.DataFrame:
+    """One streaming pass → (per-key) ``cnt / vsum / vsumsq / vmin /
+    vmax`` over the non-null values of ``col``.
+
+    Returns one row per key (column ``key``; null key as None — SQL
+    GROUP BY keeps nulls) or a single global row when ``by`` is None.
+    Integer/boolean inputs fold sums in exact int64; floats in float64.
+    """
+    import pyarrow as pa
+
+    cols = [col] + ([by] if by else [])
+    narrow = ds.select_columns(cols)
+    sch = narrow.schema()
+    tp = sch.types[list(sch.names).index(col)]
+    if not isinstance(tp, pa.DataType):
+        try:
+            tp = pa.from_numpy_dtype(np.dtype(tp))
+        except (pa.ArrowNotImplementedError, TypeError):
+            raise TypeError(
+                f"numeric_stats: {col!r} must be numeric, got {tp}") from None
+    if not (pa.types.is_integer(tp) or pa.types.is_floating(tp)
+            or pa.types.is_boolean(tp)):
+        raise TypeError(f"numeric_stats: {col!r} must be numeric, got {tp}")
+    int_in = pa.types.is_integer(tp) or pa.types.is_boolean(tp)
+    sum_dtype = np.int64 if int_in else np.float64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col]
+        m = v.notna().to_numpy()
+        vv = v.fillna(0).to_numpy(sum_dtype)
+        base = pd.DataFrame({
+            "key": _key_as_str(df[by]).to_numpy() if by
+            else np.full(len(df), "", object),
+            "cnt": m.astype(np.int64),
+            "vsum": np.where(m, vv, sum_dtype(0)),
+            "vsumsq": np.where(m, vv * vv, sum_dtype(0)),
+            # min/max as float64 with null→±inf so the fold is a plain agg
+            "vmin": np.where(m, vv.astype(np.float64), np.inf),
+            "vmax": np.where(m, vv.astype(np.float64), -np.inf),
+        })
+        g = base.groupby("key", as_index=False, sort=False).agg(
+            cnt=("cnt", "sum"), vsum=("vsum", "sum"),
+            vsumsq=("vsumsq", "sum"), vmin=("vmin", "min"),
+            vmax=("vmax", "max"))
+        g["vsum"] = g["vsum"].astype(sum_dtype)
+        g["vsumsq"] = g["vsumsq"].astype(sum_dtype)
+        return g
+
+    partials = narrow.map_batches(partial, batch_format="pandas",
+                                  batch_size=batch_size)
+    if by is None:
+        folded = partials.to_pandas()  # ≤ one row per block
+        folded["key"] = ""
+    else:
+        from ..core.hashing import add_bucket_column, default_num_buckets
+
+        nb = num_buckets or default_num_buckets()
+        add_b = add_bucket_column(["key"], "__b", nb)
+
+        def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.drop(columns="__b")
+                     .groupby("key", as_index=False, sort=False).agg(
+                         cnt=("cnt", "sum"), vsum=("vsum", "sum"),
+                         vsumsq=("vsumsq", "sum"), vmin=("vmin", "min"),
+                         vmax=("vmax", "max")))
+
+        folded = (partials.map_batches(add_b, batch_format="pyarrow",
+                                       batch_size=None)
+                  .groupby("__b")
+                  .map_groups(bucket_fold, batch_format="pandas")
+                  ).to_pandas()
+        if len(folded) > max_keys:
+            raise ValueError(
+                f"numeric_stats: {by!r} has {len(folded)} keys "
+                f"(> max_keys={max_keys}); the stats table is broadcast — "
+                f"unbounded key cardinality needs a shuffle join instead")
+    if len(folded) == 0:
+        return pd.DataFrame({"key": pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype=np.int64),
+                             "vsum": pd.Series(dtype=sum_dtype),
+                             "vsumsq": pd.Series(dtype=sum_dtype),
+                             "vmin": pd.Series(dtype=np.float64),
+                             "vmax": pd.Series(dtype=np.float64)})
+    out = (folded.groupby("key", as_index=False, sort=False).agg(
+        cnt=("cnt", "sum"), vsum=("vsum", "sum"), vsumsq=("vsumsq", "sum"),
+        vmin=("vmin", "min"), vmax=("vmax", "max"))
+        .sort_values("key", kind="stable").reset_index(drop=True))
+    out["vsum"] = out["vsum"].astype(sum_dtype)
+    out["vsumsq"] = out["vsumsq"].astype(sum_dtype)
+    out.loc[out["cnt"] == 0, ["vmin", "vmax"]] = np.nan
+    out["key"] = out["key"].where(out["key"] != _NULL_KEY, None)
+    if by is None:
+        out = out.drop(columns="key")
+    return out
+
+
+class _ScaleApply:
+    """Broadcast apply: per-key (sub, den) pairs fetched once per actor;
+    each batch is two vectorized maps + one arithmetic expression.
+    ``z = (x - sub) / den``; den null/0 → null output."""
+
+    def __init__(self, ref, col, by, out_col):
+        self.sub, self.den = ray.get(ref)
+        self.col, self.by, self.out_col = col, by, out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        x = df[self.col].to_numpy(np.float64, na_value=np.nan) \
+            if df[self.col].dtype.kind not in "fc" \
+            else df[self.col].to_numpy(np.float64)
+        if self.by is None:
+            sub = self.sub.get("", np.nan)
+            den = self.den.get("", np.nan)
+            subv = np.full(len(df), sub)
+            denv = np.full(len(df), den)
+        else:
+            key = _key_as_str(df[self.by])
+            subv = key.map(self.sub).to_numpy(np.float64)
+            denv = key.map(self.den).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - subv) / denv
+        z[~np.isfinite(denv) | (denv == 0)] = np.nan
+        df[self.out_col] = z
+        return df
+
+
+def _apply_scale(ds, col, by, out_col, sub_map, den_map, *,
+                 concurrency, batch_size):
+    ref = ray.put((sub_map, den_map))
+    return ds.map_batches(
+        _ScaleApply, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(ref=ref, col=col, by=by, out_col=out_col))
+
+
+def _stats_keyed(stats: pd.DataFrame, by):
+    if by is None:
+        return [""], stats
+    # mask assignment, NOT fillna: pandas fillna truncates trailing NULs
+    # (U-dtype round trip), breaking the sentinel ↔ batch-key match
+    arr = stats["key"].to_numpy(dtype=object, copy=True)
+    arr[stats["key"].isna().to_numpy()] = _NULL_KEY
+    return list(arr), stats
+
+
+def standard_scale(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    by: str | None = None,
+    out_col: str | None = None,
+    stats: pd.DataFrame | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Population z-score column ``(x - mean) / sqrt(var_pop)``; ``by``
+    scopes the statistics per key. Zero-variance (or empty) groups give
+    null. Two streaming passes; the stats table is broadcast once."""
+    if stats is None:
+        stats = numeric_stats(ds, col, by=by, batch_size=batch_size)
+    out_col = out_col or f"{col}_z"
+    keys, st = _stats_keyed(stats, by)
+    cnt = st["cnt"].to_numpy(np.float64)
+    vsum = st["vsum"].to_numpy(np.float64)
+    vsumsq = st["vsumsq"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = vsum / cnt
+        var = (vsumsq - vsum * vsum / cnt) / cnt
+        std = np.sqrt(var)
+    return _apply_scale(ds, col, by, out_col,
+                        dict(zip(keys, mean)), dict(zip(keys, std)),
+                        concurrency=concurrency, batch_size=batch_size)
+
+
+def minmax_scale(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    by: str | None = None,
+    out_col: str | None = None,
+    stats: pd.DataFrame | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Min-max column ``(x - min) / (max - min)`` into [0, 1]; constant
+    or empty groups give null (``NULLIF(max - min, 0)`` semantics).
+    Bit-exact vs SQL for ANY numeric dtype — no sums involved."""
+    if stats is None:
+        stats = numeric_stats(ds, col, by=by, batch_size=batch_size)
+    out_col = out_col or f"{col}_mm"
+    keys, st = _stats_keyed(stats, by)
+    vmin = st["vmin"].to_numpy(np.float64)
+    vmax = st["vmax"].to_numpy(np.float64)
+    return _apply_scale(ds, col, by, out_col,
+                        dict(zip(keys, vmin)),
+                        dict(zip(keys, vmax - vmin)),
+                        concurrency=concurrency, batch_size=batch_size)
+
+
+def bucketize(
+    ds: "ray.data.Dataset",
+    col: str,
+    edges,
+    *,
+    out_col: str | None = None,
+    batch_size: int | None = 8192,
+) -> "ray.data.Dataset":
+    """Fixed-edge binning: bin i covers ``[edges[i], edges[i+1])``;
+    out-of-range values clamp into the end bins; null stays null
+    (nullable Int64 output). Purely row-local — zero shuffle, zero
+    state. Derive ``edges`` from stages/quantile.exact_quantiles for
+    equal-frequency bins."""
+    edges = np.asarray(edges, np.float64)
+    if len(edges) < 2 or (np.diff(edges) <= 0).any():
+        raise ValueError("bucketize: edges must be ascending, >= 2 entries")
+    nbins = len(edges) - 1
+    out_col = out_col or f"{col}_bin"
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col]
+        m = v.notna().to_numpy()
+        x = v.fillna(0).to_numpy(np.float64)
+        idx = np.clip(np.searchsorted(edges, x, side="right") - 1,
+                      0, nbins - 1)
+        df[out_col] = pd.array(np.where(m, idx, 0), dtype=pd.Int64Dtype())
+        if not m.all():
+            df.loc[~m, out_col] = pd.NA
+        return df
+
+    return ds.map_batches(apply, batch_format="pandas",
+                          batch_size=batch_size)

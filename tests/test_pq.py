@@ -102,13 +102,29 @@ def test_adc_recall_vs_exact(data):
 
 
 def test_split_invariance(data):
+    """Partitioning must not change the fit. At iters=1 this holds to
+    float-sum rounding (same deterministic driver-side init → identical
+    assignments everywhere; only the partial-sum fold order differs), so
+    the codebooks compare at tight tolerance. At iters>=2 k-means is
+    chaotic to rounding — a ~1e-16 fold difference can flip ONE boundary
+    assignment and move that centroid by O(1/cnt) — so the invariant is
+    checked at the assignment level: both models encode the corpus almost
+    identically."""
     df, _ = data
     books = []
+    models = []
     for nparts in (2, 7):
-        m = pq_fit(ray.data.from_pandas(df).repartition(nparts),
-                   m=M, nbits=NBITS, iters=2, seed=7)
-        books.append(m["codebooks"])
+        rds = ray.data.from_pandas(df).repartition(nparts)
+        books.append(pq_fit(rds, m=M, nbits=NBITS, iters=1,
+                            seed=7)["codebooks"])
+        models.append(pq_fit(rds, m=M, nbits=NBITS, iters=3, seed=7))
     np.testing.assert_allclose(books[0], books[1], atol=1e-8)
+    base = ray.data.from_pandas(df).repartition(3)
+    codes = [pq_encode(base, m).to_pandas().sort_values("vec_id")
+             for m in models]
+    a = np.stack(codes[0]["pq_code"].to_numpy())
+    b = np.stack(codes[1]["pq_code"].to_numpy())
+    assert (a == b).mean() >= 0.99
 
 
 def test_bad_dim():

@@ -42,9 +42,14 @@ def test_residual_lastjoin_shared_ts_name_no_leakage(ray_session, strategy):
 
 
 @pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
-def test_sorted_lastjoin_null_order_never_wins(ray_session, strategy):
-    """Sorted LAST JOIN without asof: max-order skips null orders — the
-    null-order row previously sorted last and won the group."""
+def test_sorted_lastjoin_null_order_loses_but_stays_eligible(ray_session,
+                                                             strategy):
+    """Sorted LAST JOIN without asof: a null-order candidate loses
+    max-order selection to ANY real order (NaN previously sorted last and
+    silently won), but still matches when it is the key's ONLY candidate —
+    the reference joins such a row (cases/function/join/
+    test_lastjoin_complex.yaml id 13-1 row 5: subquery row with c7=NULL
+    must produce c3=24, not NULL)."""
     from openmldb_ray.stages.join_stage import last_join
 
     left = pd.DataFrame({"k": ["a", "b"]})
@@ -54,8 +59,8 @@ def test_sorted_lastjoin_null_order_never_wins(ray_session, strategy):
     out = last_join(_rd(left), _rd(right), "k", order_by="o",
                     right_cols={"v": "v"}, strategy=strategy) \
         .to_pandas().sort_values("k").reset_index(drop=True)
-    assert out["v"].iloc[0] == 2.0            # max non-null order
-    assert pd.isna(out["v"].iloc[1])          # only-null-order key: no match
+    assert out["v"].iloc[0] == 2.0    # null order loses to max non-null
+    assert out["v"].iloc[1] == 777.0  # only-null-order key still matches
 
 
 def test_broadcast_asof_all_null_batch_no_right_cols(ray_session):
