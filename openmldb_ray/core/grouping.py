@@ -63,6 +63,81 @@ def map_groups_typed(ds, keys, fn, *, batch_format: str = "pandas",
         fn, batch_format=batch_format)
 
 
+NULL_KEY_SENTINEL = "\x00<null>\x00"
+
+_NULL_INT_DTYPES = None  # lazy: {pa int type -> pd.Int64Dtype()}
+
+
+def null_int_types_mapper(tp):
+    """``pa.Table.to_pandas(types_mapper=...)`` hook mapping every integer
+    width to nullable Int64 — the house convention for partial-aggregate
+    inputs: a null in an int64 column must NOT promote the block to
+    float64 (values past 2^53 would silently round, and block dtypes
+    would become data-dependent)."""
+    global _NULL_INT_DTYPES
+    if _NULL_INT_DTYPES is None:
+        _NULL_INT_DTYPES = {
+            pa.int8(): pd.Int64Dtype(), pa.int16(): pd.Int64Dtype(),
+            pa.int32(): pd.Int64Dtype(), pa.int64(): pd.Int64Dtype(),
+            pa.uint8(): pd.Int64Dtype(), pa.uint16(): pd.Int64Dtype(),
+            pa.uint32(): pd.Int64Dtype(), pa.uint64(): pd.Int64Dtype(),
+        }
+    return _NULL_INT_DTYPES.get(tp)
+
+
+def key_strings(s: pd.Series, sentinel: str = NULL_KEY_SENTINEL):
+    """Canonical per-row string keys (object ndarray) for grouping /
+    broadcast-map lookups, null-safe and BLOCK-DTYPE-safe.
+
+    Two engine-wide footguns this helper owns:
+
+    - nulls: plain ``astype(str)`` mints the literal 'None'/'nan'/'<NA>'
+      and merges it with a real category of that name — nulls map to the
+      NUL-framed sentinel instead (one real group, SQL GROUP BY keeps
+      NULLs). The sentinel is restored/applied by MASK ASSIGNMENT, never
+      ``fillna``: pandas fillna routes NUL-containing strings through a
+      numpy U-dtype scalar that silently TRUNCATES trailing NULs. The
+      same truncation hits numpy object-array vs str-scalar COMPARISON
+      (``arr == sentinel`` is always False) — detect nulls with the
+      original column's isna mask, never by comparing to the sentinel.
+    - numeric keys: Ray's Arrow→pandas conversion turns an int64 block
+      containing a null into float64, so the same key stringifies as '1'
+      in null-free blocks and '1.0' in null-carrying ones — two groups
+      for one category, block-dependent encodings. Integral floats
+      therefore render WITHOUT the decimal point (|v| < 2^53; larger
+      int-typed keys alongside nulls need Arrow-format batches).
+    """
+    import numpy as np
+
+    na = s.isna().to_numpy()
+    kind = getattr(s.dtype, "kind", None)
+    if kind in ("i", "u", "b") or (
+            pd.api.types.is_integer_dtype(s.dtype)
+            or pd.api.types.is_bool_dtype(s.dtype)):
+        out = s.astype(str).to_numpy(dtype=object)
+    elif kind == "f" or pd.api.types.is_float_dtype(s.dtype):
+        v = s.to_numpy(np.float64, na_value=np.nan)
+        out = np.empty(len(s), dtype=object)
+        integral = np.isfinite(v) & (np.abs(v) < 2.0 ** 53) \
+            & (v == np.rint(v))
+        out[integral] = v[integral].astype(np.int64).astype("U").astype(object)
+        rest = ~integral & ~na
+        out[rest] = v[rest].astype("U").astype(object)
+    else:
+        out = s.astype(str).to_numpy(dtype=object)
+    out[na] = sentinel
+    return out
+
+
+def sentinel_keys(key: pd.Series, sentinel: str = NULL_KEY_SENTINEL):
+    """Stats-table key column (strings + None) → object ndarray with the
+    sentinel restored, by mask assignment (see key_strings for why not
+    fillna)."""
+    arr = key.to_numpy(dtype=object, copy=True)
+    arr[key.isna().to_numpy()] = sentinel
+    return arr
+
+
 def key_change_mask(df, keys) -> "np.ndarray":
     """True at rows where ANY key column differs from the previous row
     (the frame must already be sorted by ``keys``): one vectorized

@@ -20,22 +20,58 @@ import pandas as pd
 
 _HASH_KEY = "openmldb-ray-h64"  # 16 bytes, fixed → process-independent
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+# nulls in integer-typed columns hash to the same value a NaN would in a
+# float64 block (the Arrow→numpy conversion of int-with-null produces
+# float64+NaN), keeping the two representations of "null int" coherent
+_NULL_HASH = pd.util.hash_array(np.array([np.nan]), hash_key=_HASH_KEY)[0]
 
 
 def stable_hash64(values) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a column (Series/ndarray/
     Arrow array). Strings, ints, floats, bools all supported; nulls hash
-    to a fixed value."""
-    if hasattr(values, "to_numpy"):  # pd.Series / pa.Array / pa.ChunkedArray
-        try:
-            arr = values.to_numpy(zero_copy_only=False)  # pyarrow signature
-        except TypeError:
-            arr = values.to_numpy()
+    to a fixed value.
+
+    Integer columns CONTAINING nulls hash by their integer bits, not by
+    the float64 the default numpy conversion would produce: otherwise the
+    same value 5 hashes differently in a null-carrying block (float64
+    5.0) than in a null-free one (int64 5) — block-dependent buckets
+    split one key across shuffle partitions and break feature_cross's
+    same-inputs-same-bucket guarantee."""
+    import pyarrow as pa
+
+    null_mask = None
+    if isinstance(values, (pa.Array, pa.ChunkedArray)) and \
+            pa.types.is_integer(values.type):
+        if values.null_count:
+            null_mask = pa.compute.is_null(values).to_numpy(
+                zero_copy_only=False)
+            values = pa.compute.fill_null(values, 0)
+        arr = values.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "i" and arr.dtype != np.int64:
+            arr = arr.astype(np.int64)
+        elif arr.dtype.kind == "u" and arr.dtype != np.uint64:
+            arr = arr.astype(np.uint64)
+    elif hasattr(values, "to_numpy"):  # pd.Series / pa.Array / pa.ChunkedArray
+        if isinstance(values, pd.Series) and \
+                pd.api.types.is_extension_array_dtype(values.dtype) and \
+                pd.api.types.is_integer_dtype(values.dtype):
+            # masked Int64 etc.: same integer-bits rule as the Arrow path
+            null_mask = values.isna().to_numpy()
+            arr = values.fillna(0).to_numpy(np.int64)
+        else:
+            try:
+                arr = values.to_numpy(zero_copy_only=False)  # pyarrow sig
+            except TypeError:
+                arr = values.to_numpy()
     else:
         arr = np.asarray(values)
     if arr.dtype.kind in ("U", "S"):
         arr = arr.astype(object)
-    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True)
+    h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True)
+    if null_mask is not None and null_mask.any():
+        h = h.copy() if not h.flags.writeable else h
+        h[null_mask] = _NULL_HASH
+    return h
 
 
 def bucket_ids(table_or_df, keys: list[str], num_buckets: int) -> np.ndarray:

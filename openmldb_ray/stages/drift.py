@@ -67,8 +67,12 @@ def drift_psi(ref_ds: "ray.data.Dataset", cur_ds: "ray.data.Dataset",
     ``(bin, ref_frac, cur_frac, psi_term, psi)`` where ``psi`` is the
     total, repeated (a window SUM() OVER () in SQL)."""
     edges = np.asarray(edges, np.float64)
-    if len(edges) < 2 or (np.diff(edges) <= 0).any():
-        raise ValueError("edges must be ascending with >= 2 entries")
+    # NaN edges would pass a (diff <= 0).any() check (NaN comparisons are
+    # all False) and then bin garbage — require strictly ascending, finite
+    if len(edges) < 2 or not np.all(np.isfinite(edges)) \
+            or not np.all(np.diff(edges) > 0):
+        raise ValueError("edges must be finite, strictly ascending, "
+                         ">= 2 entries")
     nbins = len(edges) - 1
     href = _hist(ref_ds, col, edges, nbins)
     hcur = _hist(cur_ds, col, edges, nbins)

@@ -54,27 +54,12 @@ import numpy as np
 import pandas as pd
 import ray
 
-_NULL_KEY = "\x00<null>\x00"
-
-
-def _key_as_str(s: pd.Series) -> pd.Series:
-    """Category column → string with the engine's NUL-framed null
-    sentinel (null is a real SQL group; plain astype(str) would mint the
-    literal 'None' and merge it with a real 'None' category)."""
-    out = s.astype(str)
-    out[s.isna().to_numpy()] = _NULL_KEY
-    return out
-
-
-def _sentinel_keys(key: pd.Series) -> np.ndarray:
-    """Stats-table key column (strings + None) → object array with the
-    NUL sentinel restored. NEVER via fillna/astype: pandas fillna routes
-    NUL-containing strings through a numpy U-dtype scalar that silently
-    TRUNCATES trailing NULs, so the broadcast map key would stop matching
-    the batch-side sentinel."""
-    arr = key.to_numpy(dtype=object, copy=True)
-    arr[key.isna().to_numpy()] = _NULL_KEY
-    return arr
+from ..core.grouping import (
+    NULL_KEY_SENTINEL as _NULL_KEY,
+    key_strings as _key_strings,
+    null_int_types_mapper,
+    sentinel_keys as _sentinel_keys,
+)
 
 
 def category_stats(
@@ -124,14 +109,18 @@ def category_stats(
         int_target = pa.types.is_integer(tp) or pa.types.is_boolean(tp)
     sum_dtype = np.int64 if int_target else np.float64
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        key = _key_as_str(df[key_col])
+    def partial(t) -> pd.DataFrame:
+        # convert from Arrow with nullable Int64 (house convention): a
+        # null in an int64 target must not promote the block to float64,
+        # where values past 2^53 silently round before the exact int fold
+        df = t.to_pandas(types_mapper=null_int_types_mapper)
+        key = _key_strings(df[key_col])
         if target_col:
-            t = df[target_col]
-            m = t.notna().to_numpy()
-            tv = t.fillna(0).to_numpy(sum_dtype)
+            tc = df[target_col]
+            m = tc.notna().to_numpy()
+            tv = tc.fillna(0).to_numpy(sum_dtype)
             g = pd.DataFrame({
-                "key": key.to_numpy(),
+                "key": key,
                 "cnt": np.ones(len(df), np.int64),
                 "tcnt": m.astype(np.int64),
                 "tsum": np.where(m, tv, sum_dtype(0)),
@@ -139,7 +128,7 @@ def category_stats(
             g["tsum"] = g["tsum"].astype(sum_dtype)
         else:
             g = pd.DataFrame({
-                "key": key.to_numpy(),
+                "key": key,
                 "cnt": np.ones(len(df), np.int64),
             }).groupby("key", as_index=False, sort=False).sum()
         return g
@@ -151,7 +140,7 @@ def category_stats(
         return (g.drop(columns="__b")
                  .groupby("key", as_index=False, sort=False).sum())
 
-    stats = (narrow.map_batches(partial, batch_format="pandas",
+    stats = (narrow.map_batches(partial, batch_format="pyarrow",
                                 batch_size=batch_size)
              .map_batches(add_b, batch_format="pyarrow", batch_size=None)
              .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
@@ -185,7 +174,7 @@ class _BroadcastEncoder:
         self.key_col, self.out_cols, self.defaults = key_col, out_cols, defaults
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        key = _key_as_str(df[self.key_col])
+        key = pd.Series(_key_strings(df[self.key_col]), index=df.index)
         for c, d in zip(self.out_cols, self.defaults):
             df[c] = key.map(self.maps[c]).astype(np.float64)
             if d is not None:
@@ -259,7 +248,7 @@ def target_encode(
 
     class _LooEncoder(_BroadcastEncoder):
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            key = _key_as_str(df[self.key_col])
+            key = pd.Series(_key_strings(df[self.key_col]), index=df.index)
             enc_v = key.map(self.maps[out_col]).fillna(p).to_numpy(np.float64)
             df[out_col] = enc_v
             y = pd.to_numeric(df[target_col], errors="coerce")
@@ -320,14 +309,25 @@ def _sanitize(v: str) -> str:
 
 def scan_vocab(ds: "ray.data.Dataset", col: str, *,
                max_categories: int = 10_000) -> list[str]:
-    """Distinct non-null values of a column, sorted. One streaming pass of
-    batch-local uniques (at most ``max_categories`` narrow rows per block
-    reach the driver fold); raises past the cap — one-hot over unbounded
-    cardinality is a modeling bug, not a scale problem to absorb."""
+    """Distinct non-null values of a column (canonical string form,
+    see core.grouping.key_strings), sorted. One streaming pass of
+    batch-local uniques — each block ships at most ``max_categories``
+    distinct values to the driver or raises (wrapped by Ray, but the
+    driver never materializes an unbounded vocab); the driver fold
+    re-checks the global cap."""
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
-        # no per-batch cap check: a raise here surfaces as a wrapped
-        # RayTaskError; the driver-side check below is the contract
-        return pd.DataFrame({"v": df[col].dropna().astype(str).unique()})
+        # nulls are excluded by MASK, never by comparing against the NUL
+        # sentinel: numpy's object-array != str-scalar comparison converts
+        # the scalar through U-dtype, truncating the trailing NUL, so the
+        # sentinel never compares equal and would leak into the vocab
+        na = df[col].isna().to_numpy()
+        ks = _key_strings(df[col])
+        u = np.unique(ks[~na])
+        if len(u) > max_categories:
+            raise ValueError(
+                f"one_hot: {col!r} exceeds max_categories="
+                f"{max_categories} within one block")
+        return pd.DataFrame({"v": u})
 
     parts = (ds.select_columns([col])
              .map_batches(uniq, batch_format="pandas", batch_size=None)
@@ -358,27 +358,29 @@ def one_hot(
     if vocab is None:
         vocab = scan_vocab(ds, col, max_categories=max_categories)
     vocab = [str(v) for v in vocab]
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("one_hot: vocab contains duplicate values")
     prefix = prefix or col
     names = [f"{prefix}_{_sanitize(v)}" for v in vocab]
     if len(set(names)) != len(names):
         dup = [n for n in names if names.count(n) > 1][0]
         raise ValueError(f"one_hot: sanitized column collision on {dup!r}")
     varr = np.array(vocab, dtype=object)
+    # searchsorted needs SORTED input; a user-supplied vocab arrives in
+    # caller order (which also fixes the output column order) — search a
+    # sorted view and map hits back through the argsort permutation
+    order = np.argsort(varr)
+    vsorted = varr[order]
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[col]
-        sv = s.astype(str).to_numpy(dtype=object)
-        sv[s.isna().to_numpy()] = _NULL_KEY
-        # one vectorized searchsorted against the sorted vocab
-        idx = np.searchsorted(varr, sv)
-        idx = np.clip(idx, 0, len(varr) - 1)
-        hit = varr[idx] == sv
+        sv = _key_strings(df[col])
+        pos = np.clip(np.searchsorted(vsorted, sv), 0, len(varr) - 1)
+        hit = vsorted[pos] == sv
         onehot = np.zeros((len(df), len(varr)), np.int64)
         rows = np.flatnonzero(hit)
-        onehot[rows, idx[rows]] = 1
-        for j, n in enumerate(names):
-            df[n] = onehot[:, j]
-        return df
+        onehot[rows, order[pos[rows]]] = 1
+        block = pd.DataFrame(onehot, columns=names, index=df.index)
+        return pd.concat([df, block], axis=1)
 
     return ds.map_batches(apply, batch_format="pandas",
                           batch_size=batch_size)

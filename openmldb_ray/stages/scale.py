@@ -37,13 +37,30 @@ import numpy as np
 import pandas as pd
 import ray
 
-_NULL_KEY = "\x00<null>\x00"
+from ..core.grouping import (
+    NULL_KEY_SENTINEL as _NULL_KEY,
+    key_strings as _key_strings,
+    null_int_types_mapper,
+    sentinel_keys as _sentinel_keys,
+)
+
+_I64_LIM = 2 ** 63
 
 
-def _key_as_str(s: pd.Series) -> pd.Series:
-    out = s.astype(str)
-    out[s.isna().to_numpy()] = _NULL_KEY
-    return out
+def _pysum(s: pd.Series) -> int:
+    """Exact fold of integer partials: Python-int arithmetic (no int64
+    wraparound, unlike numpy) — partial tables are tiny, so the object
+    path costs nothing measurable."""
+    return int(s.astype(object).sum()) if len(s) else 0
+
+
+def _check_i64(col: pd.Series, what: str) -> pd.Series:
+    if len(col) and col.abs().ge(_I64_LIM).any():
+        raise ValueError(
+            f"numeric_stats: exact integer {what} exceeds int64 — the "
+            f"column's magnitude is too large for exact integer "
+            f"statistics; cast it to float64 for approximate scaling")
+    return col.astype(np.int64)
 
 
 def numeric_stats(
@@ -80,30 +97,80 @@ def numeric_stats(
     int_in = pa.types.is_integer(tp) or pa.types.is_boolean(tp)
     sum_dtype = np.int64 if int_in else np.float64
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t) -> pd.DataFrame:
+        # Arrow → pandas with nullable Int64 (house convention): a null
+        # must not promote an int64 block to float64, where values past
+        # 2^53 would silently round before the exact fold below
+        df = t.to_pandas(types_mapper=null_int_types_mapper)
         v = df[col]
         m = v.notna().to_numpy()
         vv = v.fillna(0).to_numpy(sum_dtype)
+        vals = np.where(m, vv, sum_dtype(0))
+        if int_in:
+            # exact integer sums with a LOUD overflow path (SQL BIGINT
+            # errors on overflow; numpy int64 silently wraps): the fast
+            # vectorized path runs whenever block-total bounds prove no
+            # wrap is possible, else squares/sums fold in Python ints
+            mx = int(np.abs(vals).max()) if len(vals) else 0
+            if mx == 0 or (mx * mx * len(vals) < 2 ** 62
+                           and mx * len(vals) < 2 ** 62):
+                sq = vals * vals
+                obj = False
+            else:
+                vo = vals.astype(object)
+                sq = vo * vo
+                vals = vo
+                obj = True
+        else:
+            sq = vals * vals
+            obj = False
         base = pd.DataFrame({
-            "key": _key_as_str(df[by]).to_numpy() if by
+            "key": _key_strings(df[by]) if by
             else np.full(len(df), "", object),
             "cnt": m.astype(np.int64),
-            "vsum": np.where(m, vv, sum_dtype(0)),
-            "vsumsq": np.where(m, vv * vv, sum_dtype(0)),
+            "vsum": vals,
+            "vsumsq": sq,
             # min/max as float64 with null→±inf so the fold is a plain agg
             "vmin": np.where(m, vv.astype(np.float64), np.inf),
             "vmax": np.where(m, vv.astype(np.float64), -np.inf),
         })
-        g = base.groupby("key", as_index=False, sort=False).agg(
+        if int_in and obj:
+            g = base.groupby("key", as_index=False, sort=False).agg(
+                cnt=("cnt", "sum"), vsum=("vsum", _pysum),
+                vsumsq=("vsumsq", _pysum), vmin=("vmin", "min"),
+                vmax=("vmax", "max"))
+            g["vsum"] = _check_i64(g["vsum"], "sum")
+            g["vsumsq"] = _check_i64(g["vsumsq"], "sum of squares")
+        else:
+            g = base.groupby("key", as_index=False, sort=False).agg(
+                cnt=("cnt", "sum"), vsum=("vsum", "sum"),
+                vsumsq=("vsumsq", "sum"), vmin=("vmin", "min"),
+                vmax=("vmax", "max"))
+            g["vsum"] = g["vsum"].astype(sum_dtype)
+            g["vsumsq"] = g["vsumsq"].astype(sum_dtype)
+        return g
+
+    partials = narrow.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # int path folds partials as Python ints (#blocks-bounded tiny
+        # tables) so cross-block sums also can't silently wrap int64
+        if int_in:
+            r = g.groupby("key", as_index=False, sort=False).agg(
+                cnt=("cnt", "sum"), vsum=("vsum", _pysum),
+                vsumsq=("vsumsq", _pysum), vmin=("vmin", "min"),
+                vmax=("vmax", "max"))
+            r["vsum"] = _check_i64(r["vsum"], "sum")
+            r["vsumsq"] = _check_i64(r["vsumsq"], "sum of squares")
+            return r
+        r = g.groupby("key", as_index=False, sort=False).agg(
             cnt=("cnt", "sum"), vsum=("vsum", "sum"),
             vsumsq=("vsumsq", "sum"), vmin=("vmin", "min"),
             vmax=("vmax", "max"))
-        g["vsum"] = g["vsum"].astype(sum_dtype)
-        g["vsumsq"] = g["vsumsq"].astype(sum_dtype)
-        return g
+        r["vsum"] = r["vsum"].astype(sum_dtype)
+        r["vsumsq"] = r["vsumsq"].astype(sum_dtype)
+        return r
 
-    partials = narrow.map_batches(partial, batch_format="pandas",
-                                  batch_size=batch_size)
     if by is None:
         folded = partials.to_pandas()  # ≤ one row per block
         folded["key"] = ""
@@ -113,17 +180,11 @@ def numeric_stats(
         nb = num_buckets or default_num_buckets()
         add_b = add_bucket_column(["key"], "__b", nb)
 
-        def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
-            return (g.drop(columns="__b")
-                     .groupby("key", as_index=False, sort=False).agg(
-                         cnt=("cnt", "sum"), vsum=("vsum", "sum"),
-                         vsumsq=("vsumsq", "sum"), vmin=("vmin", "min"),
-                         vmax=("vmax", "max")))
-
         folded = (partials.map_batches(add_b, batch_format="pyarrow",
                                        batch_size=None)
                   .groupby("__b")
-                  .map_groups(bucket_fold, batch_format="pandas")
+                  .map_groups(lambda g: fold(g.drop(columns="__b")),
+                              batch_format="pandas")
                   ).to_pandas()
         if len(folded) > max_keys:
             raise ValueError(
@@ -137,12 +198,8 @@ def numeric_stats(
                              "vsumsq": pd.Series(dtype=sum_dtype),
                              "vmin": pd.Series(dtype=np.float64),
                              "vmax": pd.Series(dtype=np.float64)})
-    out = (folded.groupby("key", as_index=False, sort=False).agg(
-        cnt=("cnt", "sum"), vsum=("vsum", "sum"), vsumsq=("vsumsq", "sum"),
-        vmin=("vmin", "min"), vmax=("vmax", "max"))
-        .sort_values("key", kind="stable").reset_index(drop=True))
-    out["vsum"] = out["vsum"].astype(sum_dtype)
-    out["vsumsq"] = out["vsumsq"].astype(sum_dtype)
+    out = (fold(folded)
+           .sort_values("key", kind="stable").reset_index(drop=True))
     out.loc[out["cnt"] == 0, ["vmin", "vmax"]] = np.nan
     out["key"] = out["key"].where(out["key"] != _NULL_KEY, None)
     if by is None:
@@ -160,16 +217,16 @@ class _ScaleApply:
         self.col, self.by, self.out_col = col, by, out_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        x = df[self.col].to_numpy(np.float64, na_value=np.nan) \
-            if df[self.col].dtype.kind not in "fc" \
-            else df[self.col].to_numpy(np.float64)
+        # na_value unconditionally: nullable Float64 with an NA raises on
+        # a plain to_numpy(float64); plain dtypes ignore the kwarg
+        x = df[self.col].to_numpy(np.float64, na_value=np.nan)
         if self.by is None:
             sub = self.sub.get("", np.nan)
             den = self.den.get("", np.nan)
             subv = np.full(len(df), sub)
             denv = np.full(len(df), den)
         else:
-            key = _key_as_str(df[self.by])
+            key = pd.Series(_key_strings(df[self.by]), index=df.index)
             subv = key.map(self.sub).to_numpy(np.float64)
             denv = key.map(self.den).to_numpy(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -191,11 +248,7 @@ def _apply_scale(ds, col, by, out_col, sub_map, den_map, *,
 def _stats_keyed(stats: pd.DataFrame, by):
     if by is None:
         return [""], stats
-    # mask assignment, NOT fillna: pandas fillna truncates trailing NULs
-    # (U-dtype round trip), breaking the sentinel ↔ batch-key match
-    arr = stats["key"].to_numpy(dtype=object, copy=True)
-    arr[stats["key"].isna().to_numpy()] = _NULL_KEY
-    return list(arr), stats
+    return list(_sentinel_keys(stats["key"])), stats
 
 
 def standard_scale(
@@ -266,8 +319,13 @@ def bucketize(
     state. Derive ``edges`` from stages/quantile.exact_quantiles for
     equal-frequency bins."""
     edges = np.asarray(edges, np.float64)
-    if len(edges) < 2 or (np.diff(edges) <= 0).any():
-        raise ValueError("bucketize: edges must be ascending, >= 2 entries")
+    # NOT (diff <= 0).any(): NaN edges make every comparison False and
+    # would pass, then searchsorted on an unsorted-by-definition array
+    # bins silently wrong — require strictly ascending, finite
+    if len(edges) < 2 or not np.all(np.isfinite(edges)) \
+            or not np.all(np.diff(edges) > 0):
+        raise ValueError("bucketize: edges must be finite, strictly "
+                         "ascending, >= 2 entries")
     nbins = len(edges) - 1
     out_col = out_col or f"{col}_bin"
 

@@ -155,7 +155,9 @@ def test_one_hot_guards(ray_session):
 
     df = pd.DataFrame({"k": [f"v{i}" for i in range(50)]})
     ds = ray.data.from_pandas(df)
-    with pytest.raises(ValueError, match="max_categories"):
+    # the per-block cap fires inside the Ray task (wrapped), bounding
+    # what any block can ship to the driver — match on the message
+    with pytest.raises(Exception, match="max_categories"):
         scan_vocab(ds, "k", max_categories=10)
     # sanitized collision: "x!y" and "x?y" → both "x_y"
     ds2 = ray.data.from_pandas(pd.DataFrame({"k": ["x!y", "x?y"]}))
@@ -183,6 +185,65 @@ def test_feature_cross_deterministic(toy):
     # same (k, y) pair → same bucket everywhere
     assert (a.groupby(["k", "y"], dropna=False)["cross_k_y"]
             .nunique() == 1).all()
+
+
+def test_one_hot_unsorted_and_numeric_vocab(ray_session):
+    """User-supplied vocab arrives in caller order — searchsorted must
+    run against a sorted view mapped back through the permutation, or
+    'a' under vocab=['b','a'] silently encodes all-zeros. Numeric vocabs
+    str-convert lexically UNSORTED (['2','10'])."""
+    import ray.data
+
+    df = pd.DataFrame({"k": ["a", "b", "a"], "n": [2, 10, 7],
+                       "id": np.arange(3)})
+    ds = ray.data.from_pandas(df)
+    out = one_hot(ds, "k", vocab=["b", "a"]).to_pandas().sort_values("id")
+    assert out["k_a"].tolist() == [1, 0, 1]
+    assert out["k_b"].tolist() == [0, 1, 0]
+    out2 = one_hot(ds, "n", vocab=[2, 10]).to_pandas().sort_values("id")
+    assert out2["n_2"].tolist() == [1, 0, 0]
+    assert out2["n_10"].tolist() == [0, 1, 0]
+    with pytest.raises(ValueError, match="duplicate"):
+        one_hot(ds, "k", vocab=["a", "a"])
+
+
+def test_numeric_key_with_nulls_single_category(ray_session):
+    """Ray's Arrow→pandas conversion turns an int64 block with a null
+    into float64, stringifying the same key as '1.0' there and '1' in
+    null-free blocks — the canonical key form must give ONE category with
+    correct counts regardless of which block a row lands in."""
+    import pyarrow as pa
+    import ray.data
+
+    t1 = pa.table({"k": pa.array([1, 1, None], pa.int64()),
+                   "y": pa.array([10, 20, 30], pa.int64())})
+    t2 = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "y": pa.array([40, 50], pa.int64())})
+    ds = ray.data.from_arrow([t1, t2])
+    st = category_stats(ds, "k", "y")
+    assert len(st) == 3  # "1", "2", null — NOT "1.0" as a fourth
+    r1 = st[st["key"] == "1"].iloc[0]
+    assert int(r1["cnt"]) == 3 and int(r1["tsum"]) == 70
+    # the broadcast apply resolves the same canonical key
+    out = (count_encode(ds, "k", out_col="c").to_pandas())
+    assert (out.loc[out["k"].notna() & (out["k"] == 1), "c"] == 3.0).all()
+
+
+def test_feature_cross_int_nulls_deterministic(ray_session):
+    """stable_hash64 must hash an int column by integer bits whether or
+    not the block carries a null (null blocks convert to float64 via
+    numpy) — value 5 lands in ONE bucket across both block kinds."""
+    import pyarrow as pa
+    import ray.data
+
+    t1 = pa.table({"a": pa.array([5, None, 7], pa.int64()),
+                   "b": pa.array(["x", "x", "x"])})
+    t2 = pa.table({"a": pa.array([5, 7], pa.int64()),
+                   "b": pa.array(["x", "x"])})
+    ds = ray.data.from_arrow([t1, t2])
+    out = feature_cross(ds, ["a", "b"], num_buckets=4096).to_pandas()
+    per = out.groupby("a", dropna=False)["cross_a_b"].nunique()
+    assert (per == 1).all()
 
 
 def test_empty_input(ray_session):

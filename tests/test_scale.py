@@ -156,6 +156,64 @@ def test_bucketize_null_and_guards(ray_session):
         bucketize(ray.data.from_pandas(df), "x", [1, 1])
 
 
+def test_scale_nullable_float_blocks(ray_session):
+    """Nullable Float64 columns with an NA must scale, not crash: the
+    apply pass converts with na_value=np.nan unconditionally."""
+    import ray.data
+
+    df = pd.DataFrame({"x": pd.array([1.0, None, 3.0], dtype="Float64"),
+                       "k": ["a", "a", "a"]})
+    ds = ray.data.from_pandas(df)
+    mm = minmax_scale(ds, "x").to_pandas()
+    assert mm["x_mm"].isna().tolist() == [False, True, False]
+    assert mm["x_mm"].dropna().tolist() == [0.0, 1.0]
+
+
+def test_int_sums_exact_past_2_53_with_nulls(ray_session):
+    """A null anywhere used to float-promote the block before the fold,
+    rounding int64 values past 2^53; the Arrow-side nullable-Int64
+    conversion keeps sums exact. numeric_stats itself can never show
+    this (any |x| > 2^53 has a square past int64, so the sumsq guard
+    fires first — asserted here), so the exactness half is checked on
+    category_stats, which folds plain sums."""
+    import pyarrow as pa
+    import ray.data
+    from openmldb_ray.stages.encoders import category_stats
+
+    big = 2 ** 53 + 3  # rounds to 2^53 + 4 in float64
+    t = pa.table({"x": pa.array([big, None], pa.int64()),
+                  "k": pa.array(["a", "a"])})
+    ds = ray.data.from_arrow(t)
+    st = category_stats(ds, "k", "x")
+    assert int(st["tsum"].iloc[0]) == big  # not big + 1
+    with pytest.raises(Exception, match="cast"):
+        numeric_stats(ds, "x", by="k")
+
+
+def test_sumsq_overflow_raises_loud(ray_session):
+    """int64 squares wrap silently in numpy (unlike SQL BIGINT, which
+    errors) — magnitudes whose exact sumsq cannot fit int64 must raise
+    the cast-to-float64 guidance, not return garbage variance."""
+    import ray.data
+
+    df = pd.DataFrame({"x": np.array([4_000_000_000, 4_000_000_001],
+                                     dtype=np.int64)})
+    with pytest.raises(Exception, match="cast"):
+        numeric_stats(ray.data.from_pandas(df), "x")
+    # float64 input of the same magnitudes works (approximate contract)
+    st = numeric_stats(ray.data.from_pandas(
+        pd.DataFrame({"x": np.array([4e9, 4e9 + 1])})), "x")
+    assert st["vsumsq"].iloc[0] > 0
+
+
+def test_bucketize_nan_edges_rejected(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [1.0]}))
+    with pytest.raises(ValueError, match="finite"):
+        bucketize(ds, "x", [0.0, float("nan"), 1.0])
+
+
 def test_non_numeric_rejected(ray_session):
     import ray.data
 
