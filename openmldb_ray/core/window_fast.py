@@ -59,12 +59,6 @@ def _rolling(series: pd.Series, ts: np.ndarray, frame: FrameSpec):
     return series.expanding(min_periods=1)
 
 
-def _range_winsize(ts: np.ndarray, frame: FrameSpec) -> np.ndarray:
-    """Rows in each row's window for a pure-range frame (window = [lo_i, i])."""
-    lo = np.searchsorted(ts, ts - frame.range_preceding, side="left")
-    return np.arange(ts.shape[0]) - lo + 1
-
-
 def window_project_vectorized(
     g: pd.DataFrame, order_col: str, aggs: list[AggSpec], frame: FrameSpec
 ) -> dict[str, np.ndarray]:
@@ -73,7 +67,6 @@ def window_project_vectorized(
     ts = g[order_col].to_numpy(np.int64)
     n = ts.shape[0]
     out: dict[str, np.ndarray] = {}
-    winsize = None
 
     for a in aggs:
         if a.kind == "count_star":
@@ -147,8 +140,12 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
                          else null_in_win.astype(np.int64))
             out[a.name] = (present.sum(axis=1) + nulls_add).astype(object)
         elif a.kind == "top1_ratio":
-            # empty window (all-null) -> 0.0, matching the exact kernel
-            r = np.where(totals > 0, C.max(axis=1) / np.maximum(totals, 1), 0.0)
+            # empty window (all-null) -> 0.0, matching the exact kernel.
+            # k == 0 (a partition with ZERO distinct non-null values) makes
+            # C a (n, 0) matrix whose axis-1 max is a zero-size reduction —
+            # np.where evaluates both branches eagerly, so guard it
+            top = C.max(axis=1) if k else np.zeros(n)
+            r = np.where(totals > 0, top / np.maximum(totals, 1), 0.0)
             out[a.name] = np.asarray([float(x) for x in r], dtype=object)
         else:  # topn_frequency: count desc, value asc — stable argsort on -C
             labels = np.asarray(
@@ -250,6 +247,38 @@ def window_project_sliding(
     return merged
 
 
+#: exact-kernel output dtype contract — outputs arrive as Python lists
+#: with None for NULL, and naive column assignment infers a
+#: DATA-DEPENDENT dtype (int64 when no window was empty, object when
+#: some were, Arrow null when ALL were), so blocks from different
+#: partitions disagree and the shuffle unify fails or silently promotes.
+_FLOAT_OUT_KINDS = {"avg", "avg_where", "median", "top1_ratio"}
+_VALUE_TYPED_KINDS = {"sum", "sum_where", "min", "max", "min_where",
+                      "max_where", "lag", "at", "first_value"}
+
+
+def _stable_output_array(a: AggSpec, vals, src) -> object:
+    """Pin an exact-kernel output column's dtype from the (kind, input
+    dtype) contract: ratio-like kinds are float64, value-typed kinds over
+    int input are nullable Int64 (same Arrow type as int64, null-safe),
+    over float input float64. String/object outputs pass through (their
+    inference is stable — topn/cate render literal 'NULL', never None)."""
+    if a.kind in _FLOAT_OUT_KINDS:
+        return pd.array([np.nan if v is None else float(v) for v in vals],
+                        dtype="float64")
+    if a.kind in _VALUE_TYPED_KINDS and src is not None:
+        if pd.api.types.is_integer_dtype(src) or \
+                pd.api.types.is_bool_dtype(src):
+            if a.kind in ("lag", "at", "first_value") and \
+                    pd.api.types.is_bool_dtype(src):
+                return pd.array(vals, dtype="boolean")
+            return pd.array(vals, dtype="Int64")
+        if pd.api.types.is_float_dtype(src):
+            return pd.array([np.nan if v is None else float(v) for v in vals],
+                            dtype="float64")
+    return vals
+
+
 def compute_window_features(
     g: pd.DataFrame,
     order_col: str,
@@ -276,9 +305,33 @@ def compute_window_features(
     if not ok.all():
         g = g[ok]
     if len(g) == 0:
+        # typed empties: `base[a.name] = []` infers object, so an empty
+        # partition's block schema disagreed with every non-empty one
+        # (and EMPTY_PROBE's typed-schema purpose was defeated). Match
+        # the dtype the kernel non-empty partitions would take emits:
+        # the fast path computes numeric aggregates in float64; the
+        # exact path follows _stable_output_array's contract.
         base = g.copy()
+        wa = [a for a in aggs if a.kind != "lead"]
+        fast = fast_eligible(g, wa, frame)
         for a in aggs:
-            base[a.name] = []
+            src = g[a.col] if (a.col is not None
+                               and a.col in g.columns) else None
+            numeric_src = src is not None and _is_numeric(src)
+            if a.kind in ("count", "count_star", "count_where",
+                          "distinct_count"):
+                base[a.name] = pd.array([], dtype="int64")
+            elif a.kind == "lead" or (fast and a.kind in
+                                      ("lag", "at", "first_value")):
+                # shift()-based in every kernel: numeric input → float64
+                base[a.name] = (pd.array([], dtype="float64")
+                                if numeric_src
+                                else pd.array([], dtype=object))
+            elif fast and a.kind in ("sum", "avg", "min", "max", "median",
+                                     "top1_ratio"):
+                base[a.name] = pd.array([], dtype="float64")
+            else:
+                base[a.name] = _stable_output_array(a, [], src)
         if is_primary_col is not None and is_primary_col in base.columns:
             base = base.drop(columns=[is_primary_col])
         return base
@@ -299,7 +352,15 @@ def compute_window_features(
         for a in win_aggs:
             res[a.name] = feats[a.name][sel]
     else:
-        ts = g[order_col].to_numpy(np.float64)
+        # int64 DIRECTLY — a float64 round trip silently corrupts order
+        # keys past 2^53 (rows truly inside a RANGE bound fall outside
+        # the corrupted one); invalid rows are already dropped, so the
+        # cast is total
+        s_ts = g[order_col]
+        if pd.api.types.is_integer_dtype(s_ts):
+            ts64 = s_ts.to_numpy(np.int64, na_value=0)
+        else:
+            ts64 = s_ts.to_numpy(np.float64).astype(np.int64)
         ts_valid = np.ones(len(g), bool)  # invalid already dropped
         cols: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         needed = {c for a in win_aggs for c in spec_columns(a)}
@@ -316,11 +377,13 @@ def compute_window_features(
                 vals = s.to_numpy(object)
             cols[c] = (vals, valid)
         emit_idx, outputs = window_project_exact(
-            ts.astype(np.int64), ts_valid, cols, win_aggs, frame, is_primary=prim
+            ts64, ts_valid, cols, win_aggs, frame, is_primary=prim
         )
         res = g.iloc[emit_idx].copy()
         for a in win_aggs:
-            res[a.name] = outputs[a.name]
+            src = g[a.col] if (a.col is not None
+                               and a.col in g.columns) else None
+            res[a.name] = _stable_output_array(a, outputs[a.name], src)
 
     for a in lead_aggs:
         # extension (not in reference, SURVEY §7.6): forward shift over the

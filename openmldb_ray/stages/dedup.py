@@ -154,17 +154,33 @@ def exact_dedup(ds: "ray.data.Dataset", on: str, *, keep_by: str,
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         # group by the actual value within the bucket — exact, no
-        # hash-collision risk
+        # hash-collision risk. dropna=False: null IS a dedup value (one
+        # null-keyed survivor, SQL GROUP BY semantics) — the pandas
+        # default silently DELETED every null-keyed row
         return (g.sort_values(keep_by, kind="stable")
-                 .groupby(on, sort=False).head(1).drop(columns="__b"))
+                 .groupby(on, sort=False, dropna=False).head(1)
+                 .drop(columns="__b"))
 
     return (ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
               .groupby("__b", num_partitions=num_partitions)
               .map_groups(pick, batch_format="pandas"))
 
 
+def _txt(t) -> str:
+    """Null text is EMPTY text, never the literal 'None' (library
+    convention, same class as the HashTokenizer/lm/classify fixes): null
+    docs must not share a phantom signature with each other beyond the
+    empty-doc signature, nor collide with a real document whose text is
+    the word 'None'."""
+    if isinstance(t, str):
+        return t
+    if t is None or pd.isna(t):
+        return ""
+    return str(t)
+
+
 def _shingles(text: str, k: int) -> set:
-    t = " ".join(str(text).lower().split())
+    t = " ".join(_txt(text).lower().split())
     if len(t) < k:
         return {t}
     return {t[i:i + k] for i in range(len(t) - k + 1)}
@@ -196,7 +212,7 @@ def rolling_hashes(t: bytes, k: int) -> np.ndarray:
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Unique 64-bit hashes of all k-char shingles of the normalized text."""
-    t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
+    t = " ".join(_txt(text).lower().split()).encode("utf-8", "ignore")
     if len(t) <= k:
         return np.asarray(
             [int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big")],
@@ -358,7 +374,7 @@ def minhash_signatures(texts, num_perm: int = 64, shingle_k: int = 5,
     ``min((h%p)·a + b  [u64 wrap] % p)``."""
     a, b = _minhash_coeffs(num_perm, seed)
     k = shingle_k
-    norm = [" ".join(str(t).lower().split()).encode("utf-8", "ignore")
+    norm = [" ".join(_txt(t).lower().split()).encode("utf-8", "ignore")
             for t in texts]
     n = len(norm)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
@@ -424,6 +440,42 @@ class MinHasher:
         return out
 
 
+def _make_explode_bands(id_col: str, bands: int, rows_per_band: int):
+    """map_batches fn: one row per (doc, band) carrying the band hash, a
+    coarse shuffle bucket, and the full signature as fixed-width
+    little-endian bytes (one compact binary cell, decoded zero-copy with
+    np.frombuffer — not a pickled ndarray replicated ``bands`` times).
+    Shared by minhash_lsh_dedup and minhash_candidate_pairs so the band
+    hashing / sig-encoding schemes can never diverge."""
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: [], "__band": [], "__bh": [],
+                                 "__sig": [], "__cb": []})
+        sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)
+        n = sigs.shape[0]
+        r = sigs.reshape(n, bands, rows_per_band)
+        # vectorized band hash: wraparound polynomial over the band slice
+        B = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, bands), np.uint64)
+            for j in range(rows_per_band):
+                h = h * B + r[:, :, j]
+        ids = np.repeat(df[id_col].to_numpy(), bands)
+        sig_bytes = np.array([s.tobytes() for s in sigs.astype("<i8")],
+                             dtype=object)
+        return pd.DataFrame({
+            id_col: ids,
+            "__band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "__bh": h.reshape(-1).astype(np.int64),
+            "__sig": np.repeat(sig_bytes, bands),
+            # coarse shuffle key: ~256 groups instead of one per (band, hash)
+            "__cb": (h.reshape(-1) & np.uint64(255)).astype(np.int64),
+        })
+
+    return explode_bands
+
+
 def minhash_lsh_dedup(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -453,33 +505,7 @@ def minhash_lsh_dedup(
                        shingle_k=shingle_k, seed=seed)
     sig_ds = ds.map_batches(hasher, batch_format="pandas", batch_size=None)
 
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({id_col: [], "__band": [], "__bh": [],
-                                 "__sig": [], "__cb": []})
-        sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)  # (n, perm)
-        n = sigs.shape[0]
-        r = sigs.reshape(n, bands, rows_per_band)
-        # vectorized band hash: wraparound polynomial over the band slice
-        B = np.uint64(0x100000001B3)
-        with np.errstate(over="ignore"):
-            h = np.zeros((n, bands), np.uint64)
-            for j in range(rows_per_band):
-                h = h * B + r[:, :, j]
-        ids = np.repeat(df[id_col].to_numpy(), bands)
-        # signatures ride the shuffle as fixed-width little-endian bytes —
-        # one compact binary cell per row instead of a pickled ndarray per
-        # row (b× replicated); decoded zero-copy with np.frombuffer
-        sig_bytes = np.array([s.tobytes() for s in sigs.astype("<i8")],
-                             dtype=object)
-        return pd.DataFrame({
-            id_col: ids,
-            "__band": np.tile(np.arange(bands, dtype=np.int64), n),
-            "__bh": h.reshape(-1).astype(np.int64),
-            "__sig": np.repeat(sig_bytes, bands),
-            # coarse shuffle key: ~256 groups instead of one per (band, hash)
-            "__cb": (h.reshape(-1) & np.uint64(255)).astype(np.int64),
-        })
+    explode_bands = _make_explode_bands(id_col, bands, rows_per_band)
 
     banded = sig_ds.select_columns([id_col, "__minhash"]).map_batches(
         explode_bands, batch_format="pandas", batch_size=None)
@@ -544,28 +570,7 @@ def minhash_candidate_pairs(
     sig_ds = ds.map_batches(hasher, batch_format="pandas", batch_size=None)
     rows_per_band = num_perm // bands
 
-    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({id_col: [], "__band": [], "__bh": [],
-                                 "__sig": [], "__cb": []})
-        sigs = np.stack(df["__minhash"].to_numpy()).astype(np.uint64)
-        n = sigs.shape[0]
-        r = sigs.reshape(n, bands, rows_per_band)
-        B = np.uint64(0x100000001B3)
-        with np.errstate(over="ignore"):
-            h = np.zeros((n, bands), np.uint64)
-            for j in range(rows_per_band):
-                h = h * B + r[:, :, j]
-        ids = np.repeat(df[id_col].to_numpy(), bands)
-        sig_bytes = np.array([s.tobytes() for s in sigs.astype("<i8")],
-                             dtype=object)
-        return pd.DataFrame({
-            id_col: ids,
-            "__band": np.tile(np.arange(bands, dtype=np.int64), n),
-            "__bh": h.reshape(-1).astype(np.int64),
-            "__sig": np.repeat(sig_bytes, bands),
-            "__cb": (h.reshape(-1) & np.uint64(255)).astype(np.int64),
-        })
+    explode_bands = _make_explode_bands(id_col, bands, rows_per_band)
 
     banded = sig_ds.select_columns([id_col, "__minhash"]).map_batches(
         explode_bands, batch_format="pandas", batch_size=None)
@@ -616,7 +621,7 @@ class SimHasher:
 
     @classmethod
     def simhash64(cls, text: str) -> int:
-        return int(cls._simhash_many([str(text)])[0])
+        return int(cls._simhash_many([_txt(text)])[0])
 
     @classmethod
     def _simhash_many(cls, texts, chunk: int = 4096) -> np.ndarray:
@@ -628,7 +633,7 @@ class SimHasher:
         feats: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            words = str(t).lower().split()
+            words = _txt(t).lower().split()
             n = max(1, len(words) - 2)
             feats.extend(" ".join(words[j:j + 3]) for j in range(n))
             counts[i] = n

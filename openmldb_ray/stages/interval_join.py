@@ -40,9 +40,10 @@ vectorized) — fine for campaign/segment-grade key cardinality; the time
 bucketing stays the shuffle axis either way.
 
 ``how="left"`` dtype contract: appended right columns are normalized to
-null-safe dtypes (ints/floats/bools -> float64, datetimes ->
-datetime64[us], rest -> object) in EVERY output block, matched or not, so
-the streamed blocks agree on one schema.
+null-safe dtypes (ints -> nullable Int64, bools -> nullable boolean,
+floats -> float64, datetimes -> datetime64[us], rest -> object) in EVERY
+output block, matched or not, so the streamed blocks agree on one schema
+— nullable rather than float64 so int64 values past 2^53 survive intact.
 """
 
 from __future__ import annotations
@@ -105,17 +106,23 @@ def _match_block(ldf: pd.DataFrame, rdf: pd.DataFrame, ts_col: str,
     else:
         lkey = ldf[on[0]].to_numpy()
         rkey = rdf[on[0]].to_numpy()
+    # SQL: a null in any key column never matches — and null keys must be
+    # EXCLUDED before the sort (np.argsort on an object array raises
+    # TypeError comparing None with str). The hashed multi-key path needs
+    # the same mask: hash_pandas_object gives nulls a real hash, which
+    # would silently match null==null against SQL semantics.
+    l_na = ldf[on].isna().any(axis=1).to_numpy()
+    r_na = rdf[on].isna().any(axis=1).to_numpy()
     li_all, ri_all = [], []
-    r_order = np.argsort(rkey, kind="stable")
+    r_valid = np.nonzero(~r_na)[0]
+    r_order = r_valid[np.argsort(rkey[r_valid], kind="stable")]
     rk_sorted = rkey[r_order]
-    for k in pd.unique(lkey):
-        if k is None or (isinstance(k, float) and np.isnan(k)):
-            continue  # SQL: null keys never match
+    for k in pd.unique(lkey[~l_na]):
         r_lo = np.searchsorted(rk_sorted, k, side="left")
         r_hi = np.searchsorted(rk_sorted, k, side="right")
         if r_hi == r_lo:
             continue
-        lmask = np.nonzero(lkey == k)[0]
+        lmask = np.nonzero((lkey == k) & ~l_na)[0]
         r_idx = r_order[r_lo:r_hi]
         t = ts[lmask]
         t_order = np.argsort(t, kind="stable")
@@ -146,21 +153,16 @@ def _schema_dtypes(ds, cols) -> dict:
     return out
 
 
-def _restore_types(df: pd.DataFrame, types: dict) -> pd.DataFrame:
-    """Cast post-union object columns back to their source dtypes."""
-    for c, dt in types.items():
-        if c not in df.columns or df[c].dtype == dt:
-            continue
-        if dt.kind == "M":
-            df[c] = pd.to_datetime(df[c]).astype(dt)
-        elif dt.kind != "O":
-            df[c] = df[c].astype(dt)
-    return df
-
-
 def _null_safe_dtype(dt) -> object:
+    # ints/bools go NULLABLE, not float64: a float64 cast silently rounds
+    # int64 values past 2^53 (distinct hash ids would collapse) — the
+    # library-wide nullable-Int64 convention
     k = getattr(dt, "kind", "O")
-    if k in "iufb":
+    if k in "iu":
+        return pd.Int64Dtype()
+    if k == "b":
+        return pd.BooleanDtype()
+    if k == "f":
         return np.dtype(np.float64)
     if k == "M":
         return np.dtype("datetime64[us]")
@@ -182,8 +184,10 @@ def _assemble(ldf: pd.DataFrame, rdf: pd.DataFrame, li: np.ndarray,
         for c, rc in zip(out_names, rcols):
             dt = _null_safe_dtype(rtypes[rc])
             out[c] = out[c].astype(dt)
-            rest[c] = pd.Series([pd.NaT if dt.kind == "M" else np.nan]
-                                * len(rest), dtype=dt)
+            kind = getattr(dt, "kind", "O")
+            fill = pd.NaT if kind == "M" else (
+                np.nan if isinstance(dt, np.dtype) else pd.NA)
+            rest[c] = pd.Series([fill] * len(rest), dtype=dt)
         out = pd.concat([out, rest], ignore_index=True)
     return out
 
@@ -214,6 +218,10 @@ def interval_join(
     on = [on] if isinstance(on, str) else (list(on) if on else [])
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}")
+    # materialize the interval side ONCE: auto's count(), the stats
+    # pre-pass, the long-interval scan and tag_intervals otherwise each
+    # re-execute the right pipeline (join_stage.last_join convention)
+    right = right.materialize()
     rcols = list(right_cols) if right_cols is not None \
         else list(right.schema().names)
     need = list(dict.fromkeys([start_col, end_col] + on + rcols))
@@ -303,6 +311,15 @@ def interval_join(
     long_ref = ray.put(long_df[need]) if len(long_df) else None
 
     import pyarrow as pa
+
+    # normalize BOTH sides to Arrow blocks before reading schemas: a
+    # pandas-block input reports numpy dtypes (object for strings), which
+    # pa.from_numpy_dtype can't type the null padding from (the
+    # anti_join_ids / request_window convention)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=None)
+    right = right.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=None)
 
     lcols = list(left.schema().names)
     rtypes = _schema_dtypes(right, need)

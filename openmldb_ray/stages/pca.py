@@ -35,8 +35,25 @@ def _embed_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ExtensionArray):      # ray.data tensor extension
         col = col.storage
     if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(col)
+        if col.null_count:
+            # ListArray.flatten() silently DROPS null slots, so the
+            # reshape below would either crash opaquely or — when the
+            # lengths happen to divide — shift every later row's values
+            # into the wrong row. Nulls are a data bug here; say so.
+            raise ValueError(
+                "embedding column contains null rows — drop or impute "
+                "them before PCA")
+        if n and not isinstance(col, pa.FixedSizeListArray):
+            lens = pa.compute.unique(pa.compute.list_value_length(col))
+            if len(lens) > 1:
+                # a ragged column whose total length happens to divide n
+                # would reshape cleanly into MISALIGNED rows — check the
+                # actual per-row lengths, not divisibility
+                raise ValueError(
+                    "embedding column is ragged (row lengths differ) — "
+                    "PCA needs a fixed dimension")
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         return flat.reshape(n, -1) if n else flat.reshape(0, 0)
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
@@ -92,10 +109,10 @@ def fit_pca(
     part = ds.map_batches(moments, batch_format="pyarrow")
     folded = part.groupby("b").map_groups(bucket_fold, batch_format="pandas") \
         .to_pandas()
+    if len(folded) == 0 or int(folded["n"].sum()) < 2:
+        raise ValueError("fit_pca needs at least 2 rows")
     d = int(folded["d"].iloc[0])
     n = int(folded["n"].sum())
-    if n < 2:
-        raise ValueError("fit_pca needs at least 2 rows")
     s = np.zeros(d)
     xtx = np.zeros((d, d))
     for sb, xb in zip(folded["s"], folded["xtx"]):

@@ -42,7 +42,9 @@ class TextQuality:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        s = df[self.text_col].astype(str)
+        # null text is EMPTY text, not the literal 'None' (library
+        # convention) — a null doc must score 0 chars / 0 words, not 4/1
+        s = df[self.text_col].fillna("").astype(str)
         n_chars = s.str.len().to_numpy(np.int64)
         words = s.str.findall(self.word_re)
         n_words = words.map(len).to_numpy(np.int64)
@@ -91,12 +93,12 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in profiles.items()}
 
     def classify(self, text: str) -> str:
-        return self._classify_frame(pd.Series([str(text)]))[0]
+        return self._classify_frame(pd.Series([text], dtype=object))[0]
 
     def _classify_frame(self, s: pd.Series) -> np.ndarray:
         """Vectorized: explode tokens once, one isin per language profile,
         groupby-sum back — no per-row Python loop."""
-        toks = s.astype(str).str.lower().str.split()
+        toks = s.fillna("").astype(str).str.lower().str.split()
         n_tok = toks.map(len).to_numpy(np.float64)
         ex = toks.explode()
         idx = pd.RangeIndex(len(s))
@@ -128,7 +130,7 @@ class TokenCounter:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        s = df[self.text_col].astype(str)
+        s = df[self.text_col].fillna("").astype(str)
         df["n_ws_tokens"] = s.str.split().map(len).to_numpy(np.int64)
         df["n_bpe_tokens"] = s.map(lambda t: len(self.bpe_re.findall(t))).to_numpy(np.int64)
         return df
@@ -144,9 +146,9 @@ class Fingerprinter:
         self.window = window
 
     def fingerprint(self, text: str) -> tuple[int, int]:
-        from .dedup import rolling_hashes
+        from .dedup import _txt, rolling_hashes
 
-        t = " ".join(str(text).lower().split()).encode("utf-8", "ignore")
+        t = " ".join(_txt(text).lower().split()).encode("utf-8", "ignore")
         content = int.from_bytes(
             hashlib.blake2b(t, digest_size=8).digest(), "big") >> 1
         if len(t) <= self.k:
@@ -188,7 +190,7 @@ class HashEmbedder:
         from ..core.hashing import stable_hash64
 
         df = df.copy()
-        words = df[self.text_col].astype(str).str.lower().str.split()
+        words = df[self.text_col].fillna("").astype(str).str.lower().str.split()
         ex = words.reset_index(drop=True).explode().dropna()
         vecs = np.zeros((len(df), self.dim), np.float64)
         if len(ex):
@@ -268,7 +270,10 @@ class TfIdfScorer:
         from .lm import _explode_words
 
         idc = self.id_col
-        empty = pd.DataFrame({idc: pd.Series([], dtype="int64"),
+        # keep the INPUT id dtype on the empty path (same class as the
+        # LmScorer fix): a hardcoded int64 here conflicts with string ids
+        # when a batch holds only empty/whitespace docs
+        empty = pd.DataFrame({idc: pd.Series([], dtype=df[idc].dtype),
                               "term": pd.Series([], dtype="string"),
                               "tfidf": pd.Series([], dtype="float64")})
         if len(df) == 0:

@@ -117,11 +117,19 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
             col = t[kcol].combine_chunks()
             a, b = col.slice(0, n - 1), col.slice(1)
             # null == null -> same group (pandas dropna=False parity);
-            # validity flip -> boundary
+            # validity flip -> boundary. Float NaN needs the same care:
+            # Arrow not_equal(NaN, NaN) is true, which would split every
+            # consecutive NaN-keyed pair into its own one-row partition
             neq = pc.fill_null(pc.not_equal(a, b), False) \
                     .to_numpy(zero_copy_only=False)
             vchg = pc.xor(pc.is_null(a), pc.is_null(b)) \
                      .to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                both_nan = pc.and_kleene(
+                    pc.fill_null(pc.is_nan(a), False),
+                    pc.fill_null(pc.is_nan(b), False)) \
+                    .to_numpy(zero_copy_only=False)
+                neq &= ~both_nan
             change[1:] |= neq | vchg
         starts = np.nonzero(change)[0]
         bounds = np.append(starts, n)
@@ -242,6 +250,14 @@ def window_agg_salted(
                          "(expanded primary replicas would be buffered); use window_agg")
     if history_ms is None:
         history_ms = frame.range_preceding
+    elif frame.range_preceding is not None and \
+            history_ms < frame.range_preceding:
+        # an explicit history shorter than the frame silently DROPS
+        # boundary history: rows between history_ms and range_preceding
+        # before a bucket edge are never replicated into the next bucket
+        raise ValueError(
+            f"history_ms ({history_ms}) must cover the frame's "
+            f"range_preceding ({frame.range_preceding})")
     if bucket_ms < history_ms:
         raise ValueError("bucket_ms must be >= history_ms to cover the frame")
     keys = _normalize_keys(partition_by)

@@ -88,7 +88,8 @@ def test_null_keys_never_match():
                         strategy="broadcast").to_pandas()
     assert len(out) == 2
     got = out.sort_values("pid")["iid"].tolist()
-    assert got[0] == 0 and np.isnan(got[1])
+    # unmatched int columns are nullable Int64 now (pd.NA, not float nan)
+    assert got[0] == 0 and pd.isna(got[1])
 
 
 def test_split_invariance(data):
