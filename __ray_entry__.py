@@ -454,6 +454,43 @@ def q_distinct(sf_dir: str):
                     "event_type").to_pandas()
 
 
+def q_intersect(sf_dir: str):
+    """ANSI INTERSECT (distinct): (status, priority) pairs that appear on
+    BOTH sides of a price threshold — one coarse row-hash co-shuffle,
+    per-bucket vectorized membership, rows taken from Arrow blocks."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import filter_expr
+    from openmldb_ray.stages.setops import intersect_distinct
+
+    o = read_table(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    hi = filter_expr(o, lambda t: pc.greater_equal(t["o_totalprice"], 150000.0)) \
+        .select_columns(["o_orderstatus", "o_orderpriority"])
+    lo = filter_expr(o, lambda t: pc.less(t["o_totalprice"], 150000.0)) \
+        .select_columns(["o_orderstatus", "o_orderpriority"])
+    return intersect_distinct(hi, lo).to_pandas()
+
+
+def q_except(sf_dir: str):
+    """ANSI EXCEPT (distinct): (lang, source) pairs seen only among short
+    documents — same bucketed shape as INTERSECT with the membership
+    inverted."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import filter_expr
+    from openmldb_ray.stages.setops import except_distinct
+
+    d = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    short = filter_expr(d, lambda t: pc.less(t["n_chars"], 300)) \
+        .select_columns(["lang", "source"])
+    long = filter_expr(d, lambda t: pc.greater_equal(t["n_chars"], 300)) \
+        .select_columns(["lang", "source"])
+    return except_distinct(short, long).to_pandas()
+
+
 def q_multi_window(sf_dir: str):
     """Multi-window parallelism (ConcatJoin pattern, SparkPlanner:100-108):
     two windows with different PARTITION BY over the same rows, fused."""
@@ -2554,6 +2591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "const_project": q_const_project,
         "sort_limit": q_sort_limit,
         "distinct": q_distinct,
+        "intersect": q_intersect,
+        "except": q_except,
         "multi_window": q_multi_window,
         "left_join": q_left_join,
         "cate_agg": q_cate_agg,
@@ -2867,6 +2906,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "distinct": "SELECT DISTINCT event_type FROM events",
+        "intersect": """
+            SELECT o_orderstatus, o_orderpriority FROM orders
+            WHERE o_totalprice >= 150000
+            INTERSECT
+            SELECT o_orderstatus, o_orderpriority FROM orders
+            WHERE o_totalprice < 150000
+        """,
+        "except": """
+            SELECT lang, source FROM documents WHERE n_chars < 300
+            EXCEPT
+            SELECT lang, source FROM documents WHERE n_chars >= 300
+        """,
         "multi_window": f"""
             SELECT event_id, user_id, event_type, {TS} AS ts_ms,
                    ROUND(value, 6) AS value,

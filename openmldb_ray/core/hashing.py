@@ -36,16 +36,30 @@ def stable_hash64(values) -> np.ndarray:
     same value 5 hashes differently in a null-carrying block (float64
     5.0) than in a null-free one (int64 5) — block-dependent buckets
     split one key across shuffle partitions and break feature_cross's
-    same-inputs-same-bucket guarantee."""
+    same-inputs-same-bucket guarantee.
+
+    ALL nulls hash to one fixed value regardless of the block's physical
+    representation: float NaN, Arrow null, object None and Arrow
+    null-TYPED columns (an all-null slice degraded by a pandas concat)
+    must agree, else one null key splits across buckets depending on
+    which block its row happened to land in."""
     import pyarrow as pa
 
     null_mask = None
     if isinstance(values, (pa.Array, pa.ChunkedArray)) and \
-            pa.types.is_integer(values.type):
+            not (pa.types.is_integer(values.type)
+                 or pa.types.is_boolean(values.type)) and values.null_count:
+        # generic Arrow null mask (ints/bools handled with fill_null
+        # below); computed BEFORE to_numpy, which erases null identity
+        null_mask = pa.compute.is_null(values).to_numpy(zero_copy_only=False)
+    if isinstance(values, (pa.Array, pa.ChunkedArray)) and \
+            (pa.types.is_integer(values.type)
+             or pa.types.is_boolean(values.type)):
         if values.null_count:
             null_mask = pa.compute.is_null(values).to_numpy(
                 zero_copy_only=False)
-            values = pa.compute.fill_null(values, 0)
+            values = pa.compute.fill_null(
+                values, False if pa.types.is_boolean(values.type) else 0)
         arr = values.to_numpy(zero_copy_only=False)
         if arr.dtype.kind == "i" and arr.dtype != np.int64:
             arr = arr.astype(np.int64)
@@ -67,6 +81,11 @@ def stable_hash64(values) -> np.ndarray:
         arr = np.asarray(values)
     if arr.dtype.kind in ("U", "S"):
         arr = arr.astype(object)
+    if null_mask is None and arr.dtype.kind in ("O", "M", "m"):
+        # object None / pd.NA / NaT: unify with the fixed null hash
+        m = pd.isna(arr)
+        if m.any():
+            null_mask = m
     h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True)
     if null_mask is not None and null_mask.any():
         h = h.copy() if not h.flags.writeable else h
