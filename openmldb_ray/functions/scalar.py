@@ -146,14 +146,22 @@ def _substr(s, pos, length=None):
     Column-valued pos/len supported (test_udf_function.yaml id 0)."""
     pos_arr = isinstance(pos, (pa.Array, pa.ChunkedArray))
     len_arr = isinstance(length, (pa.Array, pa.ChunkedArray))
-    if (not pos_arr and not len_arr and pos is not None
+    s_arr = isinstance(s, (pa.Array, pa.ChunkedArray))
+    if (s_arr and not pos_arr and not len_arr and pos is not None
             and pos > 0 and (length is None or length >= 1)):
         # vectorized fast path for the common literal case
         return pc.utf8_slice_codeunits(
             s, start=pos - 1,
             stop=(pos - 1 + length) if length is not None else None)
-    n = len(s)
-    vals = s.to_pylist()
+    if s_arr:
+        n = len(s)
+        vals = s.to_pylist()
+    else:
+        # constant string with a column/expression pos or len (a literal
+        # like -2 arrives as an evaluated UnaryOp ARRAY, so the all-scalar
+        # broadcast in _eval_func doesn't fire)
+        n = len(pos) if pos_arr else (len(length) if len_arr else 1)
+        vals = [s] * n
     poss = pos.to_pylist() if pos_arr else [pos] * n
     lens = (length.to_pylist() if len_arr
             else [length] * n)
@@ -175,9 +183,12 @@ def _substr(s, pos, length=None):
 
 register("substr", _substr, "substring")
 def _strcmp(a, b):
+    if a is None or b is None:  # NULL literal operand -> NULL (not an error)
+        return None
     for v in (a, b):
         t = getattr(v, "type", None)
-        if t is not None and not pa.types.is_string(t):
+        if t is not None and not (pa.types.is_string(t)
+                                  or pa.types.is_null(t)):
             raise ValueError("strcmp requires string operands (reference parity)")
         if t is None and not isinstance(v, str):
             raise ValueError("strcmp requires string operands (reference parity)")
@@ -301,6 +312,10 @@ def to_string_sql(x):
     true/false, floats shortest-round-trip (float32 via np.float32 repr)."""
     t = getattr(x, "type", None)
     if t is None:
+        if x is None:  # literal NULL: propagate, never the string 'None'
+            return pa.scalar(None, pa.string())
+        if isinstance(x, bool):
+            return pa.scalar("true" if x else "false")
         return pa.scalar(str(x))
     if pa.types.is_string(t):
         return x

@@ -170,10 +170,17 @@ def _arith(op: str, a: pa.Array, b: pa.Array) -> pa.Array:
             q = pc.divide(a2, b2)
             out = pc.subtract(a2, pc.multiply(q, b2))
         else:
-            # float fmod, but x % 0 -> NULL (test_arithmetic.yaml ids 3/4)
+            # float fmod (reference: LLVM frem, i.e. C fmod), x % 0 -> NULL
+            # (test_arithmetic.yaml ids 3/4). NOT a2 - trunc(a2/b2)*b2: when
+            # a/b rounds UP to an integer (6.848/0.032 -> 214.0) that form
+            # returns 0.0 where fmod returns ~b.
             b2 = _null_where(b2, pc.equal(b2, 0.0))
-            q = pc.trunc(pc.divide(a2, b2))
-            out = pc.subtract(a2, pc.multiply(q, b2))
+            nulls = pc.or_kleene(pc.is_null(a2), pc.is_null(b2))
+            an = pc.fill_null(a2, 0.0).to_numpy(zero_copy_only=False)
+            bn = pc.fill_null(b2, 1.0).to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                res = np.fmod(an.astype(np.float64), bn.astype(np.float64))
+            out = _null_where(pc.cast(pa.array(res), t), nulls)
     elif op in ("&and", "&or", "&xor"):
         # integral operands only; result keeps the wider type; NULL operand
         # (incl. the NULL literal) propagates (test_arithmetic.yaml
@@ -682,5 +689,21 @@ class Evaluator:
         if args and all(not isinstance(a, (pa.Array, pa.ChunkedArray))
                         for a in args):
             args[0] = _as_array(args[0], n)
-        out = fn(*args)
+        has_null_literal = any(
+            a is None or (isinstance(a, (pa.Array, pa.ChunkedArray))
+                          and pa.types.is_null(a.type))
+            for a in args)
+        try:
+            out = fn(*args)
+        except pa.lib.ArrowNotImplementedError:
+            if has_null_literal:
+                # reference codegen wraps every UDF with CheckAnyNull
+                # (string_ir_builder.cc:312-315): any NULL literal arg ->
+                # NULL result. Arrow kernels with no null-type signature
+                # (utf8_upper etc.) crash instead; map that to NULL. Only
+                # this Arrow error is swallowed: functions that REJECT null
+                # args by contract (like_match pattern NULL is a compile
+                # failure, test_like_match.yaml ids 17/18) must still raise.
+                return None
+            raise
         return out

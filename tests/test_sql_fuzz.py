@@ -1,0 +1,56 @@
+"""Pinned differential-fuzz seeds: engine vs DuckDB on the shared dialect.
+
+The generators live in tools/fuzz_{sql,window,groupby}.py; CI pins a fixed
+seed range of each plus the seeds that historically found bugs (float %
+as trunc-div instead of C fmod; literal-NULL args stringified to 'None' /
+crashing string kernels). Wider sweeps run offline via the CLIs.
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import fuzz_groupby, fuzz_sql, fuzz_window  # noqa: E402
+
+# seeds that found real bugs, pinned forever
+SCALAR_REGRESSION = [93, 133, 1143]
+SCALAR_RANGE = list(range(0, 8))
+WINDOW_RANGE = list(range(0, 6))
+GROUPBY_RANGE = [13, 17, 18] + list(range(0, 5))
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _sql_query():
+    from openmldb_ray.sql import sql_query
+    return sql_query
+
+
+@pytest.mark.parametrize("seed", SCALAR_REGRESSION + SCALAR_RANGE)
+def test_fuzz_scalar_seed(ray_session, seed):
+    import duckdb
+    import random
+    rng = random.Random(seed)
+    tbl = fuzz_sql.gen_table(rng, 64)
+    con = duckdb.connect()
+    con.register("tbl", tbl)
+    bad = fuzz_sql.run_seed(seed, 64, con, _sql_query(), _rd())
+    con.close()
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("seed", WINDOW_RANGE)
+def test_fuzz_window_seed(ray_session, seed):
+    bad = fuzz_window.run_seed(seed, 150, _sql_query(), _rd())
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("seed", GROUPBY_RANGE)
+def test_fuzz_groupby_seed(ray_session, seed):
+    bad = fuzz_groupby.run_seed(seed, 200, _sql_query(), _rd())
+    assert not bad, "\n".join(bad)
