@@ -12,13 +12,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools import fuzz_groupby, fuzz_sql, fuzz_window  # noqa: E402
+from tools import fuzz_groupby, fuzz_lastjoin, fuzz_sql, fuzz_window  # noqa: E402
 
-# seeds that found real bugs, pinned forever
-SCALAR_REGRESSION = [93, 133, 1143]
-SCALAR_RANGE = list(range(0, 8))
-WINDOW_RANGE = list(range(0, 6))
+# seeds that found real bugs, pinned forever; 2000+ = time-fn grammar,
+# window 500+ = end-bound / EXCLUDE CURRENT_ROW frames
+SCALAR_REGRESSION = [93, 133, 1143, 2020, 2039, 2042, 2055]
+SCALAR_RANGE = list(range(0, 8)) + list(range(2000, 2004))
+WINDOW_RANGE = list(range(0, 6)) + list(range(500, 506))
 GROUPBY_RANGE = [13, 17, 18] + list(range(0, 5))
+LASTJOIN_RANGE = list(range(0, 8))
 
 
 def _rd():
@@ -53,4 +55,10 @@ def test_fuzz_window_seed(ray_session, seed):
 @pytest.mark.parametrize("seed", GROUPBY_RANGE)
 def test_fuzz_groupby_seed(ray_session, seed):
     bad = fuzz_groupby.run_seed(seed, 200, _sql_query(), _rd())
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("seed", LASTJOIN_RANGE)
+def test_fuzz_lastjoin_seed(ray_session, seed):
+    bad = fuzz_lastjoin.run_seed(seed, 200, _sql_query(), _rd())
     assert not bad, "\n".join(bad)

@@ -41,6 +41,9 @@ def gen_table(rng: random.Random, n: int) -> pa.Table:
         m = mask()
         return pa.array([None if mk else v for v, mk in zip(vals, m)], typ)
 
+    # epoch ms within 2019-2021 (engine tz offset defaults to 0 == DuckDB's
+    # naive-UTC reading of Arrow timestamps)
+    base_ms = 1_546_300_800_000
     return pa.table({
         "i": col([rng.randint(-12, 12) for _ in range(n)], pa.int32()),
         "j": col([rng.randint(-12, 12) for _ in range(n)], pa.int64()),
@@ -50,6 +53,10 @@ def gen_table(rng: random.Random, n: int) -> pa.Table:
         "s": col([rng.choice(ALPHA) for _ in range(n)], pa.string()),
         "t": col([rng.choice(ALPHA) for _ in range(n)], pa.string()),
         "b": col([rng.random() < 0.5 for _ in range(n)], pa.bool_()),
+        "tm": col([base_ms + rng.randint(0, 2 * 365 * 86_400_000)
+                   for _ in range(n)], pa.timestamp("ms")),
+        "dt": col([rng.randint(17_800, 18_700) for _ in range(n)],
+                  pa.date32()),
         "__rid": pa.array(range(n), pa.int64()),
     })
 
@@ -82,8 +89,33 @@ def str_lit(rng) -> E:
     return E("'%s'" % rng.choice(ALPHA))
 
 
+def gen_time_num(rng) -> E:
+    """Civil-field extraction: integer-valued, shared with DuckDB at tz=0."""
+    r = rng.random()
+    if r < 0.55:
+        fn = rng.choice(["year", "month", "day", "hour", "minute", "second"])
+        return E(f"{fn}(tm)")
+    if r < 0.70:
+        # OpenMLDB dayofweek: Sunday=1..Saturday=7; DuckDB: Sunday=0..6
+        return E("dayofweek(tm)", "(dayofweek(tm) + 1)")
+    if r < 0.80:
+        return E("weekofyear(tm)")
+    if r < 0.90:
+        # datediff(a, b) = a - b in days; date(tm) truncates at tz=0
+        return E("datediff(dt, date(tm))",
+                 "datediff('day', CAST(tm AS DATE), dt)")
+    # scaled down so products/sums can't overflow int64 (engine wraps,
+    # DuckDB raises — either way not a shared-dialect comparison).
+    # floor() before ::BIGINT: DuckDB's cast rounds half-even, while the
+    # reference's unix_timestamp truncates sub-second ms to whole seconds.
+    return E("(unix_timestamp(tm) % 86400)",
+             "(floor(epoch(tm))::BIGINT % 86400)")
+
+
 def gen_num(rng, depth: int, mults: int = 2) -> E:
     if depth <= 0:
+        if rng.random() < 0.12:
+            return gen_time_num(rng)
         return rng.choice([lambda: E(rng.choice(["i", "j", "h", "f"])),
                            lambda: num_lit(rng)])()
     r = rng.random()
@@ -150,11 +182,14 @@ def gen_str(rng, depth: int) -> E:
             return E(f"substr({a.eng}, {pos}, {ln})",
                      f"substr({a.duck}, {pos}, {ln})")
         return E(f"substr({a.eng}, {pos})", f"substr({a.duck}, {pos})")
-    if r < 0.70:
+    if r < 0.65:
         # concat: OpenMLDB any-NULL->NULL == ANSI || (DuckDB concat() skips
         # nulls, so render || on the DuckDB side)
         a, b = gen_str(rng, depth - 1), gen_str(rng, depth - 1)
         return E(f"concat({a.eng}, {b.eng})", f"({a.duck} || {b.duck})")
+    if r < 0.70:
+        fmt = rng.choice(["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%H:%M"])
+        return E(f"date_format(tm, '{fmt}')", f"strftime(tm, '{fmt}')")
     if r < 0.85:
         c = gen_bool(rng, depth - 1)
         a, b = gen_str(rng, depth - 1), gen_str(rng, depth - 1)
@@ -186,10 +221,13 @@ def gen_bool(rng, depth: int) -> E:
     if r < 0.72:
         a = gen_bool(rng, depth - 1)
         return E(f"(NOT {a.eng})", f"(NOT {a.duck})")
-    if r < 0.80:
-        a = rng.choice(["i", "j", "h", "f", "s", "b"])
+    if r < 0.77:
+        a = rng.choice(["i", "j", "h", "f", "s", "b", "tm", "dt"])
         neg = "NOT " if rng.random() < 0.5 else ""
         return E(f"({a} IS {neg}NULL)")
+    if r < 0.80:
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        return E(f"(date(tm) {op} dt)", f"(CAST(tm AS DATE) {op} dt)")
     if r < 0.88:
         a = gen_num(rng, 0)
         lo, hi = sorted([rng.randint(-12, 12), rng.randint(-12, 12)])

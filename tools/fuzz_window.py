@@ -59,12 +59,26 @@ class Q:
 def gen_query(rng: random.Random) -> Q:
     rows_range = rng.random() < 0.4
     n_prec = rng.choice([0, 1, 2, 3, 5, 10, 10_000])
-    if rows_range:
-        frame_eng = f"ROWS_RANGE BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
-        frame_duck = f"RANGE BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+    kw_e = "ROWS_RANGE" if rows_range else "ROWS"
+    kw_d = "RANGE" if rows_range else "ROWS"
+    r = rng.random()
+    lag_ok = True
+    if r < 0.25 and n_prec >= 1:
+        # end bound m PRECEDING (frame entirely in the past)
+        m = rng.randint(1, n_prec)
+        frame_eng = f"{kw_e} BETWEEN {n_prec} PRECEDING AND {m} PRECEDING"
+        frame_duck = f"{kw_d} BETWEEN {n_prec} PRECEDING AND {m} PRECEDING"
+        lag_ok = False
+    elif r < 0.50:
+        # EXCLUDE CURRENT_ROW (engine spelling) vs EXCLUDE CURRENT ROW
+        frame_eng = (f"{kw_e} BETWEEN {n_prec} PRECEDING AND CURRENT ROW "
+                     f"EXCLUDE CURRENT_ROW")
+        frame_duck = (f"{kw_d} BETWEEN {n_prec} PRECEDING AND CURRENT ROW "
+                      f"EXCLUDE CURRENT ROW")
+        lag_ok = False
     else:
-        frame_eng = f"ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
-        frame_duck = frame_eng
+        frame_eng = f"{kw_e} BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+        frame_duck = f"{kw_d} BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
     aggs_e, aggs_d, names = [], [], []
     for i in range(rng.randint(3, 6)):
         col = rng.choice(["v", "f"])
@@ -72,7 +86,9 @@ def gen_query(rng: random.Random) -> Q:
                          "sum_where", "count_where", "lag"])
         nm = f"a{i}"
         if fn == "lag":
-            if rows_range:   # lag depth vs RANGE frame is engine-specific
+            if rows_range or not lag_ok:
+                # lag vs RANGE / end-bound / EXCLUDE frames is
+                # engine-specific (buffer-indexed in the reference)
                 fn = "sum"
             else:
                 d = rng.randint(0, max(0, min(n_prec, 4)))
