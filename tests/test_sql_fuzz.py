@@ -12,7 +12,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools import fuzz_groupby, fuzz_lastjoin, fuzz_sql, fuzz_window  # noqa: E402
+from tools import (fuzz_groupby, fuzz_lastjoin, fuzz_sql, fuzz_union,  # noqa: E402
+                   fuzz_window)
 
 # seeds that found real bugs, pinned forever; 2000+ = time-fn grammar,
 # window 500+ = end-bound / EXCLUDE CURRENT_ROW frames
@@ -21,6 +22,7 @@ SCALAR_RANGE = list(range(0, 8)) + list(range(2000, 2004))
 WINDOW_RANGE = list(range(0, 6)) + list(range(500, 506))
 GROUPBY_RANGE = [13, 17, 18] + list(range(0, 5))
 LASTJOIN_RANGE = list(range(0, 8))
+UNION_RANGE = list(range(0, 6))
 
 
 def _rd():
@@ -61,4 +63,10 @@ def test_fuzz_groupby_seed(ray_session, seed):
 @pytest.mark.parametrize("seed", LASTJOIN_RANGE)
 def test_fuzz_lastjoin_seed(ray_session, seed):
     bad = fuzz_lastjoin.run_seed(seed, 200, _sql_query(), _rd())
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("seed", UNION_RANGE)
+def test_fuzz_union_seed(ray_session, seed):
+    bad = fuzz_union.run_seed(seed, 150, _sql_query(), _rd())
     assert not bad, "\n".join(bad)

@@ -150,11 +150,18 @@ def gen_num(rng, depth: int, mults: int = 2) -> E:
         fn = rng.choice(["abs", "floor", "ceil", "round", "truncate"])
         dfn = "trunc" if fn == "truncate" else fn
         return E(f"{fn}({a.eng})", f"{dfn}(CAST({a.duck} AS DOUBLE))")
-    if r < 0.92:
+    if r < 0.90:
         a = gen_num(rng, depth - 1, mults)
         # sqrt over a non-negative argument (NaN-vs-NULL differences aside)
         return E(f"sqrt(abs({a.eng}))",
                  f"sqrt(abs(CAST({a.duck} AS DOUBLE)))")
+    if r < 0.92:
+        a, b = gen_str(rng, depth - 1), gen_str(rng, depth - 1)
+        # strcmp = sign(a cmp b); NULL operand -> NULL on both sides
+        return E(f"strcmp({a.eng}, {b.eng})",
+                 f"(CASE WHEN {a.duck} > {b.duck} THEN 1 "
+                 f"WHEN {a.duck} < {b.duck} THEN -1 "
+                 f"WHEN {a.duck} = {b.duck} THEN 0 END)")
     if r < 0.97:
         # if_null requires SAME-TYPE operands (reference parity) — cast both
         a, b = gen_num(rng, depth - 1, mults), gen_num(rng, depth - 1, mults)
@@ -190,6 +197,15 @@ def gen_str(rng, depth: int) -> E:
     if r < 0.70:
         fmt = rng.choice(["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%H:%M"])
         return E(f"date_format(tm, '{fmt}')", f"strftime(tm, '{fmt}')")
+    if r < 0.76:
+        a = gen_str(rng, depth - 1)
+        pat = rng.choice(["a", "b", "ab", "aa"])
+        rep = rng.choice(["x", "", "zz"])
+        return E(f"replace({a.eng}, '{pat}', '{rep}')",
+                 f"replace({a.duck}, '{pat}', '{rep}')")
+    if r < 0.80:
+        a = gen_str(rng, depth - 1)
+        return E(f"reverse({a.eng})", f"reverse({a.duck})")
     if r < 0.85:
         c = gen_bool(rng, depth - 1)
         a, b = gen_str(rng, depth - 1), gen_str(rng, depth - 1)

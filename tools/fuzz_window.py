@@ -26,20 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def gen_table(rng: random.Random, n: int) -> pa.Table:
     nkeys = rng.randint(1, 6)
     keys = [f"k{i}" for i in range(nkeys)]
-    rows = []
-    used = {k: set() for k in keys}
-    for _ in range(n):
-        k = rng.choice(keys)
-        while True:
-            ts = rng.randint(0, 10 * n)
-            if ts not in used[k]:
-                used[k].add(ts)
-                break
-        rows.append((k, ts))
+    # ts unique GLOBALLY so a second window partitioned by k2 is also
+    # deterministic under ROWS frames
+    ts_all = rng.sample(range(0, 20 * n), n)
+    rows = [(rng.choice(keys), ts_all[i]) for i in range(n)]
     def nullable(gen, p=0.15):
         return [None if rng.random() < p else gen() for _ in range(n)]
     return pa.table({
         "k": pa.array([r[0] for r in rows], pa.string()),
+        "k2": pa.array([f"g{rng.randint(0, 3)}" for _ in range(n)],
+                       pa.string()),
         "ts": pa.array([r[1] for r in rows], pa.int64()),
         "v": pa.array(nullable(lambda: rng.randint(-50, 50)), pa.int64()),
         "f": pa.array(nullable(lambda: round(rng.uniform(-20, 20), 3)),
@@ -109,15 +105,23 @@ def gen_query(rng: random.Random) -> Q:
                 f"CAST({base}(CASE WHEN {cond_e} THEN {inner} END) OVER w "
                 f"AS DOUBLE) AS {nm}")
         else:
-            aggs_e.append(f"CAST({fn}({col}) OVER w AS DOUBLE) AS {nm}")
-            aggs_d.append(f"CAST({fn}({col}) OVER w AS DOUBLE) AS {nm}")
+            # ~1/4 of plain aggregates ride a SECOND window partitioned by
+            # k2 — exercises the engine's multi-window fusion (ConcatJoin)
+            win = "w2" if rng.random() < 0.25 else "w"
+            aggs_e.append(f"CAST({fn}({col}) OVER {win} AS DOUBLE) AS {nm}")
+            aggs_d.append(f"CAST({fn}({col}) OVER {win} AS DOUBLE) AS {nm}")
         names.append(nm)
     sel = ", ".join(aggs_e)
     seld = ", ".join(aggs_d)
+    two = any(" OVER w2 " in a for a in aggs_e)
+    w2_e = (f", w2 as (partition by k2 order by ts {frame_eng})"
+            if two else "")
+    w2_d = (f", w2 as (partition by k2 order by ts {frame_duck})"
+            if two else "")
     eng = (f"select __rid, {sel} from t0 "
-           f"window w as (partition by k order by ts {frame_eng})")
+           f"window w as (partition by k order by ts {frame_eng}){w2_e}")
     duck = (f"select __rid, {seld} from tbl "
-            f"window w as (partition by k order by ts {frame_duck}) "
+            f"window w as (partition by k order by ts {frame_duck}){w2_d} "
             f"order by __rid")
     return Q(eng, duck)
 
