@@ -12,8 +12,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools import (fuzz_groupby, fuzz_lastjoin, fuzz_sql, fuzz_union,  # noqa: E402
-                   fuzz_window)
+from tools import (fuzz_groupby, fuzz_lastjoin, fuzz_sql, fuzz_stages,  # noqa: E402
+                   fuzz_union, fuzz_window)
 
 # seeds that found real bugs, pinned forever; 2000+ = time-fn grammar,
 # window 500+ = end-bound / EXCLUDE CURRENT_ROW frames
@@ -23,6 +23,7 @@ WINDOW_RANGE = list(range(0, 6)) + list(range(500, 506))
 GROUPBY_RANGE = [13, 17, 18] + list(range(0, 5))
 LASTJOIN_RANGE = list(range(0, 8))
 UNION_RANGE = list(range(0, 6))
+STAGES_RANGE = list(range(0, 4))
 
 
 def _rd():
@@ -69,4 +70,10 @@ def test_fuzz_lastjoin_seed(ray_session, seed):
 @pytest.mark.parametrize("seed", UNION_RANGE)
 def test_fuzz_union_seed(ray_session, seed):
     bad = fuzz_union.run_seed(seed, 150, _sql_query(), _rd())
+    assert not bad, "\n".join(bad)
+
+
+@pytest.mark.parametrize("seed", STAGES_RANGE)
+def test_fuzz_stages_seed(ray_session, seed):
+    bad = fuzz_stages.run_seed(seed, 120, _rd())
     assert not bad, "\n".join(bad)

@@ -1,0 +1,322 @@
+"""Differential fuzzer for the Python-API stages vs DuckDB oracles.
+
+Covers the stages the SQL fuzzers can't reach: sessionize (gap windows),
+request_window_agg (long-window point-in-time backfill) and interval_join
+(point-in-interval containment). Random keys / nullable values / null
+timestamps / empty sides; timestamps unique per key so orderings are
+deterministic on both sides.
+
+Usage: python tools/fuzz_stages.py [--seeds 60] [--start 0] [--rows 200]
+Each seed runs all three ops.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _keyed_unique_ts(rng, n, keys, null_p=0.0, span=20):
+    used = set()
+    out_k, out_t = [], []
+    for _ in range(n):
+        k = rng.choice(keys)
+        if rng.random() < null_p:
+            out_k.append(k)
+            out_t.append(None)
+            continue
+        while True:
+            t = rng.randint(0, span * n)
+            if (k, t) not in used:
+                used.add((k, t))
+                break
+        out_k.append(k)
+        out_t.append(t)
+    return out_k, out_t
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def fuzz_sessionize(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.session_stage import sessionize
+
+    rng = random.Random(seed + 200_000)
+    keys = [f"k{i}" for i in range(rng.randint(1, 6))]
+    ks, ts = _keyed_unique_ts(rng, rows, keys, null_p=0.1)
+    gap = rng.choice([1, 5, 20, 100, 10_000])
+    tbl = pa.table({
+        "k": pa.array(ks, pa.string()),
+        "ts": pa.array(ts, pa.int64()),
+        "__rid": pa.array(range(rows), pa.int64()),
+    })
+    eng = sessionize(rd.from_arrow(tbl), "k", "ts", gap=gap) \
+        .to_pandas().sort_values("__rid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("tbl", tbl)
+    duck = con.execute(f"""
+        WITH t AS (SELECT k, ts, __rid FROM tbl WHERE ts IS NOT NULL),
+             l AS (SELECT *, lag(ts) OVER (PARTITION BY k ORDER BY ts)
+                             AS pts FROM t)
+        SELECT __rid,
+               sum(CASE WHEN pts IS NULL OR ts - pts > {gap}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY k ORDER BY ts) - 1 AS session_id
+        FROM l ORDER BY __rid
+    """).fetch_arrow_table().to_pandas()
+    con.close()
+    if len(eng) != len(duck):
+        return [f"sessionize seed {seed}: rows engine={len(eng)} "
+                f"duck={len(duck)} (gap={gap})"]
+    ea = eng["session_id"].to_numpy(dtype=float)
+    da = duck["session_id"].to_numpy(dtype=float)
+    if not (eng["__rid"].tolist() == duck["__rid"].tolist()
+            and np.array_equal(ea, da)):
+        i = int(np.argmax(ea != da))
+        return [f"sessionize seed {seed} row {i}: engine={ea[i]} "
+                f"duck={da[i]} gap={gap}"]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# request_window_agg
+# ---------------------------------------------------------------------------
+
+def fuzz_request_window(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.core.aggregates import AggSpec
+    from openmldb_ray.stages.request_window import request_window_agg
+
+    rng = random.Random(seed + 300_000)
+    keys = [f"k{i}" for i in range(rng.randint(1, 6))]
+    rk, rts = _keyed_unique_ts(rng, rows, keys, null_p=0.08)
+    hk, hts = _keyed_unique_ts(rng, rng.randint(0, 3 * rows), keys,
+                               null_p=0.08)
+    prec = rng.choice([0, 1, 10, 100, 5_000])
+    req = pa.table({
+        "k": pa.array(rk, pa.string()),
+        "ts": pa.array(rts, pa.int64()),
+        "__rid": pa.array(range(rows), pa.int64()),
+    })
+    hist = pa.table({
+        "k": pa.array(hk, pa.string()),
+        "ts": pa.array(hts, pa.int64()),
+        "v": pa.array([None if rng.random() < 0.15 else rng.randint(-50, 50)
+                       for _ in range(len(hk))], pa.int64()),
+    })
+    aggs = [AggSpec(name="s", kind="sum", col="v"),
+            AggSpec(name="c", kind="count", col="v"),
+            AggSpec(name="a", kind="avg", col="v"),
+            AggSpec(name="mn", kind="min", col="v"),
+            AggSpec(name="mx", kind="max", col="v"),
+            AggSpec(name="cs", kind="count_star")]
+    eng = request_window_agg(
+        rd.from_arrow(req), rd.from_arrow(hist), "k", "ts", aggs,
+        preceding_ms=prec) \
+        .to_pandas().sort_values("__rid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("req", req)
+    con.register("hist", hist)
+    win = (f"hist h WHERE h.k = r.k AND h.ts IS NOT NULL "
+           f"AND h.ts >= r.ts - {prec} AND h.ts <= r.ts")
+    duck = con.execute(f"""
+        SELECT r.__rid,
+               (SELECT sum(h.v) FROM {win}) AS s,
+               (SELECT count(h.v) FROM {win}) AS c,
+               (SELECT avg(h.v) FROM {win}) AS a,
+               (SELECT min(h.v) FROM {win}) AS mn,
+               (SELECT max(h.v) FROM {win}) AS mx,
+               (SELECT count(*) FROM {win}) AS cs
+        FROM req r ORDER BY r.__rid
+    """).fetch_arrow_table().to_pandas()
+    con.close()
+    bad = []
+    for nm in ("s", "c", "a", "mn", "mx", "cs"):
+        ea = eng[nm].to_numpy(dtype=float, na_value=np.nan)
+        da = duck[nm].to_numpy(dtype=float, na_value=np.nan)
+        ok = np.isclose(ea, da, rtol=1e-9, atol=1e-12, equal_nan=True)
+        if not ok.all():
+            i = int(np.argmax(~ok))
+            bad.append(f"request_window seed {seed} {nm} row {i}: "
+                       f"engine={ea[i]} duck={da[i]} prec={prec}")
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+def fuzz_interval_join(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.interval_join import interval_join
+
+    rng = random.Random(seed + 400_000)
+    keys = [f"k{i}" for i in range(rng.randint(1, 5))]
+    how = rng.choice(["inner", "left"])
+    keyed = rng.random() < 0.6
+    left = pa.table({
+        "k": pa.array([rng.choice(keys) for _ in range(rows)], pa.string()),
+        "ts": pa.array([rng.randint(0, 500) for _ in range(rows)],
+                       pa.int64()),
+        "__rid": pa.array(range(rows), pa.int64()),
+    })
+    n_r = rng.randint(0, rows)
+    starts = [rng.randint(0, 500) for _ in range(n_r)]
+    right = pa.table({
+        "k": pa.array([rng.choice(keys) for _ in range(n_r)], pa.string()),
+        "s": pa.array(starts, pa.int64()),
+        "e": pa.array([st + rng.randint(0, 80) for st in starts], pa.int64()),
+        "rid": pa.array(range(n_r), pa.int64()),
+    })
+    eng = interval_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        ts_col="ts", start_col="s", end_col="e",
+        on="k" if keyed else None, how=how,
+        right_cols=["rid"]).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    onk = " AND l.k = r.k" if keyed else ""
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    duck = con.execute(
+        f"SELECT l.__rid AS __rid, r.rid AS rid FROM l {jt} r "
+        f"ON l.ts >= r.s AND l.ts <= r.e{onk}").fetch_arrow_table() \
+        .to_pandas()
+    con.close()
+    e_pairs = sorted(map(tuple, np.nan_to_num(
+        eng[["__rid", "rid"]].to_numpy(dtype=float, na_value=np.nan),
+        nan=-1).astype(int).tolist()))
+    d_pairs = sorted(map(tuple, np.nan_to_num(
+        duck[["__rid", "rid"]].to_numpy(dtype=float, na_value=np.nan),
+        nan=-1).astype(int).tolist()))
+    if e_pairs != d_pairs:
+        extra = [p for p in e_pairs if p not in d_pairs][:3]
+        miss = [p for p in d_pairs if p not in e_pairs][:3]
+        return [f"interval_join seed {seed} how={how} keyed={keyed}: "
+                f"engine {len(e_pairs)} pairs vs duck {len(d_pairs)}; "
+                f"engine-extra={extra} engine-missing={miss}"]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# target_encode / count_encode
+# ---------------------------------------------------------------------------
+
+def fuzz_encoders(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.encoders import count_encode, target_encode
+
+    rng = random.Random(seed + 500_000)
+    keys = [f"k{i}" for i in range(rng.randint(1, 6))]
+    smoothing = rng.choice([0.0, 1.0, 5.5])
+    loo = rng.random() < 0.5
+    tbl = pa.table({
+        "k": pa.array([None if rng.random() < 0.1 else rng.choice(keys)
+                       for _ in range(rows)], pa.string()),
+        "y": pa.array([None if rng.random() < 0.2 else rng.randint(0, 40)
+                       for _ in range(rows)], pa.int64()),
+        "__rid": pa.array(range(rows), pa.int64()),
+    })
+    eng_te = target_encode(rd.from_arrow(tbl), "k", "y",
+                           smoothing=smoothing, loo=loo) \
+        .to_pandas().sort_values("__rid").reset_index(drop=True)
+    eng_ce = count_encode(rd.from_arrow(tbl), "k", normalize=True) \
+        .to_pandas().sort_values("__rid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    s = smoothing
+    duck = con.execute(f"""
+        WITH g AS (SELECT k, coalesce(sum(y), 0)::DOUBLE AS tsum,
+                          count(y)::DOUBLE AS tcnt
+                   FROM t GROUP BY k),
+             p AS (SELECT sum(y)::DOUBLE / count(y) AS prior FROM t)
+        SELECT t.__rid,
+               CASE WHEN g.tcnt + {s} > 0
+                    THEN (g.tsum + {s} * p.prior) / (g.tcnt + {s})
+                    ELSE p.prior END AS te,
+               CASE WHEN t.y IS NULL THEN
+                    CASE WHEN g.tcnt + {s} > 0
+                         THEN (g.tsum + {s} * p.prior) / (g.tcnt + {s})
+                         ELSE p.prior END
+                    WHEN g.tcnt - 1 + {s} > 0
+                    THEN (g.tsum - t.y + {s} * p.prior) / (g.tcnt - 1 + {s})
+                    ELSE p.prior END AS te_loo,
+               (SELECT count(*) FROM t t2
+                WHERE t2.k IS NOT DISTINCT FROM t.k)::DOUBLE
+                   / (SELECT count(*) FROM t) AS ce
+        FROM t LEFT JOIN g ON t.k IS NOT DISTINCT FROM g.k, p
+        ORDER BY t.__rid
+    """).fetch_arrow_table().to_pandas()
+    con.close()
+    bad = []
+    pairs = [("k_te", "te", eng_te), ("k_count", "ce", eng_ce)]
+    if loo:
+        pairs.append(("k_te_loo", "te_loo", eng_te))
+    for eng_col, duck_col, frame in pairs:
+        ea = frame[eng_col].to_numpy(dtype=float, na_value=np.nan)
+        da = duck[duck_col].to_numpy(dtype=float, na_value=np.nan)
+        ok = np.isclose(ea, da, rtol=1e-9, atol=1e-12, equal_nan=True)
+        if not ok.all():
+            i = int(np.argmax(~ok))
+            bad.append(f"encoders seed {seed} {eng_col} row {i}: "
+                       f"engine={ea[i]} duck={da[i]} "
+                       f"smoothing={s} loo={loo}")
+    return bad
+
+
+OPS = [fuzz_sessionize, fuzz_request_window, fuzz_interval_join,
+       fuzz_encoders]
+
+
+def run_seed(seed: int, rows: int, rd) -> list[str]:
+    bad = []
+    for op in OPS:
+        bad.extend(op(seed, rows, rd))
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=60)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--rows", type=int, default=200)
+    args = ap.parse_args()
+
+    import logging
+
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    failures = 0
+    for seed in range(args.start, args.start + args.seeds):
+        for line in run_seed(seed, args.rows, rd):
+            print(line)
+            failures += 1
+        if seed % 10 == 9:
+            print(f"... {seed + 1 - args.start} seeds done, "
+                  f"{failures} mismatches", file=sys.stderr)
+    ray.shutdown()
+    print(f"TOTAL mismatching stage results: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
