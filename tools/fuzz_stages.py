@@ -277,8 +277,65 @@ def fuzz_encoders(seed: int, rows: int, rd) -> list[str]:
     return bad
 
 
+# ---------------------------------------------------------------------------
+# exact quantiles (global + by key)
+# ---------------------------------------------------------------------------
+
+def fuzz_quantiles(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.quantile import (exact_quantiles,
+                                              exact_quantiles_by_key)
+
+    rng = random.Random(seed + 600_000)
+    qs = sorted({round(rng.random(), 3) for _ in range(rng.randint(1, 4))})
+    if not qs:
+        qs = [0.5]
+    # heavy ties + nulls + negatives: the refinement's hardest inputs
+    vals = [None if rng.random() < 0.15
+            else rng.choice([-7, -1, 0, 3, 3, 3, 11, rng.randint(-50, 50)])
+            for _ in range(rows)]
+    keys = [f"k{i}" for i in range(rng.randint(1, 5))]
+    tbl = pa.table({
+        "v": pa.array(vals, pa.int64()),
+        "k": pa.array([rng.choice(keys) for _ in range(rows)], pa.string()),
+    })
+    interp = rng.choice(["disc", "cont"])
+    eng = exact_quantiles(rd.from_arrow(tbl), "v", qs,
+                          interpolation=interp, bins=16)
+    ek = exact_quantiles_by_key(rd.from_arrow(tbl), "v", qs, "k",
+                                interpolation=interp, bins=16) \
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    fn = "quantile_disc" if interp == "disc" else "quantile_cont"
+    qlist = ", ".join(str(q) for q in qs)
+    dg = con.execute(
+        f"SELECT unnest({fn}(v, [{qlist}]))::DOUBLE AS val FROM t"
+    ).fetch_arrow_table().to_pandas()
+    dk = con.execute(
+        f"SELECT k, unnest([{qlist}]) AS q, "
+        f"unnest({fn}(v, [{qlist}]))::DOUBLE AS val "
+        f"FROM t GROUP BY k ORDER BY k, q"
+    ).fetch_arrow_table().to_pandas()
+    con.close()
+    bad = []
+    ea = eng["value"].to_numpy(dtype=float, na_value=np.nan)
+    da = dg["val"].to_numpy(dtype=float, na_value=np.nan)
+    if not np.isclose(ea, da, rtol=1e-12, atol=0, equal_nan=True).all():
+        bad.append(f"quantiles seed {seed} global {interp} qs={qs}: "
+                   f"engine={ea.tolist()} duck={da.tolist()}")
+    ea = ek["value"].to_numpy(dtype=float, na_value=np.nan)
+    da = dk["val"].to_numpy(dtype=float, na_value=np.nan)
+    if len(ea) != len(da) or ek["k"].tolist() != dk["k"].tolist() or \
+            not np.isclose(ea, da, rtol=1e-12, atol=0, equal_nan=True).all():
+        bad.append(f"quantiles seed {seed} by-key {interp} qs={qs}: "
+                   f"engine={ea.tolist()} duck={da.tolist()}")
+    return bad
+
+
 OPS = [fuzz_sessionize, fuzz_request_window, fuzz_interval_join,
-       fuzz_encoders]
+       fuzz_encoders, fuzz_quantiles]
 
 
 def run_seed(seed: int, rows: int, rd) -> list[str]:
