@@ -67,18 +67,28 @@ def gen_query(rng: random.Random):
         else:
             aggs_e.append(f"CAST({fn}({col}) AS DOUBLE) AS {nm}")
             aggs_d.append(f"CAST({fn}({col}) AS DOUBLE) AS {nm}")
-    where = ""
+    where_parts = []
     if rng.random() < 0.4:
-        where = f" where v > {rng.randint(-40, 10)}"
+        where_parts.append(f"v > {rng.randint(-40, 10)}")
+    limit_planned = rng.random() < 0.3
     having_e = having_d = ""
     if rng.random() < 0.3:
         c = rng.randint(1, 5)
         having_e = having_d = f" having count(*) >= {c}"
     ksel = ", ".join(keys)
+    order = limit = ""
+    if limit_planned:
+        # ORDER BY the (unique) group keys + LIMIT: a deterministic prefix,
+        # provided no NULL keys (null-order defaults differ across engines)
+        where_parts.extend(f"{k} IS NOT NULL" for k in keys)
+        dirs = " DESC" if rng.random() < 0.5 else ""
+        order = " order by " + ", ".join(f"{k}{dirs}" for k in keys)
+        limit = f" limit {rng.randint(1, 6)}"
+    where = (" where " + " and ".join(where_parts)) if where_parts else ""
     eng = (f"select {ksel}, {', '.join(aggs_e)} from t0{where} "
-           f"group by {ksel}{having_e}")
+           f"group by {ksel}{having_e}{order}{limit}")
     duck = (f"select {ksel}, {', '.join(aggs_d)} from tbl{where} "
-            f"group by {ksel}{having_d}")
+            f"group by {ksel}{having_d}{order}{limit}")
     return keys, eng, duck
 
 
