@@ -37,6 +37,9 @@ def gen_table(rng: random.Random, n: int) -> pa.Table:
         "k2": pa.array([f"g{rng.randint(0, 3)}" for _ in range(n)],
                        pa.string()),
         "ts": pa.array([r[1] for r in rows], pa.int64()),
+        # the same instants as a timestamp column, ~seconds apart, for
+        # unit-suffixed ROWS_RANGE bounds (2s/1m preceding)
+        "tms": pa.array([r[1] * 700 for r in rows], pa.timestamp("ms")),
         "v": pa.array(nullable(lambda: rng.randint(-50, 50)), pa.int64()),
         "f": pa.array(nullable(lambda: round(rng.uniform(-20, 20), 3)),
                       pa.float64()),
@@ -57,24 +60,40 @@ def gen_query(rng: random.Random) -> Q:
     n_prec = rng.choice([0, 1, 2, 3, 5, 10, 10_000])
     kw_e = "ROWS_RANGE" if rows_range else "ROWS"
     kw_d = "RANGE" if rows_range else "ROWS"
+    order_col = "ts"
+    unit_e = unit_d = None
+    if rows_range and rng.random() < 0.4:
+        # unit-suffixed bounds over a TIMESTAMP order key
+        order_col = "tms"
+        unit_e, unit_d = rng.choice([("s", "SECOND"), ("m", "MINUTE"),
+                                     ("h", "HOUR")])
+
+    def bound(n):
+        if unit_e is None:
+            return f"{n} PRECEDING", f"{n} PRECEDING"
+        return (f"{n}{unit_e} PRECEDING",
+                f"INTERVAL {n} {unit_d} PRECEDING")
+
+    lo_e, lo_d = bound(n_prec)
     r = rng.random()
     lag_ok = True
     if r < 0.25 and n_prec >= 1:
         # end bound m PRECEDING (frame entirely in the past)
         m = rng.randint(1, n_prec)
-        frame_eng = f"{kw_e} BETWEEN {n_prec} PRECEDING AND {m} PRECEDING"
-        frame_duck = f"{kw_d} BETWEEN {n_prec} PRECEDING AND {m} PRECEDING"
+        hi_e, hi_d = bound(m)
+        frame_eng = f"{kw_e} BETWEEN {lo_e} AND {hi_e}"
+        frame_duck = f"{kw_d} BETWEEN {lo_d} AND {hi_d}"
         lag_ok = False
     elif r < 0.50:
         # EXCLUDE CURRENT_ROW (engine spelling) vs EXCLUDE CURRENT ROW
-        frame_eng = (f"{kw_e} BETWEEN {n_prec} PRECEDING AND CURRENT ROW "
+        frame_eng = (f"{kw_e} BETWEEN {lo_e} AND CURRENT ROW "
                      f"EXCLUDE CURRENT_ROW")
-        frame_duck = (f"{kw_d} BETWEEN {n_prec} PRECEDING AND CURRENT ROW "
+        frame_duck = (f"{kw_d} BETWEEN {lo_d} AND CURRENT ROW "
                       f"EXCLUDE CURRENT ROW")
         lag_ok = False
     else:
-        frame_eng = f"{kw_e} BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
-        frame_duck = f"{kw_d} BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+        frame_eng = f"{kw_e} BETWEEN {lo_e} AND CURRENT ROW"
+        frame_duck = f"{kw_d} BETWEEN {lo_d} AND CURRENT ROW"
     aggs_e, aggs_d, names = [], [], []
     for i in range(rng.randint(3, 6)):
         col = rng.choice(["v", "f"])
@@ -114,14 +133,14 @@ def gen_query(rng: random.Random) -> Q:
     sel = ", ".join(aggs_e)
     seld = ", ".join(aggs_d)
     two = any(" OVER w2 " in a for a in aggs_e)
-    w2_e = (f", w2 as (partition by k2 order by ts {frame_eng})"
+    w2_e = (f", w2 as (partition by k2 order by {order_col} {frame_eng})"
             if two else "")
-    w2_d = (f", w2 as (partition by k2 order by ts {frame_duck})"
+    w2_d = (f", w2 as (partition by k2 order by {order_col} {frame_duck})"
             if two else "")
     eng = (f"select __rid, {sel} from t0 "
-           f"window w as (partition by k order by ts {frame_eng}){w2_e}")
+           f"window w as (partition by k order by {order_col} {frame_eng}){w2_e}")
     duck = (f"select __rid, {seld} from tbl "
-            f"window w as (partition by k order by ts {frame_duck}){w2_d} "
+            f"window w as (partition by k order by {order_col} {frame_duck}){w2_d} "
             f"order by __rid")
     return Q(eng, duck)
 
