@@ -491,6 +491,24 @@ def q_except(sf_dir: str):
     return except_distinct(short, long).to_pandas()
 
 
+def q_union_distinct(sf_dir: str):
+    """ANSI UNION (distinct): (event_type, props) pairs from either half
+    of the events table — Dataset.union + the distinct stage's coarse-
+    bucket fold (one exchange; completes the INTERSECT/EXCEPT/UNION set)."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import distinct, filter_expr
+    from openmldb_ray.core.empty_ds import union_any
+
+    e = read_table(sf_dir, "events", columns=["event_type", "props", "value"])
+    lo = filter_expr(e, lambda t: pc.less(t["value"], 50.0)) \
+        .select_columns(["event_type", "props"])
+    hi = filter_expr(e, lambda t: pc.greater_equal(t["value"], 50.0)) \
+        .select_columns(["event_type", "props"])
+    return distinct(union_any(lo, hi)).to_pandas()
+
+
 def q_multi_window(sf_dir: str):
     """Multi-window parallelism (ConcatJoin pattern, SparkPlanner:100-108):
     two windows with different PARTITION BY over the same rows, fused."""
@@ -2593,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": q_distinct,
         "intersect": q_intersect,
         "except": q_except,
+        "union_distinct": q_union_distinct,
         "multi_window": q_multi_window,
         "left_join": q_left_join,
         "cate_agg": q_cate_agg,
@@ -2917,6 +2936,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source FROM documents WHERE n_chars < 300
             EXCEPT
             SELECT lang, source FROM documents WHERE n_chars >= 300
+        """,
+        "union_distinct": """
+            SELECT event_type, props FROM events WHERE value < 50
+            UNION
+            SELECT event_type, props FROM events WHERE value >= 50
         """,
         "multi_window": f"""
             SELECT event_id, user_id, event_type, {TS} AS ts_ms,
