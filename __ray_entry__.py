@@ -2576,6 +2576,163 @@ def q_bucketize(sf_dir: str):
     return out[["doc_id", "chars_bin"]]
 
 
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation screen (featsel.corr_matrix): three
+    integer features of lineitem — quantity, a quantity-derived column
+    with real signal, and an unrelated partkey residue — in ONE streaming
+    moment pass (one partial row per block, driver fold in exact Python
+    ints). Exact DuckDB oracle: both engines fold integer sums exactly
+    (HUGEINT vs Python int), convert once to float64 and evaluate the
+    identical num / (sqrt·sqrt) tree — bit-identical, no rounding."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.featsel import corr_matrix
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_partkey"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "qty": qty,
+            "qty_plus_noise": qty * 3 + (df["l_orderkey"].to_numpy(np.int64)
+                                         % 7),
+            "pk_res": df["l_partkey"].to_numpy(np.int64) % 97,
+        })
+
+    feats = li.map_batches(derive, batch_format="pandas", batch_size=None)
+    return corr_matrix(feats, ["qty", "qty_plus_noise", "pk_res"])
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F screen (featsel.anova_f): does mean n_chars
+    differ across document languages? Per-key (cnt, sum, sumsq) partials
+    through one coarse-bucket fold; the F statistic derives on the driver
+    from #langs tiny rows. Per-group float terms sum in engine-specific
+    order, so F compares at the engine-wide round-6 band (drift_psi
+    precedent); the exact integer dfs compare bit-for-bit."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.featsel import anova_f
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = anova_f(docs, "n_chars", "lang")
+    out["df_between"] = out["df_between"].astype(np.int64)
+    out["df_within"] = out["df_within"].astype(np.int64)
+    return _round_cols(out, ["f_stat"])
+
+
+def q_mi_assoc(sf_dir: str):
+    """Categorical association screen (featsel.categorical_assoc):
+    chi-squared / Cramér's V / mutual information of lang × a derived
+    length band over documents, from ONE distinct-cell contingency pass
+    (per-cell partials through a coarse-bucket fold — the corpus never
+    leaves the workers). Cell terms sum in engine-specific order and MI
+    goes through ln(), so the three statistics compare at the round-6
+    band; n and the level counts are exact."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.featsel import categorical_assoc
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "len_band": np.where(n < 280, "short",
+                                 np.where(n < 320, "mid", "long")),
+        })
+
+    out = categorical_assoc(
+        docs.map_batches(band, batch_format="pandas", batch_size=None),
+        "lang", "len_band")
+    out["n"] = out["n"].astype(np.int64)
+    out["n_rows_a"] = out["n_rows_a"].astype(np.int64)
+    out["n_cols_b"] = out["n_cols_b"].astype(np.int64)
+    return _round_cols(out, ["chi2", "cramers_v", "mi"])
+
+
+def q_woe_encode(sf_dir: str):
+    """Weight-of-Evidence encoding (encoders.woe_encode): order priority
+    encoded against the binary is-finished order status — the
+    credit-scoring standard. One category-stats fold + one broadcast
+    apply. The count ratios are exact integer divisions replayed
+    identically in SQL; WoE itself passes through ln(), compared at the
+    round-6 band."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.encoders import woe_encode
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_orderstatus"])
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["y"] = (df["o_orderstatus"] == "F").astype(np.int64)
+        return df.drop(columns="o_orderstatus")
+
+    out = woe_encode(
+        orders.map_batches(label, batch_format="pandas", batch_size=None),
+        "o_orderpriority", "y", smoothing=0.5,
+        out_col="prio_woe").to_pandas()
+    return _round_cols(out[["o_orderkey", "o_orderpriority", "prio_woe"]],
+                       ["prio_woe"])
+
+
+def q_robust_scale(sf_dir: str):
+    """Outlier-robust scaling (scale.robust_scale): n_chars centered on
+    its exact median and scaled by the exact IQR — both quantile_disc
+    DATA VALUES from the sort-free histogram refinement, so the whole op
+    is bit-identical to a (x - median) / NULLIF(q3 - q1, 0) DuckDB
+    replay with no rounding anywhere."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import robust_scale
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = robust_scale(docs, "n_chars", out_col="chars_rs").to_pandas()
+    return out[["doc_id", "chars_rs"]]
+
+
+def q_impute_mean(sf_dir: str):
+    """Per-key missing-value imputation (scale.impute): the fixture
+    first nulls n_chars on every fifth doc_id (replayed identically in
+    SQL), then fills each hole with its source's mean of the surviving
+    values. Exact integer sums → the mean is bit-identical to
+    CAST(SUM AS DOUBLE)/COUNT, and the COALESCE replay matches with no
+    rounding."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import impute
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+
+    def punch(df: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64, NOT float: the per-key means must come from the
+        # exact integer sum fold to replay bit-for-bit in SQL
+        df = df.copy()
+        df["x"] = df["n_chars"].astype("Int64")
+        df.loc[df["doc_id"] % 5 == 0, "x"] = pd.NA
+        return df.drop(columns="n_chars")
+
+    holey = docs.map_batches(punch, batch_format="pandas", batch_size=None)
+    out = impute(holey, "x", strategy="mean", by="source",
+                 out_col="x_filled").to_pandas()
+    return out[["doc_id", "source", "x_filled"]]
+
+
+def q_quantile_bin(sf_dir: str):
+    """Equal-frequency binning (scale.quantile_bin): n_chars into
+    quartile bins whose edges are exact quantile_disc DATA VALUES
+    (deduped under ties), applied by one row-local clamped-searchsorted
+    pass. Exact DuckDB oracle replaying the same edge list and the same
+    clamped bin arithmetic — integer end to end, no rounding."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.scale import quantile_bin
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = quantile_bin(docs, "n_chars", 4, out_col="chars_qbin").to_pandas()
+    out["chars_qbin"] = out["chars_qbin"].astype(np.int64)  # no nulls here
+    return out[["doc_id", "chars_qbin"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from openmldb_ray.pipelines.flagship import flagship
@@ -2691,6 +2848,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standard_scale": q_standard_scale,
         "minmax_scale": q_minmax_scale,
         "bucketize": q_bucketize,
+        "corr_matrix": q_corr_matrix,
+        "anova_f": q_anova_f,
+        "mi_assoc": q_mi_assoc,
+        "woe_encode": q_woe_encode,
+        "robust_scale": q_robust_scale,
+        "impute_mean": q_impute_mean,
+        "quantile_bin": q_quantile_bin,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -3937,6 +4101,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(GREATEST(
                        (SELECT count(*) FROM e WHERE e.v <= d.n_chars) - 1,
                        0), 4) AS BIGINT) AS chars_bin
+            FROM documents d
+        """,
+        "corr_matrix": """
+            WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS a,
+                              CAST(l_quantity AS BIGINT) * 3
+                              + (l_orderkey % 7) AS b,
+                              l_partkey % 97 AS c
+                       FROM lineitem),
+            m AS (SELECT count(*) AS n,
+                         sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+                         sum(a*a) AS paa, sum(a*b) AS pab,
+                         sum(a*c) AS pac, sum(b*b) AS pbb,
+                         sum(b*c) AS pbc, sum(c*c) AS pcc
+                  FROM t)
+            SELECT 'qty' AS col_a, 'qty_plus_noise' AS col_b,
+                   CAST(n*pab - sa*sb AS DOUBLE)
+                   / (sqrt(CAST(n*paa - sa*sa AS DOUBLE))
+                      * sqrt(CAST(n*pbb - sb*sb AS DOUBLE))) AS corr
+            FROM m
+            UNION ALL
+            SELECT 'qty', 'pk_res',
+                   CAST(n*pac - sa*sc AS DOUBLE)
+                   / (sqrt(CAST(n*paa - sa*sa AS DOUBLE))
+                      * sqrt(CAST(n*pcc - sc*sc AS DOUBLE)))
+            FROM m
+            UNION ALL
+            SELECT 'qty_plus_noise', 'pk_res',
+                   CAST(n*pbc - sb*sc AS DOUBLE)
+                   / (sqrt(CAST(n*pbb - sb*sb AS DOUBLE))
+                      * sqrt(CAST(n*pcc - sc*sc AS DOUBLE)))
+            FROM m
+        """,
+        "anova_f": """
+            WITH g AS (SELECT lang, count(n_chars) AS c,
+                              sum(n_chars) AS s,
+                              sum(n_chars * n_chars) AS ss
+                       FROM documents GROUP BY lang
+                       HAVING count(n_chars) > 0),
+            t AS (SELECT count(*) AS k, sum(c) AS n,
+                         sum(CAST(s AS DOUBLE) * s / c) AS sbp,
+                         sum(CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s / c) AS ssw,
+                         CAST(sum(s) AS DOUBLE) AS grand
+                  FROM g)
+            SELECT ROUND(CASE WHEN ssw <= 0 THEN NULL
+                         ELSE ((sbp - grand * grand / n) / (k - 1))
+                              / (ssw / (n - k)) END, 6) AS f_stat,
+                   CAST(k - 1 AS BIGINT) AS df_between,
+                   CAST(n - k AS BIGINT) AS df_within
+            FROM t
+        """,
+        "mi_assoc": """
+            WITH d AS (SELECT lang AS a,
+                              CASE WHEN n_chars < 280 THEN 'short'
+                                   WHEN n_chars < 320 THEN 'mid'
+                                   ELSE 'long' END AS b
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            ct AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+                   FROM d GROUP BY a, b),
+            r AS (SELECT a, sum(o) AS ra FROM ct GROUP BY a),
+            c AS (SELECT b, sum(o) AS cb FROM ct GROUP BY b),
+            s AS (SELECT (SELECT sum(o) FROM ct) AS n,
+                         (SELECT count(*) FROM r) AS nr,
+                         (SELECT count(*) FROM c) AS nc),
+            x AS (SELECT sum(pow(ct.o - r.ra * c.cb / s.n, 2)
+                             / (r.ra * c.cb / s.n)) AS chi2,
+                         sum((ct.o / s.n)
+                             * ln(ct.o * s.n / (r.ra * c.cb))) AS mi
+                  FROM ct JOIN r USING (a) JOIN c USING (b) CROSS JOIN s)
+            SELECT ROUND(x.chi2, 6) AS chi2,
+                   ROUND(sqrt(x.chi2
+                              / (s.n * (LEAST(s.nr, s.nc) - 1))), 6)
+                       AS cramers_v,
+                   ROUND(x.mi, 6) AS mi,
+                   CAST(s.n AS BIGINT) AS n,
+                   CAST(s.nr AS BIGINT) AS n_rows_a,
+                   CAST(s.nc AS BIGINT) AS n_cols_b
+            FROM x CROSS JOIN s
+        """,
+        "woe_encode": """
+            WITH lab AS (SELECT o_orderkey, o_orderpriority,
+                                CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END AS y
+                         FROM orders),
+            g AS (SELECT o_orderpriority AS k, sum(y) AS pos,
+                         count(y) - sum(y) AS neg
+                  FROM lab GROUP BY o_orderpriority),
+            s AS (SELECT sum(pos) AS pt, sum(neg) AS nt,
+                         count(*) AS kk FROM g)
+            SELECT lab.o_orderkey, lab.o_orderpriority,
+                   ROUND(ln(((g.pos + 0.5) / (s.pt + 0.5 * s.kk))
+                            / ((g.neg + 0.5) / (s.nt + 0.5 * s.kk))), 6)
+                       AS prio_woe
+            FROM lab JOIN g ON lab.o_orderpriority = g.k CROSS JOIN s
+        """,
+        "robust_scale": """
+            WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS q1,
+                              quantile_disc(n_chars, 0.5)  AS med,
+                              quantile_disc(n_chars, 0.75) AS q3
+                       FROM documents)
+            SELECT d.doc_id,
+                   (d.n_chars - q.med)
+                   / CAST(NULLIF(q.q3 - q.q1, 0) AS DOUBLE) AS chars_rs
+            FROM documents d CROSS JOIN q
+        """,
+        "impute_mean": """
+            WITH d AS (SELECT doc_id, source,
+                              CASE WHEN doc_id % 5 = 0 THEN NULL
+                                   ELSE n_chars END AS x
+                       FROM documents),
+            m AS (SELECT source,
+                         CAST(sum(x) AS DOUBLE) / count(x) AS mean
+                  FROM d GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   CAST(COALESCE(d.x, m.mean) AS DOUBLE) AS x_filled
+            FROM d JOIN m USING (source)
+        """,
+        "quantile_bin": """
+            WITH e AS (SELECT DISTINCT v FROM (
+                 SELECT quantile_disc(n_chars, 0.00) AS v FROM documents
+                 UNION ALL
+                 SELECT quantile_disc(n_chars, 0.25) FROM documents
+                 UNION ALL
+                 SELECT quantile_disc(n_chars, 0.50) FROM documents
+                 UNION ALL
+                 SELECT quantile_disc(n_chars, 0.75) FROM documents
+                 UNION ALL
+                 SELECT quantile_disc(n_chars, 1.00) FROM documents))
+            SELECT d.doc_id,
+                   CAST(LEAST(GREATEST(
+                       (SELECT count(*) FROM e WHERE e.v <= d.n_chars) - 1,
+                       0), (SELECT count(*) - 2 FROM e)) AS BIGINT)
+                       AS chars_qbin
             FROM documents d
         """,
     }

@@ -303,6 +303,88 @@ def count_encode(
                                    out_cols=[out_col], defaults=[0.0]))
 
 
+def woe_table(
+    stats: pd.DataFrame,
+    *,
+    smoothing: float = 0.5,
+) -> pd.DataFrame:
+    """Weight-of-Evidence table from a :func:`category_stats` fold over a
+    BINARY integer target (tsum = positives per category).
+
+    ``woe(k) = ln( ((pos_k + s) / (pos_tot + s*K)) /
+                   ((neg_k + s) / (neg_tot + s*K)) )`` — the additive
+    smoothing keeps zero-count cells finite; ``iv`` is the per-category
+    information-value contribution
+    ``((pos_k+s)/(pos_tot+s*K) − (neg_k+s)/(neg_tot+s*K)) * woe(k)``
+    (sum it for the feature's IV). The count ratios are exact-integer
+    divisions shared with a SQL replay; ``ln`` last bits differ between
+    libms — compare WoE at the engine-wide round-6 band.
+
+    Returns ``(key, cnt, pos, neg, woe, iv)`` sorted by key.
+    """
+    if "tsum" not in stats.columns:
+        raise ValueError("woe_table: stats must come from "
+                         "category_stats(..., target_col=...)")
+    if not pd.api.types.is_integer_dtype(stats["tsum"]):
+        raise ValueError("woe_table: target must be an integer 0/1 column")
+    pos = stats["tsum"].astype(object)
+    if ((stats["tsum"] < 0) | (stats["tsum"] > stats["tcnt"])).any():
+        raise ValueError("woe_table: target must be binary 0/1 "
+                         "(per-category positive count out of range)")
+    neg = (stats["tcnt"] - stats["tsum"]).astype(object)
+    kk = len(stats)
+    pos_tot = int(pos.sum()) if kk else 0
+    neg_tot = int(neg.sum()) if kk else 0
+    s = float(smoothing)
+    if kk == 0 or (pos_tot + s * kk) <= 0 or (neg_tot + s * kk) <= 0:
+        return pd.DataFrame({"key": stats.get("key", pd.Series(dtype=object)),
+                             "cnt": pd.Series(dtype=np.int64),
+                             "pos": pd.Series(dtype=np.int64),
+                             "neg": pd.Series(dtype=np.int64),
+                             "woe": pd.Series(dtype=np.float64),
+                             "iv": pd.Series(dtype=np.float64)})
+    p = (pos.to_numpy(np.float64) + s) / (pos_tot + s * kk)
+    q = (neg.to_numpy(np.float64) + s) / (neg_tot + s * kk)
+    woe = np.log(p / q)
+    return pd.DataFrame({"key": stats["key"],
+                         "cnt": stats["cnt"].astype(np.int64),
+                         "pos": pos.astype(np.int64),
+                         "neg": neg.astype(np.int64),
+                         "woe": woe, "iv": (p - q) * woe})
+
+
+def woe_encode(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 0.5,
+    out_col: str | None = None,
+    stats: pd.DataFrame | None = None,
+    max_categories: int = 1_000_000,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Weight-of-Evidence encoding of a categorical column against a
+    binary 0/1 target (the credit-scoring / risk-feature standard).
+    One stats fold + one broadcast apply — same two-pass scale shape as
+    :func:`target_encode`. Unseen categories (pre-fitted ``stats`` only)
+    encode to 0.0 (no evidence)."""
+    if stats is None:
+        stats = category_stats(ds, key_col, target_col,
+                               max_categories=max_categories,
+                               batch_size=batch_size)
+    out_col = out_col or f"{key_col}_woe"
+    wt = woe_table(stats, smoothing=smoothing)
+    key = _sentinel_keys(wt["key"])
+    ref = ray.put({out_col: dict(zip(key, wt["woe"].to_numpy(np.float64)))})
+    return ds.map_batches(
+        _BroadcastEncoder, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(ref=ref, key_col=key_col,
+                                   out_cols=[out_col], defaults=[0.0]))
+
+
 def _sanitize(v: str) -> str:
     return re.sub(r"[^0-9A-Za-z]+", "_", v).strip("_") or "x"
 

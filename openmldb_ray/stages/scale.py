@@ -305,6 +305,174 @@ def minmax_scale(
                         concurrency=concurrency, batch_size=batch_size)
 
 
+def robust_scale(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    by: str | None = None,
+    out_col: str | None = None,
+    q_low: float = 0.25,
+    q_high: float = 0.75,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Outlier-robust scaling ``(x - median) / (Q_high - Q_low)`` —
+    sklearn RobustScaler semantics with exact ``quantile_disc`` statistics
+    (stages/quantile: sort-free histogram refinement, O(log) streaming
+    scans). The quantiles are ACTUAL data values and the apply expression
+    is shared with SQL, so the output is bit-identical to a
+    ``(x - median) / NULLIF(q3 - q1, 0)`` DuckDB replay for any numeric
+    dtype — no sums involved. Zero-IQR (constant) or empty groups give
+    null; ``by`` scopes the statistics per key (small-cardinality keys,
+    the exact_quantiles_by_key contract)."""
+    from .quantile import exact_quantiles, exact_quantiles_by_key
+
+    out_col = out_col or f"{col}_rs"
+    qs = [q_low, 0.5, q_high]
+    if by is None:
+        qt = exact_quantiles(ds, col, qs, interpolation="disc")
+        med = float(qt["value"].iloc[1])
+        iqr = float(qt["value"].iloc[2]) - float(qt["value"].iloc[0])
+        sub_map = {"": med}
+        den_map = {"": (np.nan if iqr == 0 else iqr)}
+    else:
+        qt = exact_quantiles_by_key(ds, col, qs, by, interpolation="disc")
+        sub_map, den_map = {}, {}
+        for key, g in qt.groupby(by, dropna=False, sort=False):
+            ks = _key_strings(pd.Series([key]))[0]
+            v = g.set_index("q")["value"]
+            med = float(v.loc[0.5])
+            iqr = float(v.loc[q_high]) - float(v.loc[q_low])
+            sub_map[ks] = med
+            den_map[ks] = np.nan if iqr == 0 else iqr
+    return _apply_scale(ds, col, by, out_col, sub_map, den_map,
+                        concurrency=concurrency, batch_size=batch_size)
+
+
+class _ImputeApply:
+    """Broadcast apply: null → (per-key) fill value, float64 output."""
+
+    def __init__(self, ref, col, by, out_col):
+        import ray
+
+        self.fill = ray.get(ref) if not isinstance(ref, dict) else ref
+        self.col, self.by, self.out_col = col, by, out_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        x = df[self.col].to_numpy(np.float64, na_value=np.nan)
+        if self.by is None:
+            fv = np.full(len(df), self.fill.get("", np.nan))
+        else:
+            key = pd.Series(_key_strings(df[self.by]), index=df.index)
+            fv = key.map(self.fill).to_numpy(np.float64)
+        df[self.out_col] = np.where(np.isnan(x), fv, x)
+        return df
+
+
+def impute(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    strategy: str = "mean",
+    fill_value: float | None = None,
+    by: str | None = None,
+    out_col: str | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Missing-value imputation as a new float64 column: null →
+    ``mean`` / ``median`` / ``constant`` of the column, globally or per
+    ``by`` key. ``mean`` derives from the exact integer/float moment fold
+    (stages/scale.numeric_stats; integer means are bit-identical to SQL
+    ``CAST(sum AS DOUBLE)/cnt``); ``median`` is exact ``quantile_disc``
+    (an actual data value). Groups with no observed values (or keys
+    unseen at fit time) leave nulls in place. Two streaming passes; the
+    fill table broadcasts once."""
+    import ray
+
+    from .quantile import exact_quantiles, exact_quantiles_by_key
+
+    out_col = out_col or f"{col}_filled"
+    if strategy == "constant":
+        if fill_value is None:
+            raise ValueError("impute: strategy='constant' needs fill_value")
+        if by is not None:
+            raise ValueError("impute: strategy='constant' is global — "
+                             "drop by=")
+        fill = {"": float(fill_value)}
+    elif strategy == "mean":
+        st = numeric_stats(ds, col, by=by, batch_size=batch_size)
+        if by is None:
+            cnt = int(st["cnt"].iloc[0]) if len(st) else 0
+            fill = {"": (float(st["vsum"].iloc[0]) / cnt if cnt else np.nan)}
+        else:
+            keys = _sentinel_keys(st["key"])
+            cnt = st["cnt"].to_numpy(np.float64)
+            vsum = st["vsum"].to_numpy(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(cnt > 0, vsum / cnt, np.nan)
+            fill = dict(zip(keys, mean))
+    elif strategy == "median":
+        if by is None:
+            qt = exact_quantiles(ds, col, [0.5], interpolation="disc")
+            fill = {"": float(qt["value"].iloc[0])}
+        else:
+            qt = exact_quantiles_by_key(ds, col, [0.5], by,
+                                        interpolation="disc")
+            fill = {}
+            for key, g in qt.groupby(by, dropna=False, sort=False):
+                ks = _key_strings(pd.Series([key]))[0]
+                fill[ks] = float(g["value"].iloc[0])
+    else:
+        raise ValueError(f"impute: unknown strategy {strategy!r}")
+
+    ref = ray.put(fill)
+    return ds.map_batches(
+        _ImputeApply, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(ref=ref, col=col, by=by, out_col=out_col))
+
+
+def quantile_bin(
+    ds: "ray.data.Dataset",
+    col: str,
+    nbins: int,
+    *,
+    out_col: str | None = None,
+    batch_size: int | None = 8192,
+) -> "ray.data.Dataset":
+    """Equal-frequency (quantile) binning — pandas ``qcut`` shape: edges
+    are the exact ``quantile_disc`` values at ``i/nbins`` for
+    ``i = 0..nbins`` (actual data values from the sort-free refinement),
+    de-duplicated when heavy ties collapse adjacent quantiles, then one
+    row-local clamped :func:`bucketize` pass. Deterministic and
+    SQL-replayable: the oracle recomputes the same edge list and the same
+    clamped ``searchsorted`` bin. Null stays null; with fewer than two
+    distinct edges every non-null row bins to 0."""
+    if nbins < 1:
+        raise ValueError("quantile_bin: nbins must be >= 1")
+    from .quantile import exact_quantiles
+
+    out_col = out_col or f"{col}_qbin"
+    qs = [i / nbins for i in range(nbins + 1)]
+    qt = exact_quantiles(ds, col, qs, interpolation="disc")
+    edges = np.unique(qt["value"].to_numpy(np.float64))
+    edges = edges[np.isfinite(edges)]
+    if len(edges) < 2:
+        # constant (or empty) column: single bin 0 for non-null rows
+        def const_bin(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[col].notna().to_numpy()
+            df[out_col] = pd.array(np.zeros(len(df), np.int64),
+                                   dtype=pd.Int64Dtype())
+            if not m.all():
+                df.loc[~m, out_col] = pd.NA
+            return df
+
+        return ds.map_batches(const_bin, batch_format="pandas",
+                              batch_size=batch_size)
+    return bucketize(ds, col, edges, out_col=out_col, batch_size=batch_size)
+
+
 def bucketize(
     ds: "ray.data.Dataset",
     col: str,
