@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "quantile_by_key", "hll_by_key", "winsorize", "per_key_sample",
     "target_encode", "count_encode", "one_hot", "feature_cross",
     "standard_scale", "minmax_scale", "bucketize",
+    "corr_matrix", "anova_f", "mi_assoc", "woe_encode",
+    "robust_scale", "impute_mean", "quantile_bin",
 ]
 
 

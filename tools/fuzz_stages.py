@@ -334,8 +334,209 @@ def fuzz_quantiles(seed: int, rows: int, rd) -> list[str]:
     return bad
 
 
+# ---------------------------------------------------------------------------
+# feature-selection statistics (corr / anova / assoc)
+# ---------------------------------------------------------------------------
+
+def fuzz_featsel(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.featsel import (anova_f, categorical_assoc,
+                                             corr_matrix)
+
+    rng = random.Random(seed + 700_000)
+    keys = [f"g{i}" for i in range(rng.randint(2, 5))]
+    labs = [f"l{i}" for i in range(rng.randint(2, 4))]
+    tbl = pa.table({
+        "a": pa.array([None if rng.random() < 0.1 else rng.randint(-40, 40)
+                       for _ in range(rows)], pa.int64()),
+        "b": pa.array([None if rng.random() < 0.1 else rng.randint(-9, 9)
+                       for _ in range(rows)], pa.int64()),
+        "k": pa.array([None if rng.random() < 0.1 else rng.choice(keys)
+                       for _ in range(rows)], pa.string()),
+        "lab": pa.array([None if rng.random() < 0.1 else rng.choice(labs)
+                         for _ in range(rows)], pa.string()),
+    })
+    bad = []
+    con = duckdb.connect()
+    con.register("t", tbl)
+
+    cm = corr_matrix(rd.from_arrow(tbl), ["a", "b"])
+    dc = con.execute("""
+        WITH m AS (SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+                          sum(a*a) AS paa, sum(a*b) AS pab,
+                          sum(b*b) AS pbb
+                   FROM t WHERE a IS NOT NULL AND b IS NOT NULL)
+        SELECT CASE WHEN n = 0 OR n*paa - sa*sa <= 0
+                      OR n*pbb - sb*sb <= 0 THEN NULL
+               ELSE CAST(n*pab - sa*sb AS DOUBLE)
+                    / (sqrt(CAST(n*paa - sa*sa AS DOUBLE))
+                       * sqrt(CAST(n*pbb - sb*sb AS DOUBLE))) END AS c
+        FROM m
+    """).fetchone()[0]
+    ev = cm["corr"].iloc[0]
+    if not np.isclose(np.float64(ev), np.float64(
+            np.nan if dc is None else dc), rtol=1e-9, atol=1e-12,
+            equal_nan=True):
+        bad.append(f"featsel seed {seed} corr: engine={ev} duck={dc}")
+
+    af = anova_f(rd.from_arrow(tbl), "a", "k")
+    da = con.execute("""
+        WITH g AS (SELECT k, count(a) AS c, sum(a) AS s, sum(a*a) AS ss
+                   FROM t GROUP BY k HAVING count(a) > 0),
+        tt AS (SELECT count(*) AS kk, sum(c) AS n,
+                      sum(CAST(s AS DOUBLE) * s / c) AS sbp,
+                      sum(CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * s / c) AS ssw,
+                      CAST(sum(s) AS DOUBLE) AS grand
+               FROM g)
+        SELECT CASE WHEN kk < 2 OR n <= kk OR ssw <= 0 THEN NULL
+               ELSE ((sbp - grand * grand / n) / (kk - 1))
+                    / (ssw / (n - kk)) END AS f,
+               kk - 1 AS dfb, n - kk AS dfw FROM tt
+    """).fetchone()
+    ev = af["f_stat"].iloc[0]
+    dv = np.nan if da[0] is None else da[0]
+    if not np.isclose(np.float64(ev), np.float64(dv), rtol=1e-9,
+                      atol=1e-12, equal_nan=True):
+        bad.append(f"featsel seed {seed} anova_f: engine={ev} duck={dv}")
+
+    ca = categorical_assoc(rd.from_arrow(tbl), "k", "lab")
+    dd = con.execute("""
+        WITH d AS (SELECT k AS a, lab AS b FROM t
+                   WHERE k IS NOT NULL AND lab IS NOT NULL),
+        ct AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o
+               FROM d GROUP BY a, b),
+        r AS (SELECT a, sum(o) AS ra FROM ct GROUP BY a),
+        c AS (SELECT b, sum(o) AS cb FROM ct GROUP BY b),
+        s AS (SELECT (SELECT sum(o) FROM ct) AS n,
+                     (SELECT count(*) FROM r) AS nr,
+                     (SELECT count(*) FROM c) AS nc),
+        x AS (SELECT sum(pow(ct.o - r.ra * c.cb / s.n, 2)
+                         / (r.ra * c.cb / s.n)) AS chi2,
+                     sum((ct.o / s.n)
+                         * ln(ct.o * s.n / (r.ra * c.cb))) AS mi
+              FROM ct JOIN r USING (a) JOIN c USING (b) CROSS JOIN s)
+        SELECT CASE WHEN s.nr < 2 OR s.nc < 2 THEN NULL
+                    ELSE x.chi2 END,
+               CASE WHEN s.nr < 2 OR s.nc < 2 THEN NULL
+                    ELSE x.mi END
+        FROM x CROSS JOIN s
+    """).fetchone()
+    for col, dv in (("chi2", dd[0]), ("mi", dd[1])):
+        ev = ca[col].iloc[0]
+        dv = np.nan if dv is None else dv
+        if not np.isclose(np.float64(ev), np.float64(dv), rtol=1e-9,
+                          atol=1e-12, equal_nan=True):
+            bad.append(f"featsel seed {seed} {col}: engine={ev} duck={dv}")
+    con.close()
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# robust scaling / imputation / quantile binning / WoE
+# ---------------------------------------------------------------------------
+
+def fuzz_scale_ops(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+
+    from openmldb_ray.stages.encoders import category_stats, woe_table
+    from openmldb_ray.stages.scale import impute, quantile_bin, robust_scale
+
+    rng = random.Random(seed + 800_000)
+    keys = [f"k{i}" for i in range(rng.randint(1, 4))]
+    # heavy ties on purpose: quantile-edge collapse is the hard path
+    vals = [None if rng.random() < 0.15
+            else rng.choice([0, 2, 2, 2, 5, rng.randint(-30, 30)])
+            for _ in range(rows)]
+    tbl = pa.table({
+        "v": pa.array(vals, pa.int64()),
+        "k": pa.array([rng.choice(keys) for _ in range(rows)], pa.string()),
+        "y": pa.array([rng.randint(0, 1) for _ in range(rows)], pa.int64()),
+        "__rid": pa.array(range(rows), pa.int64()),
+    })
+    bad = []
+    con = duckdb.connect()
+    con.register("t", tbl)
+
+    rs = robust_scale(rd.from_arrow(tbl), "v") \
+        .to_pandas().sort_values("__rid")
+    drs = con.execute("""
+        WITH q AS (SELECT quantile_disc(v, 0.25) AS q1,
+                          quantile_disc(v, 0.5) AS med,
+                          quantile_disc(v, 0.75) AS q3 FROM t)
+        SELECT (t.v - q.med) / CAST(NULLIF(q.q3 - q.q1, 0) AS DOUBLE) AS z
+        FROM t CROSS JOIN q ORDER BY t.__rid
+    """).fetch_arrow_table().to_pandas()
+    ea = rs["v_rs"].to_numpy(dtype=float, na_value=np.nan)
+    da = drs["z"].to_numpy(dtype=float, na_value=np.nan)
+    if not np.isclose(ea, da, rtol=1e-12, atol=0, equal_nan=True).all():
+        i = int(np.argmax(~np.isclose(ea, da, equal_nan=True)))
+        bad.append(f"scale_ops seed {seed} robust_scale row {i}: "
+                   f"engine={ea[i]} duck={da[i]}")
+
+    strat = rng.choice(["mean", "median"])
+    imp = impute(rd.from_arrow(tbl), "v", strategy=strat, by="k") \
+        .to_pandas().sort_values("__rid")
+    fill_sql = ("CAST(sum(v) AS DOUBLE) / count(v)" if strat == "mean"
+                else "CAST(quantile_disc(v, 0.5) AS DOUBLE)")
+    dimp = con.execute(f"""
+        WITH m AS (SELECT k, {fill_sql} AS fill FROM t GROUP BY k)
+        SELECT CAST(COALESCE(t.v, m.fill) AS DOUBLE) AS x
+        FROM t JOIN m ON t.k = m.k ORDER BY t.__rid
+    """).fetch_arrow_table().to_pandas()
+    ea = imp["v_filled"].to_numpy(dtype=float, na_value=np.nan)
+    da = dimp["x"].to_numpy(dtype=float, na_value=np.nan)
+    if not np.isclose(ea, da, rtol=1e-12, atol=0, equal_nan=True).all():
+        i = int(np.argmax(~np.isclose(ea, da, equal_nan=True)))
+        bad.append(f"scale_ops seed {seed} impute[{strat}] row {i}: "
+                   f"engine={ea[i]} duck={da[i]}")
+
+    nb = rng.choice([2, 3, 4, 8])
+    qb = quantile_bin(rd.from_arrow(tbl), "v", nb) \
+        .to_pandas().sort_values("__rid")
+    qlist = ", ".join(str(i / nb) for i in range(nb + 1))
+    dqb = con.execute(f"""
+        WITH e AS (SELECT DISTINCT v FROM
+                     (SELECT unnest(quantile_disc(t.v, [{qlist}])) AS v
+                      FROM t)
+                   WHERE v IS NOT NULL)
+        SELECT CASE WHEN t.v IS NULL THEN NULL
+               WHEN (SELECT count(*) FROM e) < 2 THEN 0
+               ELSE LEAST(GREATEST(
+                   (SELECT count(*) FROM e WHERE e.v <= t.v) - 1, 0),
+                   (SELECT count(*) - 2 FROM e)) END AS bin
+        FROM t ORDER BY t.__rid
+    """).fetch_arrow_table().to_pandas()
+    ea = qb["v_qbin"].to_numpy(dtype=float, na_value=np.nan)
+    da = dqb["bin"].to_numpy(dtype=float, na_value=np.nan)
+    if not np.array_equal(ea, da, equal_nan=True):
+        i = int(np.argmax(~(np.isclose(ea, da, equal_nan=True))))
+        bad.append(f"scale_ops seed {seed} quantile_bin[{nb}] row {i}: "
+                   f"engine={ea[i]} duck={da[i]}")
+
+    st = category_stats(rd.from_arrow(tbl), "k", "y")
+    wt = woe_table(st, smoothing=0.5).sort_values("key")
+    dwt = con.execute("""
+        WITH g AS (SELECT k, sum(y) AS pos, count(y) - sum(y) AS neg
+                   FROM t GROUP BY k),
+        s AS (SELECT sum(pos) AS pt, sum(neg) AS nt, count(*) AS kk FROM g)
+        SELECT g.k, ln(((g.pos + 0.5) / (s.pt + 0.5 * s.kk))
+                       / ((g.neg + 0.5) / (s.nt + 0.5 * s.kk))) AS woe
+        FROM g CROSS JOIN s ORDER BY g.k
+    """).fetch_arrow_table().to_pandas()
+    ea = wt["woe"].to_numpy(dtype=float, na_value=np.nan)
+    da = dwt["woe"].to_numpy(dtype=float, na_value=np.nan)
+    if len(ea) != len(da) or not np.isclose(ea, da, rtol=1e-9,
+                                            equal_nan=True).all():
+        bad.append(f"scale_ops seed {seed} woe: engine={ea.tolist()} "
+                   f"duck={da.tolist()}")
+    con.close()
+    return bad
+
+
 OPS = [fuzz_sessionize, fuzz_request_window, fuzz_interval_join,
-       fuzz_encoders, fuzz_quantiles]
+       fuzz_encoders, fuzz_quantiles, fuzz_featsel, fuzz_scale_ops]
 
 
 def run_seed(seed: int, rows: int, rd) -> list[str]:
