@@ -32,4 +32,42 @@ import logging as _logging
 
 _logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+
+
+class _EmptySchemaDivergenceFilter(_logging.Filter):
+    """Drop Ray's schema-divergence warning ONLY when the new schema is
+    empty. Ray 2.49's sort-based shuffle emits zero-row, zero-COLUMN blocks
+    for empty output partitions (verified by instrumenting
+    streaming_executor_state.OpState.add_output: the empty-schema bundles
+    come from the AllToAllOperator[Sort] itself, not from any UDF in this
+    package — every group fn here returns typed columns on zero-row input).
+    Divergence between two real schemas still warns."""
+
+    def filter(self, record: "_logging.LogRecord") -> bool:  # noqa: A003
+        msg = record.getMessage()
+        if "different schema" not in msg:
+            return True
+        return not ("new schema: ." in msg or "new schema: None." in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state").addFilter(
+    _EmptySchemaDivergenceFilter())
+
+
+class _EmptyPandasSizeFilter(_logging.Filter):
+    """Drop Ray's pandas per-column size-estimation warning for ZERO-ROW
+    blocks only (``np.vectorize`` refuses size-0 input without ``otypes``;
+    Ray falls back to index-only memory accounting, which is exact for an
+    empty block). Real size-estimation failures on non-empty data still
+    warn."""
+
+    def filter(self, record: "_logging.LogRecord") -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("Error calculating size for column" in msg
+                    and "size 0 inputs" in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.pandas_block").addFilter(_EmptyPandasSizeFilter())
 del _logging

@@ -350,6 +350,12 @@ def last_join(
 
     if strategy == "broadcast":
         if isinstance(right, pd.DataFrame):
+            # NOTE: deliberately no left.schema() probe here — on an
+            # unexecuted left (e.g. flagship's window output) schema()
+            # would execute the whole upstream sort once just to type the
+            # join output. Zero-row pandas outputs instead ride untyped;
+            # the benign size-estimator noise they cause is filtered at
+            # the package logger (see openmldb_ray/__init__.py).
             rpdf = right
             out_types = {}
         else:

@@ -274,3 +274,41 @@ def test_salted_history_ms_guard(ray_session):
                           [AggSpec(kind="sum", name="s", col="v")],
                           FrameSpec(range_preceding=5000),
                           bucket_ms=10_000, history_ms=1000)
+
+
+def test_empty_block_log_filters_installed():
+    """Importing the package installs two narrowly-scoped log filters for
+    Ray-internal empty-block noise: (1) the schema-divergence warning when
+    the NEW schema is empty (Ray's sort shuffle emits zero-column blocks
+    for empty partitions), and (2) the pandas size-estimator warning that
+    only zero-row object-column blocks can trigger. Real divergences and
+    real size failures must still pass through."""
+    import logging
+
+    import openmldb_ray  # noqa: F401 — installs the filters on import
+
+    ses = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    pdb_ = logging.getLogger("ray.data._internal.pandas_block")
+
+    def passes(lg, msg):
+        rec = logging.LogRecord(lg.name, logging.WARNING, __file__, 0,
+                                msg, None, None)
+        return all(f.filter(rec) for f in lg.filters)
+
+    # benign: divergence to an EMPTY schema — suppressed
+    assert not passes(ses, "Operator produced a RefBundle with a different "
+                           "schema than the previous one. Previous schema: "
+                           "a: int64, new schema: . This may lead to "
+                           "unexpected behavior.")
+    # real: divergence between two non-empty schemas — kept
+    assert passes(ses, "Operator produced a RefBundle with a different "
+                       "schema than the previous one. Previous schema: "
+                       "a: int64, new schema: a: string. This may lead to "
+                       "unexpected behavior.")
+    # benign: np.vectorize on a size-0 sample — suppressed
+    assert not passes(pdb_, "Error calculating size for column 'doc_id': "
+                            "cannot call `vectorize` on size 0 inputs "
+                            "unless `otypes` is set")
+    # real: any other size-estimation failure — kept
+    assert passes(pdb_, "Error calculating size for column 'x': boom")
