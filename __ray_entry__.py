@@ -2576,6 +2576,51 @@ def q_bucketize(sf_dir: str):
     return out[["doc_id", "chars_bin"]]
 
 
+def q_compress_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (textstats.compression_ratio).
+    Property oracle: a planted 2000-char single-word repetition must score
+    far below prose (< 0.1) and a planted 2048-char sha256-hex chain far
+    above it (> 0.45); every corpus doc with >= 100 utf-8 bytes must stay
+    under the zlib worst-case bound raw+5*ceil(raw/16383)+6 (ratio <= 1.2
+    at that length). Shuffle-free actor-pool pass."""
+    import hashlib
+
+    import ray.data as rd
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import compression_ratio
+
+    rep = "spam " * 400
+    h, parts = b"seed", []
+    for _ in range(32):
+        h = hashlib.sha256(h).digest()
+        parts.append(h.hex())
+    ent = "".join(parts)  # 2048 deterministic high-entropy hex chars
+    import pyarrow as pa
+
+    planted = pa.table({"doc_id": pa.array([-1, -2], pa.int64()),
+                        "text": pa.array([rep, ent], pa.string())})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # from_arrow, not from_pandas: a batched (coalescing) map over a union
+    # of ARROW corpus blocks and a PANDAS block trips Ray's block builder
+    scored = compression_ratio(
+        docs.union(rd.from_arrow(planted))).to_pandas()
+
+    p = scored.set_index("doc_id")["q_compress_ratio"]
+    corpus = scored[scored["doc_id"] >= 0]
+    blen = corpus["text"].str.encode("utf-8").str.len()
+    long_docs = corpus[blen >= 100]
+    return pd.DataFrame({
+        "planted_low_ok": [np.int64(p.loc[-1] < 0.1)],
+        "planted_high_ok": [np.int64(p.loc[-2] > 0.45)],
+        "docs_scored": [np.int64(len(corpus))],
+        "long_docs_bounded": [np.int64(
+            (long_docs["q_compress_ratio"] <= 1.2).sum())],
+        "long_docs_total": [np.int64(len(long_docs))],
+    })
+
+
 def q_corr_matrix(sf_dir: str):
     """Pairwise Pearson correlation screen (featsel.corr_matrix): three
     integer features of lineitem — quantity, a quantity-derived column
@@ -2855,6 +2900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale": q_robust_scale,
         "impute_mean": q_impute_mean,
         "quantile_bin": q_quantile_bin,
+        "compress_ratio": q_compress_ratio,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -3978,6 +4024,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(5 AS BIGINT) AS planted_correct,
                    CAST(5 AS BIGINT) AS planted_total,
                    (SELECT COUNT(*) FROM documents) AS docs_classified
+        """,
+        "compress_ratio": """
+            SELECT CAST(1 AS BIGINT) AS planted_low_ok,
+                   CAST(1 AS BIGINT) AS planted_high_ok,
+                   (SELECT COUNT(*) FROM documents) AS docs_scored,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE octet_length(encode(text)) >= 100)
+                       AS long_docs_bounded,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE octet_length(encode(text)) >= 100)
+                       AS long_docs_total
         """,
         "fingerprint": f"""
             SELECT CAST({_N_PLANT} AS BIGINT) AS pairs,

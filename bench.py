@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "target_encode", "count_encode", "one_hot", "feature_cross",
     "standard_scale", "minmax_scale", "bucketize",
     "corr_matrix", "anova_f", "mi_assoc", "woe_encode",
-    "robust_scale", "impute_mean", "quantile_bin",
+    "robust_scale", "impute_mean", "quantile_bin", "compress_ratio",
 ]
 
 

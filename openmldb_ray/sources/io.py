@@ -69,6 +69,12 @@ def load_data(path: str, fmt: str = "parquet", *, columns=None,
         ds = rd.read_csv(path)
         if columns:
             ds = ds.select_columns(columns)
+    elif fmt in ("json", "jsonl"):
+        # newline-delimited JSON — the interchange format of most public
+        # LLM corpora (beyond the reference's csv/parquet LoadData surface)
+        ds = rd.read_json(path)
+        if columns:
+            ds = ds.select_columns(columns)
     else:
         raise ValueError(f"unsupported format: {fmt}")
     if deep_copy_to:
@@ -93,5 +99,7 @@ def select_into(ds: rd.Dataset, path: str, fmt: str = "parquet",
         ds.write_parquet(path, **write_kwargs)
     elif fmt == "csv":
         ds.write_csv(path, **write_kwargs)
+    elif fmt in ("json", "jsonl"):
+        ds.write_json(path, **write_kwargs)
     else:
         raise ValueError(f"unsupported format: {fmt}")

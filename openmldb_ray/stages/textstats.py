@@ -337,6 +337,47 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
                               top_k=top_k))
 
 
+class CompressionRatio:
+    """Per-document zlib deflate ratio — the classic cheap redundancy
+    signal (Gopher/RefinedWeb-style rules drop pages whose text compresses
+    far below prose: boilerplate, keyword stuffing, templated spam).
+
+    ratio = len(zlib.compress(utf8)) / len(utf8); null/empty text scores
+    1.0 by convention (incompressible), so it never trips a low-ratio
+    "too repetitive" filter. zlib is stdlib C — the per-doc loop body is
+    one C call, the same per-doc shape as the BPE token counter."""
+
+    def __init__(self, text_col: str = "text",
+                 out_col: str = "q_compress_ratio", level: int = 6):
+        import zlib
+
+        self.text_col, self.out_col = text_col, out_col
+        self.level = level
+        self._compress = zlib.compress
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[self.text_col].fillna("").astype(str)
+        lvl, comp = self.level, self._compress
+        df[self.out_col] = np.array(
+            [len(comp(b, lvl)) / len(b) if b else 1.0
+             for b in (t.encode("utf-8") for t in s)],
+            dtype=np.float64)
+        return df
+
+
+def compression_ratio(ds: "ray.data.Dataset", text_col: str = "text", *,
+                      out_col: str = "q_compress_ratio", level: int = 6,
+                      concurrency=(1, 8),
+                      batch_size: int = 4096) -> "ray.data.Dataset":
+    """Append the zlib compression-ratio quality column (shuffle-free)."""
+    return ds.map_batches(CompressionRatio, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(
+                              text_col=text_col, out_col=out_col,
+                              level=level))
+
+
 def normalize_text(ds: "ray.data.Dataset", text_col: str = "text", *,
                    lowercase: bool = True, collapse_ws: bool = True,
                    strip_punct: bool = False, nfkc: bool = False,

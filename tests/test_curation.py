@@ -303,3 +303,31 @@ def test_decontaminate_bloom_dataset(ray_session):
     out = decontaminate_bloom(rd.from_items(rows), [needle], n=8).to_pandas()
     assert set(out["doc_id"]) == {1, 2}
     assert "contaminated" not in out.columns
+
+
+def test_compression_ratio_signal(ray_session):
+    """Repetitive text scores far below high-entropy text; null/empty score
+    exactly 1.0; values are independent of batch splits."""
+    import hashlib
+
+    import ray.data as rd
+
+    from openmldb_ray.stages.textstats import compression_ratio
+
+    h, parts = b"seed", []
+    for _ in range(32):
+        h = hashlib.sha256(h).digest()
+        parts.append(h.hex())
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["spam " * 400, "".join(parts), None, ""],
+    })
+    out = (compression_ratio(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id")["q_compress_ratio"])
+    assert out.loc[1] < 0.1 < 0.45 < out.loc[2]
+    assert out.loc[3] == 1.0 and out.loc[4] == 1.0
+
+    split = (compression_ratio(rd.from_pandas(df).repartition(4),
+                               batch_size=1).to_pandas()
+             .set_index("doc_id")["q_compress_ratio"])
+    assert split.sort_index().tolist() == out.sort_index().tolist()

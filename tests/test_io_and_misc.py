@@ -136,3 +136,31 @@ def test_feature_zero_string_family():
     assert get("fz_join")(lst, "|").to_pylist() == ["a|b|c", "x", ""]
     # round-trip through a projection stage shape
     assert get("size")(lst).to_pylist() == [3, 1, 0]
+
+
+def test_jsonl_round_trip(ray_session, tmp_path):
+    """LOAD DATA / SELECT INTO with format json: newline-delimited JSON —
+    the interchange format of most public LLM corpora (an extension past
+    the reference's csv/parquet LoadData surface)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from openmldb_ray.sources.io import load_data, select_into
+
+    src = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                        "n_tok": [3, 5, 8],
+                        "text": ["x y z", "hello", 'quote " comma,']})
+    out = str(tmp_path / "docs_json")
+    select_into(rd.from_pandas(src), out, fmt="jsonl")
+
+    back = load_data(out, "jsonl").to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == ["a", "b", "c"]
+    assert back["n_tok"].tolist() == [3, 5, 8]
+    assert back["text"].tolist() == src["text"].tolist()
+
+    proj = load_data(out, "json", columns=["doc_id"]).to_pandas()
+    assert list(proj.columns) == ["doc_id"]
+
+    with pytest.raises(FileExistsError):
+        select_into(rd.from_pandas(src), out, fmt="jsonl",
+                    mode="errorifexists")
