@@ -2576,6 +2576,29 @@ def q_bucketize(sf_dir: str):
     return out[["doc_id", "chars_bin"]]
 
 
+def q_json_extract(sf_dir: str):
+    """JSON field extraction (functions.scalar get_json_object — engine
+    extension past the reference's UDF set; Spark/Hive + DuckDB
+    json_extract_string semantics): pull ``$.k`` out of the events JSON
+    payload column, cast, and aggregate per event type. Runs through the
+    full SQL front-end (function registry -> projection -> group agg);
+    exact DuckDB oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.sql import sql_query
+
+    out = sql_query(
+        "SELECT event_type, count(*) AS n, "
+        "sum(int64(get_json_object(props, '$.k'))) AS sum_k, "
+        "min(get_json_object(props, '$.k')) AS min_k_str "
+        "FROM events GROUP BY event_type",
+        {"events": read_table(sf_dir, "events",
+                              columns=["event_type", "props"])},
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return out
+
+
 def q_compress_ratio(sf_dir: str):
     """zlib compression-ratio quality signal (textstats.compression_ratio).
     Property oracle: a planted 2000-char single-word repetition must score
@@ -2901,6 +2924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_mean": q_impute_mean,
         "quantile_bin": q_quantile_bin,
         "compress_ratio": q_compress_ratio,
+        "json_extract": q_json_extract,
         "multimodal": q_multimodal,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
@@ -4024,6 +4048,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(5 AS BIGINT) AS planted_correct,
                    CAST(5 AS BIGINT) AS planted_total,
                    (SELECT COUNT(*) FROM documents) AS docs_classified
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(json_extract_string(props, '$.k')) AS min_k_str
+            FROM events GROUP BY event_type
         """,
         "compress_ratio": """
             SELECT CAST(1 AS BIGINT) AS planted_low_ok,

@@ -525,6 +525,73 @@ def _require_strings(*vals):
                              "(reference parity)")
 register("if", lambda c, a, b: pc.if_else(c, a, b))
 
+
+# ---- JSON extraction (engine extension; Spark/Hive get_json_object) -------
+# The reference has no JSON UDFs; log-shaped training data (WARC metadata,
+# event payloads) makes this table stakes. Path grammar: $ .field [idx],
+# e.g. "$.a.b[2].c". Returns STRING: raw text for JSON scalars, compact
+# JSON for objects/arrays; NULL for invalid JSON / missing path / JSON
+# null (Spark semantics; matches DuckDB json_extract_string for oracles).
+_JSONPATH_STEP = __import__("re").compile(r"\.([^.\[\]]+)|\[(\d+)\]")
+
+
+def _parse_jsonpath(path: str):
+    if not isinstance(path, str) or not path.startswith("$"):
+        return None
+    steps, pos = [], 1
+    for m in _JSONPATH_STEP.finditer(path, 1):
+        if m.start() != pos:
+            return None
+        steps.append(m.group(1) if m.group(1) is not None
+                     else int(m.group(2)))
+        pos = m.end()
+    return steps if pos == len(path) else None
+
+
+def _get_json_object(s, path):
+    import json
+
+    if hasattr(path, "as_py"):
+        path = path.as_py()
+    steps = _parse_jsonpath(path)
+    vals = s.to_pylist() if hasattr(s, "to_pylist") else list(s)
+    out = []
+    for v in vals:
+        if v is None or steps is None:
+            out.append(None)
+            continue
+        try:
+            cur = json.loads(v)
+        except (ValueError, TypeError):
+            out.append(None)
+            continue
+        for st in steps:
+            if isinstance(st, str):
+                if isinstance(cur, dict) and st in cur:
+                    cur = cur[st]
+                else:
+                    cur = _JSON_MISS
+                    break
+            elif isinstance(cur, list) and 0 <= st < len(cur):
+                cur = cur[st]
+            else:
+                cur = _JSON_MISS
+                break
+        if cur is _JSON_MISS or cur is None:
+            out.append(None)
+        elif isinstance(cur, str):
+            out.append(cur)
+        elif isinstance(cur, (dict, list, bool, int, float)):
+            out.append(json.dumps(cur, separators=(",", ":")))
+        else:  # pragma: no cover — json.loads yields no other types
+            out.append(str(cur))
+    return pa.array(out, pa.string())
+
+
+_JSON_MISS = object()
+
+register("get_json_object", _get_json_object, "json_extract_string")
+
 # ---- casts ----------------------------------------------------------------
 register("bool", lambda x: pc.cast(x, pa.bool_()))
 register("int16", lambda x: pc.cast(x, pa.int16()))

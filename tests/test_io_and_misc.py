@@ -164,3 +164,34 @@ def test_jsonl_round_trip(ray_session, tmp_path):
     with pytest.raises(FileExistsError):
         select_into(rd.from_pandas(src), out, fmt="jsonl",
                     mode="errorifexists")
+
+
+def test_get_json_object_semantics():
+    """get_json_object follows Spark/Hive + DuckDB json_extract_string
+    semantics: raw text for scalars, compact JSON for objects/arrays,
+    NULL for invalid JSON / missing path / JSON null / bad path; nested
+    field and array-index steps compose. Differential vs DuckDB on the
+    shared cases."""
+    import duckdb
+
+    from openmldb_ray.functions.scalar import get
+
+    f = get("get_json_object")
+    docs = ['{"k": 87}', '{"k": null}', '{"a": {"b": [1, {"c": "x y"}]}}',
+            'not json', None, '{"f": 1.5, "t": true, "s": "hi"}']
+    s = pa.array(docs, pa.string())
+
+    for path in ("$.k", "$.a.b[1].c", "$.f", "$.t", "$.s", "$.a",
+                 "$.a.b", "$.missing", "$[0]"):
+        got = f(s, path).to_pylist()
+        # TRY_CAST: DuckDB raises on malformed JSON where Spark (and this
+        # engine) return NULL — normalize that one divergence for the diff
+        want = [duckdb.sql(
+            "SELECT json_extract_string(TRY_CAST(? AS JSON), ?)",
+            params=[d, path]
+        ).fetchone()[0] if d is not None else None for d in docs]
+        assert got == want, (path, got, want)
+
+    # malformed path -> all NULL (no crash), alias registered
+    assert f(s, "no_dollar").to_pylist() == [None] * len(docs)
+    assert get("json_extract_string") is f
