@@ -525,6 +525,15 @@ def _require_strings(*vals):
                              "(reference parity)")
 register("if", lambda c, a, b: pc.if_else(c, a, b))
 
+# expression-shorthand UDFs (default_udf_library.cc:2390,2463,2562,2574):
+# add(x,y) = x + y; inc(x) = x + 1; minimum/maximum lower to the cond-expr
+# x<y ? x : y — SQL null semantics (null comparand -> null), NOT the
+# null-skipping min/max aggregate
+register("add", lambda x, y: pc.add(x, y))
+register("inc", lambda x: pc.add(x, 1))
+register("minimum", lambda x, y: pc.if_else(pc.less(x, y), x, y))
+register("maximum", lambda x, y: pc.if_else(pc.greater(x, y), x, y))
+
 
 # ---- JSON extraction (engine extension; Spark/Hive get_json_object) -------
 # The reference has no JSON UDFs; log-shaped training data (WARC metadata,

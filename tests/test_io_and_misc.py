@@ -195,3 +195,18 @@ def test_get_json_object_semantics():
     # malformed path -> all NULL (no crash), alias registered
     assert f(s, "no_dollar").to_pylist() == [None] * len(docs)
     assert get("json_extract_string") is f
+
+
+def test_expression_shorthand_udfs():
+    """add/inc/minimum/maximum (reference expression-shorthand UDFs,
+    default_udf_library.cc:2390-2586): SQL null semantics — a null
+    comparand nulls the result (cond-expr lowering), unlike the
+    null-skipping min/max aggregates."""
+    from openmldb_ray.functions.scalar import get
+
+    x = pa.array([1, 5, None, 3], pa.int64())
+    y = pa.array([4, 2, 7, None], pa.int64())
+    assert get("add")(x, y).to_pylist() == [5, 7, None, None]
+    assert get("inc")(x).to_pylist() == [2, 6, None, 4]
+    assert get("minimum")(x, y).to_pylist() == [1, 2, None, None]
+    assert get("maximum")(x, y).to_pylist() == [4, 5, None, None]
