@@ -591,7 +591,10 @@ def _get_json_object(s, path):
         elif isinstance(cur, str):
             out.append(cur)
         elif isinstance(cur, (dict, list, bool, int, float)):
-            out.append(json.dumps(cur, separators=(",", ":")))
+            # ensure_ascii=False: Spark and DuckDB emit UTF-8 in
+            # re-serialized objects, not \uXXXX escapes (fuzzer-found)
+            out.append(json.dumps(cur, separators=(",", ":"),
+                                  ensure_ascii=False))
         else:  # pragma: no cover — json.loads yields no other types
             out.append(str(cur))
     return pa.array(out, pa.string())

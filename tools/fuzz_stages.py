@@ -535,8 +535,75 @@ def fuzz_scale_ops(seed: int, rows: int, rd) -> list[str]:
     return bad
 
 
+# ---------------------------------------------------------------------------
+# get_json_object vs DuckDB json_extract_string
+# ---------------------------------------------------------------------------
+
+def _rand_json(rng, depth=0):
+    r = rng.random()
+    if depth >= 3 or r < 0.35:
+        return rng.choice([
+            rng.randint(-1000, 1000), rng.random() * 100, True, False, None,
+            "".join(rng.choice("ab c\"d\\eé") for _ in range(rng.randint(0, 6))),
+        ])
+    if r < 0.7:
+        return {f"k{rng.randint(0, 4)}": _rand_json(rng, depth + 1)
+                for _ in range(rng.randint(0, 4))}
+    return [_rand_json(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+
+
+def _rand_jsonpath(rng):
+    steps = ["$"]
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.7:
+            steps.append(f".k{rng.randint(0, 4)}")
+        else:
+            steps.append(f"[{rng.randint(0, 4)}]")
+    return "".join(steps)
+
+
+def fuzz_json(seed: int, rows: int, rd) -> list[str]:
+    import json
+
+    import duckdb
+
+    from openmldb_ray.functions.scalar import get
+
+    rng = random.Random(seed + 900_000)
+    docs = []
+    for _ in range(rows):
+        r = rng.random()
+        if r < 0.05:
+            docs.append(None)
+        elif r < 0.1:
+            docs.append("not json {")
+        else:
+            docs.append(json.dumps(_rand_json(rng)))
+    s = pa.array(docs, pa.string())
+    f = get("get_json_object")
+    con = duckdb.connect()
+    bad = []
+    for _ in range(4):
+        path = _rand_jsonpath(rng)
+        got = f(s, path).to_pylist()
+        want = [con.execute(
+            "SELECT json_extract_string(TRY_CAST(? AS JSON), ?)",
+            [d, path]).fetchone()[0] if d is not None else None
+            for d in docs]
+        mism = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+        # known benign float-format divergence: json.dumps(1.0) == "1.0"
+        # vs DuckDB "1.0" — both canonical; filter only true diffs
+        if mism:
+            i = mism[0]
+            bad.append(f"json seed {seed} path {path} row {i}: "
+                       f"engine={got[i]!r} duck={want[i]!r} doc={docs[i]!r}")
+    con.close()
+    return bad
+
+
 OPS = [fuzz_sessionize, fuzz_request_window, fuzz_interval_join,
-       fuzz_encoders, fuzz_quantiles, fuzz_featsel, fuzz_scale_ops]
+       fuzz_encoders, fuzz_quantiles, fuzz_featsel, fuzz_scale_ops,
+       fuzz_json]
 
 
 def run_seed(seed: int, rows: int, rd) -> list[str]:
