@@ -1614,6 +1614,27 @@ def q_score_norm(sf_dir: str):
                        ["cume_dist"])
 
 
+def q_rank_ops(sf_dir: str):
+    """Per-key SQL rank-function family (row_number / rank / dense_rank /
+    percent_rank / ntile) in ONE coarse key-hash exchange + a vectorized
+    per-bucket kernel (stages/rank.rank_window). Ordered by event_type
+    (few distinct values → heavy tie runs, the interesting rank case),
+    deterministic row order via the unique event_id tiebreak. Exact DuckDB
+    window-function oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.rank import rank_window
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    out = rank_window(
+        ev, "event_type", key_col="user_id", tiebreak="event_id",
+        outs={"rn": "row_number", "rk": "rank", "dr": "dense_rank",
+              "pr": "percent_rank", "nt": ("ntile", 4)}).to_pandas()
+    return _round_cols(
+        out[["event_id", "user_id", "event_type", "rn", "rk", "dr",
+             "pr", "nt"]], ["pr"])
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed full-dataset Lloyd k-means over the embedding column
     (per-iteration: one streaming assignment pass emitting k mergeable
@@ -2877,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_agg": q_hopping_agg,
         "shard_shuffle": q_shard_shuffle,
         "score_norm": q_score_norm,
+        "rank_ops": q_rank_ops,
         "kmeans_embed": q_kmeans_embed,
         "mixture_sample": q_mixture_sample,
         "dsir_select": q_dsir_select,
@@ -3842,6 +3864,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source ORDER BY n_chars), 6)
                        AS cume_dist
             FROM documents
+        """,
+        "rank_ops": """
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER wt AS rn,
+                   RANK() OVER w AS rk,
+                   DENSE_RANK() OVER w AS dr,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                   NTILE(4) OVER wt AS nt
+            FROM events
+            WINDOW w  AS (PARTITION BY user_id
+                          ORDER BY event_type ASC NULLS LAST),
+                   wt AS (PARTITION BY user_id
+                          ORDER BY event_type ASC NULLS LAST, event_id)
         """,
         "token_budget": r"""
             WITH w AS (

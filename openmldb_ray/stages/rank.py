@@ -31,6 +31,124 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+_RANK_FUNCS = ("row_number", "rank", "dense_rank", "percent_rank", "ntile")
+
+
+def rank_window(
+    ds,
+    order_col: str,
+    *,
+    key_col: str,
+    outs: dict[str, object],
+    tiebreak: str | None = None,
+    descending: bool = False,
+    num_buckets: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Per-key SQL rank functions over an order column, one co-shuffle.
+
+    ``outs`` maps output column name → ``"row_number" | "rank" |
+    "dense_rank" | "percent_rank"`` or ``("ntile", k)``.  Semantics match
+    ANSI SQL ``<fn>() OVER (PARTITION BY key ORDER BY order_col [DESC]
+    NULLS LAST [, tiebreak])``: ``rank`` is the min row number of the tie
+    run, ``dense_rank`` counts distinct order values, ``percent_rank`` is
+    ``(rank - 1) / (n - 1)`` (0 for singleton partitions), ``ntile(k)``
+    deals row-order buckets with the first ``n % k`` buckets one row
+    larger.  NULL order values sort last and tie with each other (DuckDB's
+    default null ordering).
+
+    Scale shape: ONE coarse key-hash bucket exchange (the window-stage
+    pattern — high-cardinality keys hash into ``4 × CPUs`` buckets, whole
+    keys land in one bucket); inside each bucket the kernel is a single
+    stable sort plus O(n) numpy passes — no per-row Python, no per-key
+    loop.  ``row_number`` / ``ntile`` depend on total row order, so they
+    require ``tiebreak`` (a unique column) for a deterministic,
+    repartition-stable result; rank/dense_rank/percent_rank are
+    tie-invariant and don't.
+
+    Keyless global ranking is a different problem (a global total order);
+    use :func:`cume_dist` (histogram broadcast) or
+    ``stages.shard.seeded_shard_shuffle`` / ``stages.select.budget_select``
+    (analytic range partition) for those shapes.
+    """
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import (add_bucket_column, default_num_buckets,
+                                quiet_ray_data_logs)
+
+    for name, spec in outs.items():
+        fn = spec[0] if isinstance(spec, tuple) else spec
+        if fn not in _RANK_FUNCS:
+            raise ValueError(f"unknown rank function {spec!r} for {name!r}")
+        if fn in ("row_number", "ntile") and tiebreak is None:
+            raise ValueError(
+                f"{fn} needs tiebreak= (a unique column) for a "
+                "deterministic row order")
+        if fn == "ntile" and (not isinstance(spec, tuple)
+                              or int(spec[1]) < 1):
+            raise ValueError("ntile spec must be ('ntile', k) with k >= 1")
+
+    nb = num_buckets or default_num_buckets()
+    add_b = add_bucket_column([key_col], "__b", nb)
+    pre = ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        g = g.drop(columns="__b")
+        n = len(g)
+        if n == 0:
+            for name, spec in outs.items():
+                fn = spec[0] if isinstance(spec, tuple) else spec
+                dt = np.float64 if fn == "percent_rank" else np.int64
+                g[name] = np.empty(0, dtype=dt)
+            return g
+        sort_cols = [key_col, order_col] + ([tiebreak] if tiebreak else [])
+        asc = [True, not descending] + ([True] if tiebreak else [])
+        g = g.sort_values(sort_cols, ascending=asc, na_position="last",
+                          kind="stable").reset_index(drop=True)
+        # factorize treats every NULL as one shared code — exactly SQL's
+        # "NULLs are equal for ranking" rule — and works for any dtype
+        kcodes = pd.factorize(g[key_col], use_na_sentinel=False)[0]
+        ocodes = pd.factorize(g[order_col], use_na_sentinel=False)[0]
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kcodes[1:] != kcodes[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - grp_start + 1
+        sizes = np.bincount(kcodes)[kcodes].astype(np.int64)
+        new_val = new_key.copy()
+        new_val[1:] |= ocodes[1:] != ocodes[:-1]
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = run_start - grp_start + 1
+        cnv = np.cumsum(new_val)
+        dense = cnv - cnv[grp_start] + 1
+        for name, spec in outs.items():
+            fn = spec[0] if isinstance(spec, tuple) else spec
+            if fn == "row_number":
+                g[name] = rn
+            elif fn == "rank":
+                g[name] = rank
+            elif fn == "dense_rank":
+                g[name] = dense
+            elif fn == "percent_rank":
+                g[name] = np.where(sizes > 1,
+                                   (rank - 1) / np.maximum(sizes - 1, 1),
+                                   0.0)
+            else:  # ntile
+                k = int(spec[1])
+                base, rem = sizes // k, sizes % k
+                head = rem * (base + 1)  # rows covered by the larger tiles
+                in_head = rn <= head
+                g[name] = np.where(
+                    in_head,
+                    (rn - 1) // np.maximum(base + 1, 1) + 1,
+                    rem + (rn - 1 - head) // np.maximum(base, 1) + 1,
+                ).astype(np.int64)
+        return g
+
+    return map_groups_typed(pre, "__b", per_bucket, batch_format="pandas",
+                            num_partitions=num_partitions)
+
 
 def cume_dist(
     ds,
