@@ -538,6 +538,53 @@ def q_left_join(sf_dir: str):
                      right_cols={"n_name": "nation_name"}).to_pandas()
 
 
+def q_inner_join(sf_dir: str):
+    """Plain INNER equi-join (north-rule extension — the reference's
+    JoinPlan only implements LEFT/LAST; SparkPlanner.scala:235-276).
+    High-balance customers joined to their orders: the filter leaves most
+    orders unmatched, exercising the inner drop path. Broadcast strategy
+    (the filtered dimension side is small)."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.join_stage import inner_join
+    from openmldb_ray.stages.relational import filter_expr
+
+    cust = filter_expr(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]),
+        lambda t: pc.greater(t["c_acctbal"], 8000.0))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = inner_join(orders, cust, ("o_custkey", "c_custkey")).to_pandas()
+    return _round_cols(out[["o_orderkey", "o_custkey", "o_totalprice",
+                            "c_acctbal"]], ["o_totalprice", "c_acctbal"])
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER equi-join (north-rule extension): per-user click value
+    vs per-user view value, reconciled — users present on only one side
+    surface exactly once with the other side null. Ray's native hash join
+    coalesces the key USING-style; the oracle mirrors with COALESCE."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.join_stage import full_outer_join
+    from openmldb_ray.stages.relational import filter_expr, group_aggregate
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    clicks = group_aggregate(
+        filter_expr(ev, lambda t: pc.equal(t["event_type"], "click")),
+        "user_id", [Agg.sum("value", "click_value")])
+    views = group_aggregate(
+        filter_expr(ev, lambda t: pc.equal(t["event_type"], "view")),
+        "user_id", [Agg.sum("value", "view_value")])
+    out = full_outer_join(clicks, views, ("user_id", "user_id")).to_pandas()
+    return _round_cols(out[["user_id", "click_value", "view_value"]],
+                       ["click_value", "view_value"])
+
+
 def q_cate_agg(sf_dir: str):
     """sum_cate / count_cate (default_defs/*_by_category_def.cc):
     'cat1:agg,cat2:agg' strings, categories ascending."""
@@ -2860,6 +2907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": q_union_distinct,
         "multi_window": q_multi_window,
         "left_join": q_left_join,
+        "inner_join": q_inner_join,
+        "full_outer_join": q_full_outer_join,
         "cate_agg": q_cate_agg,
         "topn_cate": q_topn_cate,
         "scalar_string_date": q_scalar_string_date,
@@ -3212,6 +3261,27 @@ def oracle_sql() -> dict[str, str]:
         "left_join": """
             SELECT c.c_custkey, c.c_name, c.c_nationkey, n.n_name AS nation_name
             FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
+        "inner_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   ROUND(o.o_totalprice, 6) AS o_totalprice,
+                   ROUND(c.c_acctbal, 6) AS c_acctbal
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal > 8000.0
+        """,
+        "full_outer_join": """
+            WITH clicks AS (
+              SELECT user_id, SUM(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), views AS (
+              SELECT user_id, SUM(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            )
+            SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+                   ROUND(c.click_value, 6) AS click_value,
+                   ROUND(v.view_value, 6) AS view_value
+            FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
         """,
         "cate_agg": """
             WITH per AS (
