@@ -585,6 +585,39 @@ def q_full_outer_join(sf_dir: str):
                        ["click_value", "view_value"])
 
 
+def q_pivot_agg(sf_dir: str):
+    """Pivot event_type categories into per-user aggregate columns
+    (stages/reshape.pivot_agg): per-batch combiner emits ONE wide partial
+    row per (user, batch) so the shuffle carries |users|×|categories|
+    partials, then a coarse key-hash merge. The typed-columns analog of
+    the reference's *_cate packed-string UDAFs
+    (default_defs/*_by_category_def.cc). Exact CASE-arm DuckDB oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.reshape import pivot_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    out = pivot_agg(ev, "user_id", "event_type", "value",
+                    agg="sum").to_pandas()
+    return _round_cols(out, [c for c in out.columns if c != "user_id"])
+
+
+def q_unpivot(sf_dir: str):
+    """Melt lineitem's four numeric measures into long (variable, value)
+    rows — row-local k-fold replication inside each batch, shuffle-free
+    (stages/reshape.unpivot). Exact DuckDB UNION ALL oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.reshape import unpivot
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax"])
+    out = unpivot(li, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                  var_name="measure", value_name="val").to_pandas()
+    return _round_cols(out, ["val"])
+
+
 def q_cate_agg(sf_dir: str):
     """sum_cate / count_cate (default_defs/*_by_category_def.cc):
     'cat1:agg,cat2:agg' strings, categories ascending."""
@@ -2909,6 +2942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": q_left_join,
         "inner_join": q_inner_join,
         "full_outer_join": q_full_outer_join,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
         "cate_agg": q_cate_agg,
         "topn_cate": q_topn_cate,
         "scalar_string_date": q_scalar_string_date,
@@ -3282,6 +3317,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(c.click_value, 6) AS click_value,
                    ROUND(v.view_value, 6) AS view_value
             FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+        """,
+        "pivot_agg": """
+            SELECT user_id,
+              ROUND(SUM(CASE WHEN event_type='click' THEN value END), 6)
+                  AS value_sum_click,
+              ROUND(SUM(CASE WHEN event_type='error' THEN value END), 6)
+                  AS value_sum_error,
+              ROUND(SUM(CASE WHEN event_type='purchase' THEN value END), 6)
+                  AS value_sum_purchase,
+              ROUND(SUM(CASE WHEN event_type='signup' THEN value END), 6)
+                  AS value_sum_signup,
+              ROUND(SUM(CASE WHEN event_type='view' THEN value END), 6)
+                  AS value_sum_view
+            FROM events GROUP BY user_id
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   ROUND(l_quantity, 6) AS val FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   ROUND(l_extendedprice, 6) FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+                   ROUND(l_discount, 6) FROM lineitem
+            UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+                   ROUND(l_tax, 6) FROM lineitem
         """,
         "cate_agg": """
             WITH per AS (
