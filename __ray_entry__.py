@@ -585,6 +585,26 @@ def q_full_outer_join(sf_dir: str):
                        ["click_value", "view_value"])
 
 
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP (north-rule extension — multi-granularity feature
+    rollups): raw rows shuffle ONCE as per-batch partials at the finest
+    (returnflag, linestatus) granularity; each coarser grouping set then
+    re-aggregates the tiny distinct-key partials table. grouping_id is the
+    standard GROUPING() bitmask; avg rides as exact (sum, count) pairs.
+    Exact DuckDB ROLLUP oracle."""
+    from openmldb_ray.core.aggregates import Agg
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.relational import group_aggregate_sets
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = group_aggregate_sets(
+        li, ["l_returnflag", "l_linestatus"],
+        [Agg.sum("l_quantity", "sum_qty"), Agg.count("l_quantity", "cnt"),
+         Agg.avg("l_quantity", "avg_qty")], sets="rollup").to_pandas()
+    return _round_cols(out, ["sum_qty", "avg_qty"])
+
+
 def q_pivot_agg(sf_dir: str):
     """Pivot event_type categories into per-user aggregate columns
     (stages/reshape.pivot_agg): per-batch combiner emits ONE wide partial
@@ -2944,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "pivot_agg": q_pivot_agg,
         "unpivot": q_unpivot,
+        "rollup_agg": q_rollup_agg,
         "cate_agg": q_cate_agg,
         "topn_cate": q_topn_cate,
         "scalar_string_date": q_scalar_string_date,
@@ -3317,6 +3338,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(c.click_value, 6) AS click_value,
                    ROUND(v.view_value, 6) AS view_value
             FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(l_quantity) AS cnt,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   GROUPING(l_returnflag, l_linestatus) AS grouping_id
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "pivot_agg": """
             SELECT user_id,

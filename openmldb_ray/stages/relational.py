@@ -153,6 +153,238 @@ def group_aggregate(
         "__gb", fn, batch_format="pyarrow", num_partitions=num_partitions)
 
 
+def group_aggregate_sets(
+    ds: "ray.data.Dataset",
+    keys,
+    aggs: list[AggSpec],
+    *,
+    sets="rollup",
+    grouping_id_col: str = "grouping_id",
+    materialize_input: bool = True,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """GROUP BY GROUPING SETS / ROLLUP / CUBE (north-rule extension — the
+    reference has no grouping-sets surface; this is the multi-granularity
+    rollup a feature store computes per (domain), (domain, lang), ()).
+
+    ``sets``: ``"rollup"`` (prefixes, coarsest last), ``"cube"`` (all
+    subsets), or an explicit list of key subsets. Key columns absent from
+    a set come back NULL in their original Arrow type, and ``grouping_id``
+    carries the standard GROUPING() bitmask (first key = most significant
+    bit, 1 = aggregated out) so a real NULL key is distinguishable from a
+    rollup NULL. NULL keys form their own groups (SQL GROUP BY).
+
+    Scale shape (mergeable aggs — sum/count/avg/min/max/count_star): raw
+    rows are pre-aggregated per batch and shuffled ONCE into a base table
+    of mergeable partials at the FINEST (all-keys) granularity; every
+    grouping set then re-aggregates that distinct-key base (tiny — it is
+    |distinct key tuples| rows, materialized once), so s granularities
+    cost one raw-data exchange, not s. ``avg`` rides as (sum, count)
+    pairs, exact. Non-mergeable aggs (median/top/distinct_count/…) fall
+    back to one :func:`group_aggregate` per set over the (optionally
+    materialized) narrow projection.
+    """
+    import itertools
+
+    import numpy as np
+    import ray
+
+    from ..core.empty_ds import union_any
+    from ..core.grouping import map_groups_typed, null_int_types_mapper
+    from ..core.hashing import (bucket_ids, default_num_buckets,
+                                quiet_ray_data_logs)
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if sets == "rollup":
+        set_list = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    elif sets == "cube":
+        set_list = [s for r in range(len(keys), -1, -1)
+                    for s in itertools.combinations(keys, r)]
+    else:
+        set_list = [tuple([s] if isinstance(s, str) else s) for s in sets]
+        for s in set_list:
+            if not set(s) <= set(keys):
+                raise ValueError(f"grouping set {s} not a subset of {keys}")
+
+    key_types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)
+                 if n in keys}
+    out_cols = keys + [a.name for a in aggs] + [grouping_id_col]
+
+    def _null_array(n: int, t):
+        # schema types are pyarrow DataTypes for Arrow-block datasets,
+        # numpy dtypes / Python types for pandas-block ones
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return pd.array([pd.NA] * n, dtype="Int64")
+            if pa.types.is_floating(t):
+                return np.full(n, np.nan)
+            if pa.types.is_timestamp(t):
+                return pd.array([pd.NaT] * n, dtype=f"datetime64[{t.unit}]")
+            if pa.types.is_boolean(t):
+                return pd.array([pd.NA] * n, dtype="boolean")
+            return np.full(n, None, dtype=object)
+        if pd.api.types.is_integer_dtype(t):
+            return pd.array([pd.NA] * n, dtype="Int64")
+        if pd.api.types.is_float_dtype(t):
+            return np.full(n, np.nan)
+        if pd.api.types.is_datetime64_any_dtype(t):
+            return pd.array([pd.NaT] * n, dtype="datetime64[ns]")
+        if pd.api.types.is_bool_dtype(t):
+            return pd.array([pd.NA] * n, dtype="boolean")
+        return np.full(n, None, dtype=object)
+
+    def _pad_gid(part, missing, gid):
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for k in missing:
+                df[k] = _null_array(len(df), key_types[k])
+            df[grouping_id_col] = np.int64(gid)
+            return df[out_cols]
+
+        return part.map_batches(finish, batch_format="pandas",
+                                batch_size=None)
+
+    def _gid(s):
+        g = 0
+        for i, k in enumerate(keys):
+            if k not in s:
+                g |= 1 << (len(keys) - 1 - i)
+        return g
+
+    mergeable = {"sum", "count", "avg", "min", "max", "count_star"}
+    if not all(a.kind in mergeable for a in aggs):
+        # exotic aggs: one group_aggregate per set (its coarse-bucket path
+        # is null-key-safe); share the input scan via materialization
+        need = list(dict.fromkeys(
+            keys + [c for a in aggs
+                    for c in (a.col, getattr(a, "cond", None),
+                              getattr(a, "cat", None)) if c]))
+        narrow = ds.select_columns(need)
+        if materialize_input:
+            narrow = narrow.materialize()
+        outs = []
+        for s in set_list:
+            if s:
+                part = group_aggregate(narrow, list(s), aggs,
+                                       num_partitions=num_partitions)
+            else:
+                const = narrow.map_batches(
+                    lambda t: t.append_column(
+                        "__all", pa.array(np.zeros(len(t), dtype=np.int8))),
+                    batch_format="pyarrow", batch_size=None)
+                part = group_aggregate(
+                    const, ["__all"], aggs,
+                    num_partitions=num_partitions).drop_columns(["__all"])
+            outs.append(_pad_gid(part, [k for k in keys if k not in s],
+                                 _gid(s)))
+        res = outs[0]
+        for o in outs[1:]:
+            res = union_any(res, o)
+        return res
+
+    # ---- mergeable path: one raw shuffle at the finest granularity ----
+    # partial column plan: per agg, which mergeable pieces it ships
+    pieces = []  # (agg_index, piece_kind in {s,c,m}, col_name)
+    for i, a in enumerate(aggs):
+        if a.kind in ("count", "count_star"):
+            pieces.append((i, "c", f"__p{i}_c"))
+        elif a.kind == "sum":
+            pieces.append((i, "s", f"__p{i}_s"))
+        elif a.kind == "avg":
+            pieces.append((i, "s", f"__p{i}_s"))
+            pieces.append((i, "c", f"__p{i}_c"))
+        else:  # min / max
+            pieces.append((i, a.kind, f"__p{i}_m"))
+
+    need = list(dict.fromkeys(keys + [a.col for a in aggs if a.col]))
+    nb = default_num_buckets()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        quiet_ray_data_logs()
+        df = t.to_pandas(types_mapper=null_int_types_mapper)
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for i, kind, name in pieces:
+            a = aggs[i]
+            if a.kind == "count_star":
+                cols[name] = g.size()
+            elif kind == "c":
+                cols[name] = g[a.col].count()
+            elif kind == "s":
+                cols[name] = g[a.col].sum(min_count=1)
+            else:
+                cols[name] = getattr(g[a.col], kind)()
+        out = pd.DataFrame(cols).reset_index()
+        out["__b"] = bucket_ids(out, keys, nb)
+        return out
+
+    def merge_fn(sub_keys):
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            quiet_ray_data_logs()
+            g = g.drop(columns="__b", errors="ignore")
+            gb = g.groupby(sub_keys, sort=False, dropna=False)
+            cols = {}
+            for i, kind, name in pieces:
+                if kind == "c":
+                    cols[name] = gb[name].sum()
+                elif kind == "s":
+                    cols[name] = gb[name].sum(min_count=1)
+                else:
+                    cols[name] = getattr(gb[name], kind)()
+            return pd.DataFrame(cols).reset_index()
+
+        return merge
+
+    base = map_groups_typed(
+        ds.select_columns(need)
+          .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "__b", merge_fn(keys), batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[c for c in df.columns if not c.startswith("__p")]].copy()
+        for i, a in enumerate(aggs):
+            if a.kind in ("count", "count_star"):
+                out[a.name] = df[f"__p{i}_c"].fillna(0).astype(np.int64)
+            elif a.kind == "sum":
+                out[a.name] = df[f"__p{i}_s"]
+            elif a.kind == "avg":
+                s = df[f"__p{i}_s"].astype("float64")
+                c = df[f"__p{i}_c"].astype("float64")
+                out[a.name] = (s / c).where(c > 0)
+            else:
+                out[a.name] = df[f"__p{i}_m"]
+        return out
+
+    outs = []
+    for s in set_list:
+        if s == tuple(keys):
+            part = base
+        elif s:
+            pre = base.map_batches(
+                lambda df, sk=list(s): df.assign(
+                    __b=bucket_ids(df, sk, nb)),
+                batch_format="pandas", batch_size=None)
+            part = map_groups_typed(pre, "__b", merge_fn(list(s)),
+                                    batch_format="pandas",
+                                    num_partitions=num_partitions)
+        else:
+            # global: the base is tiny (distinct key tuples) — one driver
+            # fold is the cheapest correct reduce
+            bdf = base.to_pandas()
+            bdf["__all"] = np.int8(0)
+            part = ray.data.from_pandas(
+                merge_fn(["__all"])(bdf).drop(columns="__all"))
+        part = part.map_batches(finalize, batch_format="pandas",
+                                batch_size=None)
+        outs.append(_pad_gid(part, [k for k in keys if k not in s],
+                             _gid(s)))
+    res = outs[0]
+    for o in outs[1:]:
+        res = union_any(res, o)
+    return res
+
+
 def sort_by(ds: "ray.data.Dataset", keys, descending=False) -> "ray.data.Dataset":
     """SortByPlan.scala:25-31 — global ORDER BY (range-partitioned sort)."""
     return ds.sort(keys, descending=descending)
