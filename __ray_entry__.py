@@ -585,6 +585,22 @@ def q_full_outer_join(sf_dir: str):
                        ["click_value", "view_value"])
 
 
+def q_resample_ffill(sf_dir: str):
+    """Regular 6-hour per-user snapshots forward-filled from the latest
+    event at-or-before each grid point (stages/resample.resample_asof:
+    distributed epoch-aligned grid expansion over the per-key (min, max)
+    range table, then the point-in-time last_join — a snapshot can never
+    see a later event). Exact DuckDB generate_series + ROW_NUMBER
+    oracle."""
+    from openmldb_ray.stages.resample import resample_asof
+
+    step = 21_600_000  # 6h in ms
+    ev = _events_ms(sf_dir)
+    out = resample_asof(ev, "user_id", "ts_ms", step, ["value"],
+                        tiebreak="event_id").to_pandas()
+    return _round_cols(out[["user_id", "grid_ts", "value"]], ["value"])
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP (north-rule extension — multi-granularity feature
     rollups): raw rows shuffle ONCE as per-batch partials at the finest
@@ -2965,6 +2981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_agg": q_pivot_agg,
         "unpivot": q_unpivot,
         "rollup_agg": q_rollup_agg,
+        "resample_ffill": q_resample_ffill,
         "cate_agg": q_cate_agg,
         "topn_cate": q_topn_cate,
         "scalar_string_date": q_scalar_string_date,
@@ -3338,6 +3355,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(c.click_value, 6) AS click_value,
                    ROUND(v.view_value, 6) AS view_value
             FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+        """,
+        "resample_ffill": """
+            WITH ev AS (
+              SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                     event_id, value FROM events
+            ), rng AS (
+              SELECT user_id,
+                     CAST(ceil(min(ts_ms)/21600000.0)*21600000 AS BIGINT) s,
+                     max(ts_ms) e
+              FROM ev GROUP BY user_id
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(s, e, 21600000))
+                     AS grid_ts FROM rng
+            ), pick AS (
+              SELECT g.user_id, g.grid_ts, ev.value,
+                     ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ts
+                         ORDER BY ev.ts_ms DESC, ev.event_id DESC) rn
+              FROM grid g
+              JOIN ev ON ev.user_id = g.user_id AND ev.ts_ms <= g.grid_ts)
+            SELECT user_id, grid_ts, ROUND(value, 6) AS value
+            FROM pick WHERE rn = 1
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,

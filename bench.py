@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "corr_matrix", "anova_f", "mi_assoc", "woe_encode",
     "robust_scale", "impute_mean", "quantile_bin", "compress_ratio",
     "json_extract", "rank_ops", "inner_join", "full_outer_join",
-    "pivot_agg", "unpivot", "rollup_agg",
+    "pivot_agg", "unpivot", "rollup_agg", "resample_ffill",
 ]
 
 

@@ -706,6 +706,58 @@ def inner_join(
                             batch_size=None)
 
 
+def cross_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset | pd.DataFrame",
+    *,
+    right_limit: int = 100_000,
+) -> "ray.data.Dataset":
+    """Cartesian product with a SMALL right side (completes the relational
+    algebra; the practical uses — attach a parameter grid, a date spine, a
+    k-row template to every row — all have a tiny right side).
+
+    The right side is materialized once and broadcast; each left batch
+    emits ``len(batch) × len(right)`` rows via vectorized np.repeat/tile —
+    never a per-row Python loop. Refuses a right side above
+    ``right_limit`` rows: a large×large cartesian product is a bug at any
+    scale, not a workload.
+    """
+    if not isinstance(right, pd.DataFrame):
+        right = right.materialize()
+        n = right.count()
+        if n > right_limit:
+            raise ValueError(
+                f"cross_join: right side has {n} rows > right_limit="
+                f"{right_limit}; a large cartesian product is almost "
+                "certainly a bug — raise right_limit explicitly if not")
+        rdf = right.to_pandas()
+    else:
+        rdf = right
+        if len(rdf) > right_limit:
+            raise ValueError(
+                f"cross_join: right side has {len(rdf)} rows > "
+                f"right_limit={right_limit}")
+    clash = set(rdf.columns)
+    rref = ray.put(rdf)
+
+    def _cross(ldf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rref)
+        both = set(ldf.columns) & clash
+        if both:
+            raise ValueError(
+                f"cross_join: columns {sorted(both)} exist on both sides — "
+                "rename before crossing")
+        li = np.repeat(np.arange(len(ldf)), len(r))
+        ri = np.tile(np.arange(len(r)), len(ldf))
+        out = ldf.iloc[li].reset_index(drop=True)
+        rrep = r.iloc[ri].reset_index(drop=True)
+        for c in r.columns:
+            out[c] = rrep[c]
+        return out
+
+    return left.map_batches(_cross, batch_format="pandas", batch_size=None)
+
+
 def full_outer_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 import ray
 
-from openmldb_ray.stages.join_stage import full_outer_join, inner_join
+from openmldb_ray.stages.join_stage import (cross_join, full_outer_join,
+                                            inner_join)
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +67,23 @@ def test_full_outer_parity(ray_session, data):
     cols = ["k", "a", "b"]
     pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(oracle, cols),
                                   check_dtype=False)
+
+
+def test_cross_join(ray_session):
+    L = pd.DataFrame({"x": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+    R = pd.DataFrame({"h": [10, 20]})
+    out = cross_join(ray.data.from_pandas(L).repartition(2),
+                     ray.data.from_pandas(R)).to_pandas()
+    o = duckdb.sql("SELECT x, a, h FROM L CROSS JOIN R").df()
+    cols = ["x", "a", "h"]
+    pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(o, cols),
+                                  check_dtype=False)
+    with pytest.raises(ValueError, match="right_limit"):
+        cross_join(ray.data.from_pandas(L), ray.data.from_pandas(R),
+                   right_limit=1)
+    with pytest.raises(Exception, match="both sides"):
+        cross_join(ray.data.from_pandas(L),
+                   pd.DataFrame({"a": [1.0]})).to_pandas()
 
 
 def test_null_keys_never_match(ray_session):
