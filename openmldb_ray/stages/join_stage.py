@@ -577,30 +577,22 @@ def left_join(
             strategy = ("broadcast" if right.count() <= broadcast_limit
                         else "shuffle")
         if strategy == "shuffle":
-            if right_cols:
-                cols = list(dict.fromkeys([right_key, *right_cols]))
-                new_names = [right_cols.get(c, c) for c in cols]
-
-                def _proj(t):
-                    return t.select(cols).rename_columns(new_names)
-
-                right = right.map_batches(_proj, batch_format="pyarrow",
-                                          batch_size=None)
-                right_key = right_cols.get(right_key, right_key)
-            if num_partitions is None:
-                # the native hash join spawns num_partitions aggregator
-                # actors with CPU reservations — more partitions than CPUs
-                # deadlocks a small local session
-                num_partitions = min(
-                    32, max(2, int(ray.cluster_resources().get("CPU", 8))))
-            return left.join(right, join_type="left_outer",
-                             num_partitions=num_partitions,
-                             on=(left_key,), right_on=(right_key,))
+            # the coarse-bucket exchange, not Ray's native hash join — the
+            # native operator hangs on sparse keys / small sessions (see
+            # _bucket_equi_join) and silently diverged from the broadcast
+            # path's column contract
+            return _bucket_equi_join(left, right, (left_key, right_key),
+                                     how="left", right_cols=right_cols,
+                                     num_partitions=num_partitions)
         rdf = right.to_pandas()
     else:
         rdf = right
     if right_cols:
         rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
+    # ANSI/Spark semantics (JoinPlan is a plain Spark left outer join):
+    # NULL keys never match — filtered here so the broadcast path agrees
+    # with the shuffle path instead of inheriting pandas's NaN == NaN rule
+    rdf = rdf[rdf[right_key].notna()]
     rref = ray.put(rdf)
 
     def _merge(ldf: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
@@ -654,30 +646,17 @@ def inner_join(
             strategy = ("broadcast" if right.count() <= broadcast_limit
                         else "shuffle")
         if strategy == "shuffle":
-            if right_cols:
-                cols = list(dict.fromkeys([right_key, *right_cols]))
-                new_names = [right_cols.get(c, c) for c in cols]
-
-                def _proj(t):
-                    return t.select(cols).rename_columns(new_names)
-
-                right = right.map_batches(_proj, batch_format="pyarrow",
-                                          batch_size=None)
-                right_key = right_cols.get(right_key, right_key)
-            if num_partitions is None:
-                num_partitions = min(
-                    32, max(2, int(ray.cluster_resources().get("CPU", 8))))
-            return left.join(right, join_type="inner",
-                             num_partitions=num_partitions,
-                             on=(left_key,), right_on=(right_key,))
+            return _bucket_equi_join(left, right, (left_key, right_key),
+                                     how="inner", right_cols=right_cols,
+                                     num_partitions=num_partitions)
         rdf = right.to_pandas()
     else:
         rdf = right
     if right_cols:
         rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
     # ANSI semantics: NULL keys never match (pandas merge would join
-    # NaN == NaN; the reference's LEFT/LAST JOIN null-safe equality is a
-    # different, documented contract kept in left_join/last_join)
+    # NaN == NaN; the reference's LAST JOIN null-safe equality is a
+    # different, documented contract kept in last_join)
     rdf = rdf[rdf[right_key].notna()]
     rref = ray.put(rdf)
 
@@ -772,17 +751,40 @@ def full_outer_join(
 
     Always a shuffle: a right row that matches nothing must surface
     exactly ONCE globally, which a per-batch broadcast probe cannot
-    decide. Implemented on the repo's coarse-bucket co-exchange (the
-    last_join/semi_join shape — whole keys land in one bucket, pandas
-    outer-merge per bucket) rather than Ray's native hash join, which
-    deadlocks when num_partitions exceeds session CPUs and rejects
-    all-empty partitions at small scale.
+    decide. See :func:`_bucket_equi_join` for the execution shape and
+    why Ray's native hash join is not used.
+    """
+    return _bucket_equi_join(left, right, on, how="outer",
+                             right_cols=right_cols, num_buckets=num_buckets,
+                             num_partitions=num_partitions)
 
-    ANSI semantics: NULL keys never match and surface once each. The join
-    key coalesces into the LEFT key column (USING-style), so the output
-    schema is left columns + non-key right columns; integer columns that
-    pick up nulls from the padding come back as nullable Int64 (Arrow
-    int64 + nulls), not float64.
+
+def _bucket_equi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on,
+    *,
+    how: str,
+    right_cols: dict[str, str] | None = None,
+    num_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Shuffle equi-join on the repo's coarse-bucket co-exchange (the
+    last_join/semi_join shape — whole keys land in one bucket, one pandas
+    merge per bucket). ``how`` ∈ inner / left / outer.
+
+    NOT Ray's native hash join: that operator hangs its executor when the
+    join's finalize raises (observed with num_partitions > distinct keys:
+    all-empty partitions make pyarrow's key-field lookup fail inside
+    ``HashShuffleAggregator.finalize``, and the driver then blocks in
+    ``ray.get`` forever) and deadlocks outright when num_partitions
+    exceeds session CPUs — both fatal on small/sparse inputs.
+
+    ANSI semantics: NULL keys never match; under left/outer they surface
+    once each, padded. The join key coalesces into the LEFT key column
+    (USING-style), so the output schema is left columns + non-key right
+    columns; integer columns that pick up nulls from padding come back as
+    nullable Int64 (Arrow int64 + nulls), not float64.
     """
     import pyarrow as pa
 
@@ -790,6 +792,8 @@ def full_outer_join(
     from ..core.hashing import (add_bucket_column, default_num_buckets,
                                 quiet_ray_data_logs)
 
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how={how!r}")
     left_key, right_key = (on, on) if isinstance(on, str) else on
     if right_cols:
         cols = list(dict.fromkeys([right_key, *right_cols]))
@@ -803,11 +807,9 @@ def full_outer_join(
         right_key = right_cols.get(right_key, right_key)
 
     lcols = list(left.schema().names)
+    # the right_cols projection above already selected + renamed, so the
+    # schema here IS the final right column set
     rcols = list(right.schema().names)
-    if right_cols:
-        rcols = [right_cols.get(c, c) if c in right_cols else c
-                 for c in rcols if c in right_cols or c == right_key]
-        rcols = list(dict.fromkeys([right_key] + rcols))
     ltypes = dict(zip(left.schema().names, left.schema().types))
     rtypes_all = dict(zip(right.schema().names, right.schema().types))
     rtypes = {c: rtypes_all[c] for c in rcols if c in rtypes_all}
@@ -881,18 +883,23 @@ def full_outer_join(
         rg = _restore(g[g[SIDE] == False][rcols].copy(), rtypes)  # noqa: E712
         lk_na = pd.isna(lg[left_key]).to_numpy()
         rk_na = pd.isna(rg[right_key]).to_numpy()
-        out = lg[~lk_na].merge(rg[~rk_na], how="outer", left_on=left_key,
-                               right_on=right_key)
+        # the right side is always null-key-filtered (NULLs never match),
+        # so a null-key LEFT row cannot spuriously merge under pandas's
+        # NaN == NaN rule and can ride the merge directly for how="left"
+        lm = lg if how == "left" else lg[~lk_na]
+        out = lm.merge(rg[~rk_na], how=how, left_on=left_key,
+                       right_on=right_key)
         if right_key != left_key:
             out[left_key] = out[left_key].where(out[left_key].notna(),
                                                 out[right_key])
             out = out.drop(columns=[right_key])
-        rnull = rg[rk_na].rename(columns={right_key: left_key})
-        out = pd.concat(
-            [out[out_cols],
-             lg[lk_na].reindex(columns=out_cols),
-             rnull.reindex(columns=out_cols)],
-            ignore_index=True)
+        tails = [out[out_cols]]
+        if how == "outer":
+            tails.append(lg[lk_na].reindex(columns=out_cols))
+            tails.append(rg[rk_na].rename(columns={right_key: left_key})
+                         .reindex(columns=out_cols))
+        out = pd.concat(tails, ignore_index=True) if len(tails) > 1 \
+            else tails[0]
         # padding NaNs promote int columns to float64 — restore to
         # nullable Int64 so the Arrow output stays int64-with-nulls
         for c in out_cols:

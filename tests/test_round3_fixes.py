@@ -226,11 +226,13 @@ def test_langid_model_path_loads_once_per_actor(tmp_path, ray_session):
 
 def test_left_join_auto_routes_large_right_to_shuffle(ray_session, monkeypatch):
     """auto must NOT driver-materialize a right side above broadcast_limit:
-    it falls back to the native shuffle join, and the result matches the
-    broadcast path bit-for-bit."""
+    it falls back to the bucket-exchange shuffle join (round-3b: the house
+    coarse-bucket co-shuffle, NOT Ray's native hash join — that operator
+    hangs on sparse keys), and the result matches the broadcast path
+    bit-for-bit."""
     import ray.data as rd
-    from ray.data import Dataset
 
+    from openmldb_ray.stages import join_stage
     from openmldb_ray.stages.join_stage import left_join
 
     left = rd.from_pandas(pd.DataFrame(
@@ -240,22 +242,22 @@ def test_left_join_auto_routes_large_right_to_shuffle(ray_session, monkeypatch):
     right = rd.from_pandas(rdf)
 
     calls = []
-    native_join = Dataset.join
+    bucket_join = join_stage._bucket_equi_join
 
-    def spy(self, *a, **kw):
-        calls.append(kw.get("join_type"))
-        return native_join(self, *a, **kw)
+    def spy(*a, **kw):
+        calls.append(kw.get("how"))
+        return bucket_join(*a, **kw)
 
-    monkeypatch.setattr(Dataset, "join", spy)
+    monkeypatch.setattr(join_stage, "_bucket_equi_join", spy)
 
     bcast = left_join(left, rd.from_pandas(rdf), ("k", "rk"),
                       right_cols={"name": "nm"},
                       strategy="broadcast").to_pandas()
-    assert calls == []  # broadcast never touches the native join
+    assert calls == []  # broadcast never touches the shuffle join
 
     out = left_join(left, right, ("k", "rk"), right_cols={"name": "nm"},
                     strategy="auto", broadcast_limit=2).to_pandas()
-    assert calls == ["left_outer"]  # auto fell back to shuffle
+    assert calls == ["left"]  # auto fell back to shuffle
 
     key = ["k", "v"]
     got = out.sort_values(key).reset_index(drop=True)[sorted(out.columns)]
