@@ -654,6 +654,48 @@ def q_unpivot(sf_dir: str):
     return _round_cols(out, ["val"])
 
 
+def q_explode_vec(sf_dir: str):
+    """UNNEST WITH ORDINALITY over the embedding list column
+    (stages/reshape.explode): Arrow-native and zero-copy — the flattened
+    child array is referenced, parent rows gathered by one take() on
+    list_parent_indices; no shuffle. Exact DuckDB unnest +
+    generate_subscripts oracle."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.reshape import explode
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = explode(emb, "embedding", out_col="x", pos_col="pos").to_pandas()
+    out["x"] = out["x"].astype("float64")
+    return _round_cols(out[["vec_id", "pos", "x"]], ["x"])
+
+
+def q_collect_list_trace(sf_dir: str):
+    """array_agg / collect_list (the inverse of explode): gather each
+    user's event-type sequence in (ts, event_id) order into one Arrow
+    list per key — one coarse key-hash exchange, then a zero-copy
+    ListArray.from_arrays over per-bucket sort offsets; no per-group
+    Python lists (stages/reshape.collect_list). The list is joined to a
+    comma string for the hash compare, which also pins element ORDER.
+    Exact DuckDB string_agg(... ORDER BY) oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.reshape import collect_list
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    lists = collect_list(ev, "user_id", "event_type",
+                         sort_by=["ts", "event_id"], out_col="types")
+
+    def join_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "trace": pc.binary_join(t["types"], ",")})
+
+    return lists.map_batches(join_fn, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+
+
 def q_cate_agg(sf_dir: str):
     """sum_cate / count_cate (default_defs/*_by_category_def.cc):
     'cat1:agg,cat2:agg' strings, categories ascending."""
@@ -2980,6 +3022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "pivot_agg": q_pivot_agg,
         "unpivot": q_unpivot,
+        "explode_vec": q_explode_vec,
+        "collect_list_trace": q_collect_list_trace,
         "rollup_agg": q_rollup_agg,
         "resample_ffill": q_resample_ffill,
         "cate_agg": q_cate_agg,
@@ -3408,6 +3452,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(l_discount, 6) FROM lineitem
             UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
                    ROUND(l_tax, 6) FROM lineitem
+        """,
+        "explode_vec": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS pos,
+                   ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+            FROM embeddings
+        """,
+        "collect_list_trace": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS trace
+            FROM events GROUP BY user_id
         """,
         "cate_agg": """
             WITH per AS (

@@ -162,6 +162,96 @@ def pivot_agg(
                             num_partitions=num_partitions)
 
 
+def explode(ds, list_col: str, *, out_col: str | None = None,
+            pos_col: str | None = None):
+    """UNNEST a list column into one row per element — Arrow-native and
+    zero-copy: the flattened child array is referenced, not rebuilt, and
+    the parent rows are gathered with one ``take`` on
+    ``list_parent_indices``. SQL semantics: NULL and empty lists produce
+    no rows. ``pos_col`` adds the 0-based ordinality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        out = t.drop_columns([list_col]).take(idx)
+        out = out.append_column(out_col or list_col, flat)
+        if pos_col:
+            lengths = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+            first = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            pos = (np.arange(int(lengths.sum()))
+                   - np.repeat(first, lengths))
+            out = out.append_column(pos_col, pa.array(pos, pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def collect_list(ds, key, value_col: str, *, sort_by=None,
+                 out_col: str | None = None,
+                 num_buckets: int | None = None,
+                 num_partitions: int | None = None):
+    """The inverse of :func:`explode`: gather ``value_col`` into one
+    Arrow list per key (assembling token sequences / per-user event
+    traces). One coarse key-hash exchange; inside each bucket ONE Arrow
+    sort + a zero-copy ``ListArray.from_arrays(offsets, values)`` — no
+    per-group Python list building. ``sort_by`` fixes the element order
+    (pass a unique column for determinism); NULL values are kept as list
+    elements (SQL's array_agg keeps them too unless filtered first)."""
+    import pyarrow as pa
+
+    from ..core.grouping import map_groups_typed
+    from ..core.hashing import (add_bucket_column, default_num_buckets,
+                                quiet_ray_data_logs)
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if len(keys) != 1:
+        raise ValueError("collect_list: single key column only")
+    key = keys[0]
+    sort_cols = [key] + ([sort_by] if isinstance(sort_by, str)
+                         else list(sort_by or []))
+    name = out_col or f"{value_col}_list"
+
+    nb = num_buckets or default_num_buckets()
+    add_b = add_bucket_column([key], "__b", nb)
+    pre = ds.select_columns(list(dict.fromkeys(sort_cols + [value_col]))) \
+        .map_batches(add_b, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        t = t.drop_columns(["__b"]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        kcol = t.column(key)
+        codes = pd.factorize(kcol.to_pandas(), use_na_sentinel=False)[0]
+        n = len(t)
+        if n == 0:
+            empty = pa.ListArray.from_arrays(
+                pa.array([0], pa.int32()),
+                t.column(value_col).combine_chunks())
+            return pa.table({key: kcol.combine_chunks(),
+                             name: empty.slice(0, 0)})
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(newg)
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        values = t.column(value_col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        return pa.table({key: kcol.take(pa.array(starts)), name: la})
+
+    return map_groups_typed(pre, "__b", per_bucket,
+                            batch_format="pyarrow",
+                            num_partitions=num_partitions)
+
+
 def unpivot(
     ds,
     id_cols,

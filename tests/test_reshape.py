@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 import ray
 
-from openmldb_ray.stages.reshape import pivot_agg, unpivot
+from openmldb_ray.stages.reshape import (collect_list, explode, pivot_agg,
+                                         unpivot)
 
 
 @pytest.fixture(scope="module")
@@ -71,6 +72,70 @@ def test_pivot_fixed_categories_and_guards(ray_session, data):
         pivot_agg(ds, "k", "cat", "v", agg="median")
     with pytest.raises(ValueError, match="collide"):
         pivot_agg(ds, "k", "cat", "v", categories=["x y", "x_y"])
+
+
+def test_explode_parity(ray_session):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        n = rng.integers(0, 6)
+        rows.append({"id": i, "xs": None if rng.random() < 0.1
+                     else rng.integers(0, 100, n).tolist()})
+    df = pd.DataFrame(rows)
+    import pyarrow as pa
+    tbl = pa.table({"id": pa.array(df["id"], pa.int64()),
+                    "xs": pa.array(df["xs"], pa.list_(pa.int64()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = explode(ds, "xs", out_col="x", pos_col="pos").to_pandas() \
+        .sort_values(["id", "pos"]).reset_index(drop=True)
+    o = duckdb.sql("""
+        SELECT id, CAST(unnest(xs) AS BIGINT) AS x,
+               CAST(generate_subscripts(xs, 1) - 1 AS BIGINT) AS pos
+        FROM tbl ORDER BY id, pos""").df()
+    pd.testing.assert_frame_equal(out[["id", "x", "pos"]], o,
+                                  check_dtype=False)
+
+
+def test_collect_list_roundtrip(ray_session):
+    rng = np.random.default_rng(5)
+    n = 3_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "v": np.where(rng.random(n) < 0.05, np.nan, rng.random(n)),
+        "ord": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = collect_list(ds, "k", "v", sort_by="ord",
+                       out_col="vs").to_pandas()
+    assert len(out) == df["k"].nunique()
+    got = {r.k: list(r.vs) for r in out.itertuples()}
+    for k, g in df.sort_values("ord").groupby("k"):
+        exp = g["v"].tolist()
+        a = got[k]
+        assert len(a) == len(exp)
+        assert np.allclose(np.array(a, float), np.array(exp, float),
+                           equal_nan=True)
+    # split invariance
+    out2 = collect_list(ray.data.from_pandas(df).repartition(2), "k", "v",
+                        sort_by="ord", out_col="vs",
+                        num_buckets=8).to_pandas()
+    got2 = {r.k: list(r.vs) for r in out2.itertuples()}
+    for k in got:
+        assert np.allclose(np.array(got[k], float),
+                           np.array(got2[k], float), equal_nan=True)
+
+
+def test_explode_collect_inverse(ray_session):
+    import pyarrow as pa
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "xs": pa.array([[1, 2], [], [5, 6, 7]],
+                                   pa.list_(pa.int64()))})
+    ds = ray.data.from_arrow(tbl)
+    long = explode(ds, "xs", out_col="x", pos_col="p")
+    back = collect_list(long, "k", "x", sort_by="p",
+                        out_col="xs").to_pandas()
+    got = {r.k: list(r.xs) for r in back.itertuples()}
+    assert got == {1: [1, 2], 3: [5, 6, 7]}  # empty list drops (SQL UNNEST)
 
 
 def test_unpivot_parity(ray_session, data):
