@@ -2230,6 +2230,76 @@ def q_exact_quantile(sf_dir: str):
     return out[["q", "disc", "cont"]]
 
 
+def q_quantile_sketch(sf_dir: str):
+    """ONE-PASS approximate quantiles (stages/qsketch, MRL/KLL compactor
+    stack): the 100 TB scale path next to exact_quantile's multi-scan
+    refinement — per-batch mergeable stacks, 64-bucket parallel merge,
+    <=64-row driver fold; state is O(k log(n/k)) bytes. Property oracle:
+    every estimate's EXACT rank interval (counted distributed with one
+    more narrow scan) must be within 2% of its target quantile; the
+    constant ok-row hash-compares against SQL."""
+    import pyarrow.compute as pc
+
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.qsketch import quantile_sketch
+
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    est = quantile_sketch(li, "l_extendedprice", qs, k=512)
+
+    def rank_counts(t):
+        col = t["l_extendedprice"]
+        row = {"n": [t.num_rows]}
+        for i, q in enumerate(qs):
+            row[f"lt{i}"] = [pc.sum(pc.less(col, est[q])).as_py() or 0]
+            row[f"le{i}"] = [pc.sum(
+                pc.less_equal(col, est[q])).as_py() or 0]
+        import pyarrow as pa
+        return pa.table(row)
+
+    tot = li.map_batches(rank_counts, batch_format="pyarrow",
+                         batch_size=None).to_pandas().sum()
+    n = float(tot["n"])
+    ok = True
+    for i, q in enumerate(qs):
+        rl, rr = tot[f"lt{i}"] / n, tot[f"le{i}"] / n
+        ok &= max(0.0, rl - q, q - rr) < 0.02
+    return pd.DataFrame({"metric": ["sketch_rank_err_lt_2pct"],
+                         "within_bounds": [np.int64(ok)]})
+
+
+def q_quantile_sketch_by_key(sf_dir: str):
+    """Per-key one-pass quantile sketch ("P50/P99 per event type" in one
+    sketch-row shuffle, stages/qsketch.quantile_sketch_by_key). Property
+    oracle: each key's q50/q90 estimate must sit within 5% rank of its
+    target, with exact per-key ranks recounted distributed; the per-key
+    ok rows hash-compare against a constant-per-key SQL row set."""
+    from openmldb_ray.core.grouping import map_groups_typed
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.qsketch import quantile_sketch_by_key
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = quantile_sketch_by_key(ev, "event_type", "value", (0.5, 0.9),
+                                 k=256).to_pandas()
+    est = {r.event_type: (r.q_0_5, r.q_0_9) for r in out.itertuples()}
+
+    def per_key_rank(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["event_type"].iloc[0]
+        v = np.sort(g["value"].to_numpy())
+        gn = len(v)
+        ok = True
+        for q, e in zip((0.5, 0.9), est[key]):
+            rl = np.searchsorted(v, e, "left") / gn
+            rr = np.searchsorted(v, e, "right") / gn
+            ok &= max(0.0, rl - q, q - rr) < 0.05
+        return pd.DataFrame({"event_type": [key],
+                             "within_bounds": [np.int64(ok)]})
+
+    return map_groups_typed(ev, "event_type", per_key_rank,
+                            batch_format="pandas").to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 def q_tokens_to_shards(sf_dir: str):
     """The full pretraining-data tail in ONE streaming composition:
     quality rules -> text->tokens bridge -> greedy packing into <=256-token
@@ -3083,6 +3153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "hash_split": q_hash_split,
         "exact_quantile": q_exact_quantile,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_by_key": q_quantile_sketch_by_key,
         "knn_pq": q_knn_pq,
         "token_budget": q_token_budget,
         "top_per_user": q_top_per_user,
@@ -4018,6 +4090,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.99, quantile_disc(l_extendedprice, 0.99),
                    quantile_cont(l_extendedprice, 0.99) FROM lineitem
+        """,
+        "quantile_sketch": """
+            SELECT 'sketch_rank_err_lt_2pct' AS metric,
+                   CAST(1 AS BIGINT) AS within_bounds
+        """,
+        "quantile_sketch_by_key": """
+            SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS within_bounds
+            FROM events ORDER BY event_type
         """,
         "tokens_to_shards": r"""
             SELECT CAST(SUM(n_words) AS BIGINT) AS total_tok,

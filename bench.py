@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "robust_scale", "impute_mean", "quantile_bin", "compress_ratio",
     "json_extract", "rank_ops", "inner_join", "full_outer_join",
     "pivot_agg", "unpivot", "rollup_agg", "resample_ffill",
+    "explode_vec", "collect_list_trace", "quantile_sketch",
+    "quantile_sketch_by_key",
 ]
 
 
