@@ -8,11 +8,13 @@ fuzzer's comparison had to learn about.
 
 import pytest
 
-from tools.fuzz_relational import (fuzz_joins, fuzz_pivot, fuzz_rank,
-                                   fuzz_resample, fuzz_rollup)
+from tools.fuzz_relational import (fuzz_joins, fuzz_pivot, fuzz_qsketch,
+                                   fuzz_rank, fuzz_resample, fuzz_reshape,
+                                   fuzz_rollup)
 
 OPS = {"rank": fuzz_rank, "pivot": fuzz_pivot, "rollup": fuzz_rollup,
-       "joins": fuzz_joins, "resample": fuzz_resample}
+       "joins": fuzz_joins, "resample": fuzz_resample,
+       "reshape": fuzz_reshape, "qsketch": fuzz_qsketch}
 
 
 @pytest.mark.parametrize("op", sorted(OPS))

@@ -304,7 +304,151 @@ def fuzz_resample(seed: int, rows: int, rd) -> list[str]:
     return []
 
 
-OPS = [fuzz_rank, fuzz_pivot, fuzz_rollup, fuzz_joins, fuzz_resample]
+# ---------------------------------------------------------------------------
+# explode / collect_list (UNNEST + array_agg round trip)
+# ---------------------------------------------------------------------------
+
+def fuzz_reshape(seed: int, rows: int, rd) -> list[str]:
+    import duckdb
+    import pyarrow as pa
+
+    from openmldb_ray.stages.reshape import collect_list, explode
+
+    rng = random.Random(seed + 960_000)
+    nrng = np.random.default_rng(seed + 960_000)
+    str_vals = rng.random() < 0.4
+    lists, ids = [], []
+    for i in range(rows):
+        r = rng.random()
+        if r < 0.08:
+            lists.append(None)          # NULL list -> no rows
+        elif r < 0.16:
+            lists.append([])            # empty list -> no rows
+        else:
+            n = rng.randint(1, 6)
+            if str_vals:
+                el = [None if rng.random() < 0.1 else
+                      rng.choice("abcdef") * rng.randint(1, 3)
+                      for _ in range(n)]
+            else:
+                el = [None if rng.random() < 0.1 else
+                      float(nrng.integers(-9, 9)) for _ in range(n)]
+            lists.append(el)
+        ids.append(i)
+    typ = pa.list_(pa.string() if str_vals else pa.float64())
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "l": pa.array(lists, typ)})
+    out = explode(_part(rng, rd.from_arrow(tbl)), "l", out_col="v",
+                  pos_col="pos").to_pandas() \
+        .sort_values(["id", "pos"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    o = con.execute(
+        "SELECT id, unnest(l) AS v, generate_subscripts(l, 1) - 1 AS pos "
+        "FROM t ORDER BY id, pos").df()
+    bad = []
+    if len(out) != len(o):
+        bad.append(f"explode seed {seed}: rows {len(out)} vs {len(o)} "
+                   f"str={str_vals}")
+    else:
+        same_meta = ((out["id"].to_numpy() == o["id"].to_numpy()).all()
+                     and (out["pos"].to_numpy() == o["pos"].to_numpy()).all())
+        ev, dv = out["v"], o["v"]
+        if str_vals:
+            same_v = (ev.fillna("\0") == dv.fillna("\0")).all()
+        else:
+            same_v = np.allclose(ev.to_numpy(float, na_value=np.nan),
+                                 dv.to_numpy(float, na_value=np.nan),
+                                 equal_nan=True)
+        if not (same_meta and same_v):
+            bad.append(f"explode seed {seed}: value mismatch str={str_vals}")
+
+    # collect_list round trip over the exploded rows: per-id list rebuilt
+    # in ordinality order must string-agg identically to DuckDB
+    back = collect_list(rd.from_pandas(out).repartition(rng.randint(1, 9)),
+                        "id", "v", sort_by="pos").to_pandas()
+    joined = {int(r["id"]): ",".join("∅" if e is None or
+                                     (isinstance(e, float) and np.isnan(e))
+                                     else (e if str_vals else f"{e:.1f}")
+                                     for e in r["v_list"])
+              for _, r in back.iterrows()}
+    cast = "v" if str_vals else "printf('%.1f', v)"
+    con.register("o", o)
+    od = con.execute(
+        f"SELECT id, string_agg(COALESCE({cast}, '∅'), ',' ORDER BY pos) s "
+        "FROM o GROUP BY id").df()
+    con.close()
+    want = dict(zip(od["id"].astype(int), od["s"]))
+    if joined != want:
+        ks = [k for k in set(joined) | set(want)
+              if joined.get(k) != want.get(k)][:3]
+        bad.append(f"collect_list seed {seed}: mismatch ids {ks} "
+                   f"str={str_vals}")
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch (global + per-key) vs exact rank intervals
+# ---------------------------------------------------------------------------
+
+def fuzz_qsketch(seed: int, rows: int, rd) -> list[str]:
+    from openmldb_ray.stages.qsketch import (quantile_sketch,
+                                             quantile_sketch_by_key)
+
+    rng = random.Random(seed + 970_000)
+    nrng = np.random.default_rng(seed + 970_000)
+    n = rows * 30
+    dist = rng.choice(["uniform", "lognormal", "ties", "sorted"])
+    v = {"uniform": lambda: nrng.random(n),
+         "lognormal": lambda: nrng.lognormal(0, 2, n),
+         "ties": lambda: np.floor(1 / (nrng.random(n) + 1e-9)),
+         "sorted": lambda: np.sort(nrng.random(n))}[dist]()
+    v = np.where(nrng.random(n) < 0.05, np.nan, v)
+    k = rng.choice([128, 256])
+    bs = rng.choice([512, 4096, 65536])
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    eps = 0.06 if k == 128 else 0.04
+    df = pd.DataFrame({"k": nrng.integers(0, 4, n), "v": v})
+    clean = v[~np.isnan(v)]
+    srt = np.sort(clean)
+    nn = len(srt)
+
+    def rank_err(q: float, est: float) -> float:
+        rl = np.searchsorted(srt, est, "left") / nn
+        rr = np.searchsorted(srt, est, "right") / nn
+        return max(0.0, rl - q, q - rr)
+
+    bad = []
+    got = quantile_sketch(_part(rng, rd.from_pandas(df)), "v", qs,
+                          k=k, batch_size=bs)
+    for q, est in got.items():
+        e = rank_err(q, est)
+        if e > eps:
+            bad.append(f"qsketch seed {seed}: global q={q} rank err "
+                       f"{e:.4f} > {eps} dist={dist} k={k} bs={bs}")
+        if not (est in clean or np.isnan(est)):
+            bad.append(f"qsketch seed {seed}: q={q} value {est} not an "
+                       f"input item dist={dist}")
+    keyed = quantile_sketch_by_key(
+        _part(rng, rd.from_pandas(df)), "k", "v", [0.1, 0.5, 0.9],
+        k=k, batch_size=bs).to_pandas()
+    if sorted(keyed["k"]) != [0, 1, 2, 3]:
+        return bad + [f"qsketch seed {seed}: keyed keys {sorted(keyed['k'])}"]
+    for _, r in keyed.iterrows():
+        kv = df.loc[(df["k"] == r["k"]) & df["v"].notna(), "v"].to_numpy()
+        ks = np.sort(kv)
+        for q, c in [(0.1, "q_0_1"), (0.5, "q_0_5"), (0.9, "q_0_9")]:
+            rl = np.searchsorted(ks, r[c], "left") / len(ks)
+            rr = np.searchsorted(ks, r[c], "right") / len(ks)
+            e = max(0.0, rl - q, q - rr)
+            if e > eps:
+                bad.append(f"qsketch seed {seed}: key {r['k']} q={q} rank "
+                           f"err {e:.4f} > {eps} dist={dist} k={k}")
+    return bad
+
+
+OPS = [fuzz_rank, fuzz_pivot, fuzz_rollup, fuzz_joins, fuzz_resample,
+       fuzz_reshape, fuzz_qsketch]
 
 
 def run_seed(seed: int, rows: int, rd) -> list[str]:
