@@ -837,6 +837,23 @@ _PA_TY_NAME = {
 }
 
 
+
+def _arrow_blocks(ds) -> "list[pa.Table]":
+    """``ray.get(ds.to_arrow_refs())`` with pandas blocks converted:
+    to_arrow_refs returns RAW block refs, and Ray's native ops (sort-based
+    Aggregate in particular) emit pandas blocks for empty partitions, so a
+    collector must not assume every block is an Arrow table."""
+    import ray as _ray
+
+    out = []
+    for t in _ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False) \
+                .replace_schema_metadata(None)
+        out.append(t)
+    return out
+
+
 def _parse_options(s: str | None) -> dict:
     """``OPTIONS(mode='append', header=false, delimiter=',')`` → dict
     (quote-aware: a delimiter value of ',' must not split the list)."""
@@ -896,7 +913,7 @@ def _write_parquet_typed(ds, path: str, opts: dict | None = None):
     mode = str(opts.get("mode", "error_if_exists")).lower()
     if mode in ("error_if_exists", "errorifexists") and os.path.exists(path):
         raise FileExistsError(path)
-    tbls = [t for t in ray.get(ds.to_arrow_refs())
+    tbls = [t for t in _arrow_blocks(ds)
             if t.num_rows or t.num_columns]
     tbl = pa.concat_tables(tbls) if tbls else pa.table({})
     out = tbl.select([c for c in tbl.column_names if c != "__rid"])
@@ -926,7 +943,7 @@ def _write_csv_typed(ds, path: str, opts: dict | None = None) -> None:
     # default write mode is error_if_exists (SelectIntoPlan.scala:28-56;
     # test_out_in.yaml id 7)
     mode = str(opts.get("mode", "error_if_exists")).lower()
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows or t.num_columns]
+    tbls = [t for t in _arrow_blocks(ds) if t.num_rows or t.num_columns]
     tbl = pa.concat_tables(tbls) if tbls else None
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if mode in ("error_if_exists", "errorifexists") and os.path.exists(path):
@@ -1076,7 +1093,7 @@ def _exec_delete(s: str, tables: dict, indexes: dict | None) -> None:
         raise ValueError(f"DELETE key {sorted(kv)} does not match any index "
                          f"key of {tname!r} (matches reference)")
 
-    tbls = [t for t in _ray.get(tables[tname].to_arrow_refs())
+    tbls = [t for t in _arrow_blocks(tables[tname])
             if t.num_columns]
     if not tbls:
         return
@@ -1180,7 +1197,7 @@ def _run_script(stmts: list[str], tables: dict,
             offline_store = {}
             for k, v in tables.items():
                 if id(v) not in cache:
-                    tb = [t for t in _ray.get(v.to_arrow_refs())
+                    tb = [t for t in _arrow_blocks(v)
                           if t.num_columns]
                     cache[id(v)] = (rd.from_arrow(tb[0].slice(0, 0))
                                     if tb else v)
@@ -1522,7 +1539,7 @@ def _collect_arrow(ds) -> pd.DataFrame:
     e.g. acos(2) = nan vs empty-window sum = NULL)."""
     import ray
 
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    tbls = [t for t in _arrow_blocks(ds) if t.num_columns > 0]
     if not tbls:
         return pd.DataFrame()
     names = tbls[0].column_names

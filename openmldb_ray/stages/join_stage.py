@@ -248,6 +248,26 @@ def _df_to_typed_arrow(df: pd.DataFrame, types: dict) -> "pa.Table":
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _seed_typed_empty(out_ds, out_types: dict, planned: list[str]):
+    """Union ONE 0-row typed Arrow block onto a join output so an all-empty
+    result keeps its schema: Ray's map machinery skips empty blocks, so a
+    join over a rowless left collapses ``schema()`` to None downstream
+    (fuzzer-found via resample_asof's span<step empty grids). No-op when
+    any planned column's Arrow type is unknown (pandas-block inputs)."""
+    import pyarrow as pa
+
+    from ..core.empty_ds import is_empty_shim
+
+    if is_empty_shim(out_ds) or not planned \
+            or not all(isinstance(out_types.get(c), pa.DataType)
+                       for c in planned):
+        return out_ds
+    import ray.data as rd
+
+    seed = pa.table({c: pa.nulls(0, out_types[c]) for c in planned})
+    return out_ds.union(rd.from_arrow(seed))
+
+
 def _project_out(out: pd.DataFrame, left_cols: list[str],
                  out_cols: list[str] | None) -> pd.DataFrame:
     """Keep left columns + the requested right payload, drop join internals."""
@@ -358,6 +378,7 @@ def last_join(
             # the package logger (see openmldb_ray/__init__.py).
             rpdf = right
             out_types = {}
+            planned_out: list[str] = []
         else:
             import pyarrow as pa
             lsch = left.schema()
@@ -371,6 +392,14 @@ def last_join(
                 if isinstance(t, pa.DataType):
                     out_types.setdefault(rmap.get(n, n), t)
             rpdf = right.to_pandas()
+            # output layout of _project_out: left columns, then new right
+            # payload — used to seed a typed 0-row block (see
+            # _seed_typed_empty)
+            planned_out = list(dict.fromkeys(
+                list(lsch.names)
+                + [c for c in (out_cols if out_cols is not None
+                               else [rmap.get(n, n) for n in rsch.names])
+                   if c not in lsch.names]))
         rdf = _prep_right(rpdf, right_key, order_by, tiebreak, right_cols)
         if residual is not None:
             right_ref, single_ref = ray.put(rdf), None
@@ -394,13 +423,15 @@ def last_join(
             # datasets — actor pools are torn down per dataset, which
             # dominates wall-time for short queries)
             join_fn = _BroadcastLastJoin(**kwargs, lazy=True)
-            return left.map_batches(join_fn, batch_format="pandas",
-                                    batch_size=None)
-        return left.map_batches(
-            _BroadcastLastJoin,
-            batch_format="pandas",
-            fn_constructor_kwargs=kwargs,
-            concurrency=concurrency or (1, 16), batch_size=None)
+            out_ds = left.map_batches(join_fn, batch_format="pandas",
+                                      batch_size=None)
+        else:
+            out_ds = left.map_batches(
+                _BroadcastLastJoin,
+                batch_format="pandas",
+                fn_constructor_kwargs=kwargs,
+                concurrency=concurrency or (1, 16), batch_size=None)
+        return _seed_typed_empty(out_ds, out_types, planned_out)
 
     # ---- shuffle strategy: co-partition both sides by the join key ----
     lcols = list(left.schema().names)

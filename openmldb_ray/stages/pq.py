@@ -46,8 +46,21 @@ def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
     import ray
 
     ksub = 1 << nbits
-    sample = _normalize(_stack(ds.select_columns([col])
-                               .limit(sample_init).to_pandas()[col]))
+    # pin block order during init sampling: limit() under the default
+    # preserve_order=False returns whichever blocks finished first, making
+    # the k-means++ seeds scheduling-dependent (flaked split-invariance on
+    # a loaded box); with order pinned the first sample_init rows are the
+    # same for every partitioning of the same input
+    from ray.data import DataContext
+
+    _opts = DataContext.get_current().execution_options
+    _prev_po = _opts.preserve_order
+    _opts.preserve_order = True
+    try:
+        sample = _normalize(_stack(ds.select_columns([col])
+                                   .limit(sample_init).to_pandas()[col]))
+    finally:
+        _opts.preserve_order = _prev_po
     d = sample.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -95,6 +108,10 @@ def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
 
         parts = ds.select_columns([col]).map_batches(
             partial, batch_format="pandas", batch_size=None).to_pandas()
+        # deterministic fold order regardless of block arrival: within each
+        # (j, cl) group sum the partials in byte-sorted order
+        parts = parts.sort_values(["j", "cl", "cnt", "s"],
+                                  kind="stable").reset_index(drop=True)
         it_sse = 0.0
         new = books.copy()
         for (j, cl), g in parts.groupby(["j", "cl"]):

@@ -34,21 +34,25 @@ def time_grid(ds, key, ts_col: str, step: int, *, out_ts: str = "grid_ts"):
     rng = group_aggregate(ds, keys, [Agg.min(ts_col, "__mn"),
                                      Agg.max(ts_col, "__mx")])
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        mn = df["__mn"].to_numpy(np.int64)
-        mx = df["__mx"].to_numpy(np.int64)
+    import pyarrow as pa
+
+    def expand(t: pa.Table) -> pa.Table:
+        mn = t.column("__mn").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t.column("__mx").to_numpy(zero_copy_only=False).astype(np.int64)
         # ceil to the next step multiple, exact for negatives too
         start = -(-mn // step) * step
         counts = np.maximum((mx - start) // step + 1, 0)
-        rep = np.repeat(np.arange(len(df)), counts)
+        rep = np.repeat(np.arange(len(mn)), counts)
         # intra-key index: global arange minus each key's first position
         first = np.concatenate(([0], np.cumsum(counts)[:-1]))
         intra = np.arange(counts.sum()) - np.repeat(first, counts)
-        out = df.iloc[rep][keys].reset_index(drop=True)
-        out[out_ts] = start[rep] + intra * step
-        return out
+        # take keeps the key columns' Arrow types even when every grid is
+        # empty (span < step), so the Dataset schema stays typed end-to-end
+        out = t.select(keys).take(pa.array(rep, pa.int64()))
+        return out.append_column(
+            out_ts, pa.array(start[rep] + intra * step, pa.int64()))
 
-    return rng.map_batches(expand, batch_format="pandas", batch_size=None)
+    return rng.map_batches(expand, batch_format="pyarrow", batch_size=None)
 
 
 def resample_asof(

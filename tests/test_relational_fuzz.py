@@ -18,7 +18,7 @@ OPS = {"rank": fuzz_rank, "pivot": fuzz_pivot, "rollup": fuzz_rollup,
 
 
 @pytest.mark.parametrize("op", sorted(OPS))
-@pytest.mark.parametrize("seed", [0, 1, 2, 9])
+@pytest.mark.parametrize("seed", [0, 1, 2, 9, 25])
 def test_fuzz_seed(ray_session, op, seed):
     import ray.data as rd
 

@@ -69,3 +69,16 @@ def test_grid_alignment(ray_session):
     assert g["grid_ts"].tolist() == [10, 20, 30]  # epoch-aligned, <= max
     with pytest.raises(ValueError, match="step"):
         time_grid(ray.data.from_pandas(ev), "k", "ts", 0)
+
+
+def test_empty_grid_keeps_typed_schema(ray_session):
+    # span < step => every key's grid is empty; the result must still be a
+    # TYPED empty dataset (fuzzer seed 25 found schema=None here before the
+    # Arrow-native expand)
+    ev = pd.DataFrame({"k": [1, 2], "ts": np.array([3, 7], np.int64),
+                       "val": [1.0, 2.0], "eid": [0, 1]})
+    out = resample_asof(ray.data.from_pandas(ev), "k", "ts", 1000,
+                        ["val"], tiebreak="eid")
+    sch = out.schema()
+    assert sch is not None and sch.names[:2] == ["k", "grid_ts"]
+    assert out.count() == 0

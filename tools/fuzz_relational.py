@@ -292,8 +292,10 @@ def fuzz_resample(seed: int, rows: int, rd) -> list[str]:
                FROM grid g JOIN ev ON ev.k = g.k AND ev.ts <= g.grid_ts)
       SELECT k, grid_ts, val FROM pick WHERE rn = 1""").df()
     con.close()
-    a = out[["k", "grid_ts", "val"]].sort_values(["k", "grid_ts"]) \
-        .reset_index(drop=True)
+    # Ray's to_pandas drops column names when every block is empty (all
+    # grids empty because span < step) — the Dataset schema is still typed
+    a = out.reindex(columns=["k", "grid_ts", "val"]) \
+        .sort_values(["k", "grid_ts"]).reset_index(drop=True)
     b = o.sort_values(["k", "grid_ts"]).reset_index(drop=True)
     if len(a) != len(b):
         return [f"resample seed {seed}: rows {len(a)} vs {len(b)} "
