@@ -348,16 +348,20 @@ def last_join(
         # of executing the upstream pipeline twice (VERDICT r1 fix #5).
         # preserve_order pins the block order during this materialization:
         # the unsorted LAST JOIN's "last stored row" is defined by arrival
-        # order, which must not vary with Ray task scheduling
-        from ray.data import DataContext
-
-        opts = DataContext.get_current().execution_options
-        prev_preserve = opts.preserve_order
-        opts.preserve_order = True
+        # order, which must not vary with Ray task scheduling. Set on the
+        # DATASET's captured context — Ray deep-copies DataContext into
+        # each dataset at creation, so mutating the global one is a no-op
+        # for a dataset the caller built earlier.
+        _ctx = getattr(right, "context", None)  # EmptyTypedDataset has none
+        opts = _ctx.execution_options if _ctx is not None else None
+        prev_preserve = opts.preserve_order if opts is not None else None
+        if opts is not None:
+            opts.preserve_order = True
         try:
             right = right.materialize()
         finally:
-            opts.preserve_order = prev_preserve
+            if opts is not None:
+                opts.preserve_order = prev_preserve
         if strategy == "auto":
             strategy = "broadcast" if right.count() <= broadcast_limit else "shuffle"
 

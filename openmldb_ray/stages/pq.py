@@ -50,10 +50,10 @@ def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
     # preserve_order=False returns whichever blocks finished first, making
     # the k-means++ seeds scheduling-dependent (flaked split-invariance on
     # a loaded box); with order pinned the first sample_init rows are the
-    # same for every partitioning of the same input
-    from ray.data import DataContext
-
-    _opts = DataContext.get_current().execution_options
+    # same for every partitioning of the same input. The flag must be set
+    # on the DATASET's captured context — Ray deep-copies DataContext into
+    # each dataset at creation, so the global context is ignored here.
+    _opts = ds.context.execution_options
     _prev_po = _opts.preserve_order
     _opts.preserve_order = True
     try:
