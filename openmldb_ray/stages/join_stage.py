@@ -248,6 +248,18 @@ def _df_to_typed_arrow(df: pd.DataFrame, types: dict) -> "pa.Table":
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _named_pandas(ds) -> pd.DataFrame:
+    """``ds.to_pandas()`` with columns restored from the Dataset schema:
+    Ray drops column names when every block is empty, which would crash a
+    broadcast join's key projection on a legitimately rowless side."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        sch = ds.schema()
+        if sch is not None and sch.names:
+            df = df.reindex(columns=list(sch.names))
+    return df
+
+
 def _seed_typed_empty(out_ds, out_types: dict, planned: list[str]):
     """Union ONE 0-row typed Arrow block onto a join output so an all-empty
     result keeps its schema: Ray's map machinery skips empty blocks, so a
@@ -395,7 +407,7 @@ def last_join(
             for n, t in zip(rsch.names, rsch.types):
                 if isinstance(t, pa.DataType):
                     out_types.setdefault(rmap.get(n, n), t)
-            rpdf = right.to_pandas()
+            rpdf = _named_pandas(right)
             # output layout of _project_out: left columns, then new right
             # payload — used to seed a typed 0-row block (see
             # _seed_typed_empty)
@@ -619,7 +631,7 @@ def left_join(
             return _bucket_equi_join(left, right, (left_key, right_key),
                                      how="left", right_cols=right_cols,
                                      num_partitions=num_partitions)
-        rdf = right.to_pandas()
+        rdf = _named_pandas(right)
     else:
         rdf = right
     if right_cols:
@@ -684,7 +696,7 @@ def inner_join(
             return _bucket_equi_join(left, right, (left_key, right_key),
                                      how="inner", right_cols=right_cols,
                                      num_partitions=num_partitions)
-        rdf = right.to_pandas()
+        rdf = _named_pandas(right)
     else:
         rdf = right
     if right_cols:
@@ -744,7 +756,7 @@ def cross_join(
                 f"cross_join: right side has {n} rows > right_limit="
                 f"{right_limit}; a large cartesian product is almost "
                 "certainly a bug — raise right_limit explicitly if not")
-        rdf = right.to_pandas()
+        rdf = _named_pandas(right)
     else:
         rdf = right
         if len(rdf) > right_limit:

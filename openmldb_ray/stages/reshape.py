@@ -47,6 +47,8 @@ def pivot_categories(ds, cat_col: str, *, cap: int = 10_000) -> list:
     parts = (ds.select_columns([cat_col])
              .map_batches(block_unique, batch_format="pandas",
                           batch_size=None).to_pandas())
+    if "c" not in parts.columns:   # all-empty input: Ray skips the UDF
+        return []
     cats = sorted(parts["c"].unique().tolist())
     if len(cats) > cap:
         raise ValueError(
