@@ -256,7 +256,16 @@ def _named_pandas(ds) -> pd.DataFrame:
     if df.shape[1] == 0:
         sch = ds.schema()
         if sch is not None and sch.names:
-            df = df.reindex(columns=list(sch.names))
+            import pyarrow as pa
+
+            # fresh construction, not reindex: the degenerate empty frame
+            # Ray returns can hold a 2-D manager block that reindex chokes
+            # on (pandas take_2d ValueError)
+            if all(isinstance(t, pa.DataType) for t in sch.types):
+                df = pa.table({n: pa.nulls(0, t) for n, t
+                               in zip(sch.names, sch.types)}).to_pandas()
+            else:
+                df = pd.DataFrame(columns=list(sch.names))
     return df
 
 

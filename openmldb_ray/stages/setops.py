@@ -125,8 +125,23 @@ def _setop(a, b, keep_in_right: bool, num_buckets: int | None):
     nb = num_buckets or default_num_buckets()
     both = both.map_batches(add_bucket_column(cols, _BUCKET, nb),
                             batch_format="pyarrow", batch_size=None)
-    return map_groups_typed(both, _BUCKET, _make_bucket_fn(cols, keep_in_right),
+    out = map_groups_typed(both, _BUCKET, _make_bucket_fn(cols, keep_in_right),
                             batch_format="pyarrow")
+    # one 0-row typed seed block: an all-excepted (empty) result must keep
+    # its schema — Ray's groupby emits no blocks for it, collapsing
+    # schema() to None downstream (found by the sf0.1 oracle sweep, where
+    # EXCEPT is legitimately empty). Schemas were already probed above.
+    from ..core.empty_ds import is_empty_shim
+
+    sa = a.schema()
+    if not is_empty_shim(out) and all(isinstance(t, pa.DataType)
+                                      for t in sa.types):
+        import ray.data as rd
+
+        types = dict(zip(sa.names, sa.types))
+        seed = pa.table({c: pa.nulls(0, types[c]) for c in cols})
+        out = out.union(rd.from_arrow(seed))
+    return out
 
 
 def intersect_distinct(a: "ray.data.Dataset", b: "ray.data.Dataset", *,

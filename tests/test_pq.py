@@ -149,3 +149,53 @@ def test_nbits_over_8(ray_session):
                       np.arange(3), k=5).to_pandas()
     assert len(out) == 15
     assert (out.groupby("query_id").size() == 5).all()
+
+
+def test_adc_rerank_exact_when_covering(data):
+    """rerank >= corpus size makes the shortlist the whole corpus, so the
+    exact re-scoring pass must reproduce brute-force top-k exactly
+    (IVFADC+R; sf0.1 oracle sweep found ADC-only recall at 0.44 vs the
+    0.6 floor — rerank=50 lifts it to 0.94 there)."""
+    df, Xn = data
+    ds = ray.data.from_pandas(df).repartition(4)
+    model = pq_fit(ds, m=M, nbits=NBITS, iters=2, seed=7)
+    qm = Xn[:4]
+    qids = np.arange(4)
+    exact = knn_brute_force(ds, qm, qids, k=5).to_pandas()
+    rr = pq_adc_topk(pq_encode(ds, model), model, qm, qids, k=5,
+                     rerank=len(df)).to_pandas()
+    for qid in qids:
+        e = exact[exact["query_id"] == qid].sort_values("rank")
+        a = rr[rr["query_id"] == qid].sort_values("rank")
+        assert list(a["neighbor_id"]) == list(e["neighbor_id"])
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   e["score"].to_numpy(), atol=1e-9)
+
+
+def test_adc_rerank_beats_plain_adc(data):
+    df, Xn = data
+    ds = ray.data.from_pandas(df).repartition(4)
+    model = pq_fit(ds, m=M, nbits=NBITS, iters=2, seed=7)
+    qm = Xn[:8]
+    qids = np.arange(8)
+    enc = pq_encode(ds, model)
+    exact = knn_brute_force(ds, qm, qids, k=5).to_pandas()
+
+    def recall(approx):
+        hits = 0
+        for qid in qids:
+            a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+            e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+            hits += len(a & e) / max(len(e), 1)
+        return hits / len(qids)
+
+    plain = recall(pq_adc_topk(enc, model, qm, qids, k=5).to_pandas())
+    r50 = recall(pq_adc_topk(enc, model, qm, qids, k=5,
+                             rerank=50).to_pandas())
+    r150 = recall(pq_adc_topk(enc, model, qm, qids, k=5,
+                              rerank=150).to_pandas())
+    # monotone in shortlist depth, and a real lift over plain ADC
+    # (measured 0.4 plain / 0.725 @50 / 0.925 @150 at these tiny M=4
+    # NBITS=5 codebooks)
+    assert plain <= r50 <= r150
+    assert r50 >= 0.6 and r150 >= 0.85

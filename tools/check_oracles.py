@@ -28,6 +28,10 @@ def to_pandas(res):
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    if not len(df):
+        # apply(axis=1) on a 0-row frame returns a DataFrame, not a
+        # Series — short-circuit (a 0-row result still compares schema)
+        return df.reset_index(drop=True)
     sort_cols = list(df.columns)
     # sort by stringified values for a stable order-insensitive compare
     key = df.astype(str).apply(lambda r: "|".join(r.values), axis=1)
