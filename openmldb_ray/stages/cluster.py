@@ -70,8 +70,12 @@ def kmeans_fit(
         narrow = narrow.materialize()
 
     # deterministic seeded k-means++ init from a driver sample (init only
-    # — every Lloyd iteration below sees the full dataset)
-    sample = _stack(narrow.limit(sample_init).to_pandas()[col])
+    # — every Lloyd iteration below sees the full dataset); value-hash
+    # selection: representative of the whole table and independent of
+    # partitioning/scheduling (core/sampling.py)
+    from ..core.sampling import hash_sample
+
+    sample = hash_sample(narrow, col, sample_init, stack=_stack)
     rng = np.random.default_rng(seed)
     centroids = _kmeanspp(sample, min(k, len(sample)), rng)
     init = centroids.copy()

@@ -45,22 +45,14 @@ def pq_fit(ds, col: str = "embedding", *, m: int = 8, nbits: int = 8,
     Returns {"codebooks": (m, ksub, dsub), "m", "dsub", "col", "inertia"}."""
     import ray
 
+    from ..core.sampling import hash_sample
+
     ksub = 1 << nbits
-    # pin block order during init sampling: limit() under the default
-    # preserve_order=False returns whichever blocks finished first, making
-    # the k-means++ seeds scheduling-dependent (flaked split-invariance on
-    # a loaded box); with order pinned the first sample_init rows are the
-    # same for every partitioning of the same input. The flag must be set
-    # on the DATASET's captured context — Ray deep-copies DataContext into
-    # each dataset at creation, so the global context is ignored here.
-    _opts = ds.context.execution_options
-    _prev_po = _opts.preserve_order
-    _opts.preserve_order = True
-    try:
-        sample = _normalize(_stack(ds.select_columns([col])
-                                   .limit(sample_init).to_pandas()[col]))
-    finally:
-        _opts.preserve_order = _prev_po
+    # value-hash init sample: deterministic, partition/scheduling
+    # independent, and drawn from the WHOLE table — limit(n) is biased on
+    # position-clustered 100 TB tables and scheduling-dependent under
+    # preserve_order=False (flaked split-invariance on a loaded box)
+    sample = _normalize(hash_sample(ds, col, sample_init, stack=_stack))
     d = sample.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")

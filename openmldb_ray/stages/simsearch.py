@@ -237,7 +237,9 @@ def knn_ivf(
     scores only vectors whose centroid is among its ``nprobe`` nearest.
     Cost scales with nprobe/num_centroids; recall grows with nprobe.
     Same output schema as knn_brute_force."""
-    sample = _stack(ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col])
+    from ..core.sampling import hash_sample
+
+    sample = hash_sample(ds, vec_col, sample_size, stack=_stack)
     centroids = _kmeans_lite(_normalize(sample), num_centroids, seed=seed)
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qc = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -396,8 +398,9 @@ def semantic_dedup(
     bounded."""
     from .dedup import _chunked_verify, _collapse_exact, anti_join_ids
 
-    sample = _stack(ds.select_columns([vec_col]).limit(sample_size)
-                    .to_pandas()[vec_col])
+    from ..core.sampling import hash_sample
+
+    sample = hash_sample(ds, vec_col, sample_size, stack=_stack)
     centroids = _kmeans_lite(_normalize(sample), num_clusters, seed=seed)
     cref = ray.put(centroids)
 
@@ -540,7 +543,9 @@ def knn_join(
     if strategy != "ivf":
         raise ValueError(f"strategy={strategy!r}")
 
-    sample = _stack(right.limit(sample_size).to_pandas()[vec_col])
+    from ..core.sampling import hash_sample
+
+    sample = hash_sample(right, vec_col, sample_size, stack=_stack)
     centroids = _kmeans_lite(_normalize(sample), num_centroids, seed=seed)
     cref = ray.put(centroids)
     dim = sample.shape[1]

@@ -46,9 +46,8 @@ def test_fit_matches_naive(data):
     model = pq_fit(ds, m=M, nbits=NBITS, iters=3, seed=7)
     # reconstruct the deterministic init and run the same Lloyd naively
     from openmldb_ray.stages.cluster import _kmeanspp
-    sample = _normalize(np.stack(
-        ds.limit(2048).to_pandas()["embedding"].to_numpy())
-        .astype(np.float64))
+    from openmldb_ray.core.sampling import hash_sample
+    sample = _normalize(hash_sample(ds, "embedding", 2048))
     rng = np.random.default_rng(7)
     dsub = Xn.shape[1] // M
     init = np.stack([_kmeanspp(
