@@ -46,6 +46,18 @@ def main() -> int:
                     help="local-mode CPU count (omit on a real cluster)")
     args = ap.parse_args()
 
+    import os
+
+    if os.path.isdir(args.input):
+        # an sf table DIRECTORY was passed: curation runs on the documents
+        # table (reading the whole dir would union unrelated tables into
+        # one cryptic Acero schema error)
+        cand = os.path.join(args.input, "documents.parquet")
+        if not os.path.exists(cand):
+            ap.error(f"--input {args.input} is a directory without "
+                     f"documents.parquet")
+        args.input = cand
+
     import ray
 
     if not ray.is_initialized():
