@@ -52,6 +52,9 @@ def _to_pandas_typed(ds) -> pd.DataFrame:
 
 
 def _round_cols(df: pd.DataFrame, cols) -> pd.DataFrame:
+    # always a fresh copy: callers routinely pass column-slices, and
+    # assigning into a slice raises pandas' SettingWithCopyWarning
+    df = df.copy()
     for c in cols:
         df[c] = pd.to_numeric(df[c], errors="coerce").astype(float).round(_R6)
     return df
@@ -1752,11 +1755,23 @@ def q_hopping_agg(sf_dir: str):
         aggs={"cnt": ("count", None), "sum_value": ("sum", "value"),
               "min_value": ("min", "value"), "max_value": ("max", "value"),
               "avg_value": ("mean", "value")}).to_pandas()
+    eng_avg = pd.to_numeric(out["avg_value"], errors="coerce").to_numpy(float)
     out = _round_cols(out, ["sum_value", "min_value", "max_value"])
     # avg = rounded_sum / cnt on BOTH sides: sf0.1 exposed exact half-ties
-    # at the 6th decimal (2-decimal values / power-of-two counts land on
+    # at the 6th decimal (2-decimal values / power-of-two values land on
     # multiples of 1e-2/2^k), where numpy half-even and DuckDB ROUND
-    # disagree; dividing the identical rounded doubles is bit-exact
+    # disagree; dividing the identical rounded doubles is bit-exact.
+    # The ENGINE mean stays under test: assert it equals sum/cnt within
+    # 1e-9 before the overwrite, so a mean-kernel regression still fails
+    # this query rather than vanishing behind the replay.
+    exact_avg = (pd.to_numeric(out["sum_value"], errors="coerce")
+                 / out["cnt"]).to_numpy(float)
+    both = np.isfinite(eng_avg) & np.isfinite(exact_avg)
+    if np.isfinite(eng_avg).sum() != np.isfinite(exact_avg).sum() or (
+            both.any() and np.abs(eng_avg[both] - exact_avg[both]).max()
+            > 1e-6):
+        raise AssertionError(
+            "hopping_agg: engine avg_value diverges from sum/cnt")
     out["avg_value"] = out["sum_value"] / out["cnt"]
     return out
 

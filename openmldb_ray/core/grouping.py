@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextvars
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -83,6 +84,33 @@ def null_int_types_mapper(tp):
             pa.uint32(): pd.Int64Dtype(), pa.uint64(): pd.Int64Dtype(),
         }
     return _NULL_INT_DTYPES.get(tp)
+
+
+def arrow_col_type(schema, col: str) -> "pa.DataType":
+    """A column's ``pyarrow.DataType`` from a ``ray.data`` Schema, safe
+    for PANDAS-block datasets carrying extension dtypes: Ray's
+    ``Schema.types`` calls ``pa.from_numpy_dtype`` on each dtype and, for
+    a pandas ``Int64Dtype``/``boolean`` block, logs
+    ``ERROR -- Error converting dtype Int64 to Arrow`` and yields None
+    (which ``np.dtype(None)`` then silently reads as float64 — breaking
+    the exact-integer-sum contract downstream). This helper never touches
+    ``Schema.types`` on a pandas block schema; extension dtypes resolve
+    through their ``numpy_dtype``. Raises TypeError for dtypes with no
+    Arrow equivalent."""
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return base.field(col).type
+    names = list(base.names)
+    tp = list(base.types)[names.index(col)]
+    if isinstance(tp, pa.DataType):
+        return tp
+    npdt = getattr(tp, "numpy_dtype", None)  # pandas extension dtypes
+    try:
+        return pa.from_numpy_dtype(npdt if npdt is not None
+                                   else np.dtype(tp))
+    except (pa.ArrowNotImplementedError, TypeError) as e:
+        raise TypeError(f"column {col!r}: no Arrow equivalent for "
+                        f"dtype {tp}") from e
 
 
 def key_strings(s: pd.Series, sentinel: str = NULL_KEY_SENTINEL):

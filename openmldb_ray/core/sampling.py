@@ -13,11 +13,13 @@ pq.pq_fit, simsearch's IVF quantizers) needs a sample that is
 
 ``hash_sample`` achieves all three with one narrow streaming pass: each
 row's float64 bit pattern is folded into a 64-bit value hash (per-dim odd
-multipliers, wraparound sum — vectorized, no per-row Python), rows whose
-hash falls under ``margin·n/N`` survive the scan, and the driver keeps
-the n smallest hashes. The hash depends only on the VALUES, so the
-choice cannot vary with ordering or partitioning; duplicates of a vector
-hash identically (either copy is the same sample point).
+multipliers, wraparound sum — vectorized, no per-row Python), each BLOCK
+keeps only its n smallest hashes (the global n-smallest must be among
+them — no row count, no threshold, no second execution of the upstream
+pipeline), and the driver folds to the n smallest overall. The hash
+depends only on the VALUES, so the choice cannot vary with ordering or
+partitioning; duplicates of a vector hash identically (either copy is
+the same sample point).
 """
 
 from __future__ import annotations
@@ -46,19 +48,19 @@ def _row_hashes(x: np.ndarray) -> np.ndarray:
 def hash_sample(ds, col: str, n: int, *, margin: float = 4.0,
                 stack=None) -> np.ndarray:
     """Up to ``n`` vectors from ``col`` as an (n, d) float64 matrix,
-    chosen by smallest value hash. One narrow scan + a tiny driver fold;
-    ``margin`` bounds the candidate set at ~margin·n rows in expectation
-    (shortfalls are impossible below margin=1 only if the table is
-    smaller than n — then every row is a candidate)."""
+    chosen by smallest value hash. ONE narrow scan + a tiny driver fold:
+    each block keeps only its n smallest hashes (the global n-smallest
+    are necessarily among them), so no row count — and therefore no
+    second execution of the upstream pipeline — is needed. Candidate
+    volume is ≤ n rows per block. ``margin`` is kept for API
+    compatibility; the bottom-n-per-block bound makes it unnecessary."""
+    del margin  # superseded by the per-block bottom-n bound
     if stack is None:
         def stack(c):
             return np.ascontiguousarray(np.stack(c.to_numpy()),
                                         dtype=np.float64)
 
     narrow = ds.select_columns([col])
-    nt = narrow.count()
-    frac = 1.0 if nt <= n else min(1.0, margin * n / nt)
-    thresh = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         from .hashing import quiet_ray_data_logs
@@ -68,7 +70,10 @@ def hash_sample(ds, col: str, n: int, *, margin: float = 4.0,
                                  "__h": pd.Series([], dtype=np.uint64)})
         x = stack(df[col])
         h = _row_hashes(x)
-        keep = h <= thresh
+        if len(h) > n:
+            keep = np.argpartition(h, n - 1)[:n]
+        else:
+            keep = np.arange(len(h))
         return pd.DataFrame({col: df[col].to_numpy()[keep],
                              "__h": h[keep]})
 

@@ -842,16 +842,34 @@ def _arrow_blocks(ds) -> "list[pa.Table]":
     """``ray.get(ds.to_arrow_refs())`` with pandas blocks converted:
     to_arrow_refs returns RAW block refs, and Ray's native ops (sort-based
     Aggregate in particular) emit pandas blocks for empty partitions, so a
-    collector must not assume every block is an Arrow table."""
+    collector must not assume every block is an Arrow table.
+
+    Empty pandas blocks are the trap inside the trap: schema inference on
+    a 0-row object column yields Arrow ``null`` type, and the downstream
+    ``pa.concat_tables`` in the typed writers raises ArrowInvalid against
+    the real string blocks. 0-row pandas blocks are therefore dropped when
+    ANY Arrow block exists (the Arrow blocks carry the schema); when no
+    Arrow block exists they are cast to the dataset's unified schema."""
     import ray as _ray
 
-    out = []
-    for t in _ray.get(ds.to_arrow_refs()):
+    raw = _ray.get(ds.to_arrow_refs())
+    conv, first_empty = [], None
+    for t in raw:
         if isinstance(t, pd.DataFrame):
+            if not len(t):
+                if first_empty is None:
+                    first_empty = t
+                continue
             t = pa.Table.from_pandas(t, preserve_index=False) \
                 .replace_schema_metadata(None)
-        out.append(t)
-    return out
+        conv.append(t)
+    if not conv and first_empty is not None:
+        # every block was an empty pandas frame: no real schema exists
+        # anywhere, so inference (null-typed, but the ONLY block — no
+        # concat mismatch possible) at least preserves the column names
+        conv.append(pa.Table.from_pandas(first_empty, preserve_index=False)
+                    .replace_schema_metadata(None))
+    return conv
 
 
 def _parse_options(s: str | None) -> dict:

@@ -92,15 +92,14 @@ def category_stats(
     if target_col:
         import pyarrow as pa
 
-        sch = narrow.schema()
-        tp = sch.types[list(sch.names).index(target_col)]
-        if not isinstance(tp, pa.DataType):  # pandas-block schema
-            try:
-                tp = pa.from_numpy_dtype(np.dtype(tp))
-            except (pa.ArrowNotImplementedError, TypeError):
-                raise TypeError(
-                    f"category_stats: target {target_col!r} must be "
-                    f"numeric, got {tp}") from None
+        from ..core.grouping import arrow_col_type
+
+        try:
+            tp = arrow_col_type(narrow.schema(), target_col)
+        except TypeError:
+            raise TypeError(
+                f"category_stats: target {target_col!r} must be "
+                f"numeric") from None
         if not (pa.types.is_integer(tp) or pa.types.is_floating(tp)
                 or pa.types.is_boolean(tp)):
             raise TypeError(

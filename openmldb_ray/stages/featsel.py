@@ -56,18 +56,16 @@ def _numeric_types(ds, cols):
     """Validate columns are numeric; return per-column is-integer flags."""
     import pyarrow as pa
 
+    from ..core.grouping import arrow_col_type
+
     sch = ds.schema()
-    names = list(sch.names)
     flags = []
     for c in cols:
-        tp = sch.types[names.index(c)]
-        if not isinstance(tp, pa.DataType):
-            try:
-                tp = pa.from_numpy_dtype(np.dtype(tp))
-            except (pa.ArrowNotImplementedError, TypeError):
-                raise TypeError(
-                    f"featsel: column {c!r} must be numeric, got {tp}"
-                ) from None
+        try:
+            tp = arrow_col_type(sch, c)
+        except TypeError:
+            raise TypeError(
+                f"featsel: column {c!r} must be numeric") from None
         if not (pa.types.is_integer(tp) or pa.types.is_floating(tp)
                 or pa.types.is_boolean(tp)):
             raise TypeError(f"featsel: column {c!r} must be numeric, got {tp}")

@@ -204,9 +204,11 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             from ..core.hashing import quiet_ray_data_logs
             quiet_ray_data_logs()
-            if not len(df):
-                return pd.DataFrame({"query_id": [], "neighbor_id": [],
-                                     "score": []})
+            if not len(df) or not len(self.qids):
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64)})
             # code width follows the codebook size (uint16 past 256
             # codewords — matches _encode_mat's dtype choice)
             cdt = np.uint8 if ksub <= 256 else np.uint16
@@ -244,7 +246,16 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
         return out
 
     # ---- exact re-rank of the Q×rerank shortlist -----------------------
+    import ray.data as rd
+
+    _empty = pd.DataFrame({
+        "query_id": pd.Series([], dtype=np.int64),
+        "neighbor_id": pd.Series([], dtype=np.int64),
+        "score": pd.Series([], dtype=np.float64),
+        "rank": pd.Series([], dtype=np.int64)})
     short = out.to_pandas()                       # tiny by contract
+    if not len(short):                      # no queries / empty shortlist
+        return rd.from_pandas(_empty)
     want = set(short["neighbor_id"].tolist())
     want_ref = ray.put(want)
     vsrc = vectors if vectors is not None else ds
@@ -259,6 +270,15 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
 
     got = vsrc.map_batches(gather, batch_format="pandas",
                            batch_size=None).to_pandas()
+    if not len(got):
+        # a contract violation, not a data condition: the shortlist ids
+        # came FROM the indexed dataset, so a 0-row gather means the
+        # vectors source doesn't carry them — wrong vec_col/id_col or a
+        # vectors= dataset keyed differently from the index
+        raise ValueError(
+            f"pq_adc_topk rerank: none of the {len(want)} shortlist "
+            f"id_col={id_col!r} values were found in the vectors source "
+            f"(vec_col={vcol!r}) — check vectors=/vec_col=/id_col=")
     vecs = _normalize(_stack(got[vcol]))
     row_of = {int(i): r for r, i in enumerate(got[id_col].to_numpy())}
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -266,6 +286,11 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
     for qi, qv in zip(np.asarray(query_ids), qn):
         cand = short.loc[short["query_id"] == qi, "neighbor_id"].to_numpy()
         rows = [row_of[int(c)] for c in cand if int(c) in row_of]
+        if len(cand) and not rows:
+            raise ValueError(
+                f"pq_adc_topk rerank: query {qi!r} lost all "
+                f"{len(cand)} shortlist candidates in the gather "
+                f"(id_col={id_col!r}, vec_col={vcol!r})")
         cand = np.asarray([int(c) for c in cand if int(c) in row_of])
         sc = vecs[rows] @ qv
         order = np.lexsort((cand, -sc))[:k]
@@ -273,6 +298,5 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
             "query_id": qi, "neighbor_id": cand[order],
             "score": sc[order],
             "rank": np.arange(1, len(order) + 1, dtype=np.int64)}))
-    import ray.data as rd
-
-    return rd.from_pandas(pd.concat(frames, ignore_index=True))
+    return rd.from_pandas(pd.concat(frames, ignore_index=True)
+                          if frames else _empty)

@@ -81,16 +81,15 @@ def numeric_stats(
     """
     import pyarrow as pa
 
+    from ..core.grouping import arrow_col_type
+
     cols = [col] + ([by] if by else [])
     narrow = ds.select_columns(cols)
-    sch = narrow.schema()
-    tp = sch.types[list(sch.names).index(col)]
-    if not isinstance(tp, pa.DataType):
-        try:
-            tp = pa.from_numpy_dtype(np.dtype(tp))
-        except (pa.ArrowNotImplementedError, TypeError):
-            raise TypeError(
-                f"numeric_stats: {col!r} must be numeric, got {tp}") from None
+    try:
+        tp = arrow_col_type(narrow.schema(), col)
+    except TypeError:
+        raise TypeError(
+            f"numeric_stats: {col!r} must be numeric") from None
     if not (pa.types.is_integer(tp) or pa.types.is_floating(tp)
             or pa.types.is_boolean(tp)):
         raise TypeError(f"numeric_stats: {col!r} must be numeric, got {tp}")
