@@ -3102,22 +3102,73 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry order is a CONTRACT: the external driver hashes the FIRST
+    50 entries against oracle_sql() (CORRECTNESS_r{N}.json). The window
+    below holds a representative §2 core (12 entries — windows, as-of
+    joins, union backfill, sessionization, group agg, long-window
+    pre-agg, scalar library) plus the 38 highest-value LLM-data-pipeline
+    ops that had no driver row through round 3; everything after entry 50
+    stays covered by tools/check_oracles.py (132/132 in-repo sweep)."""
     return {
+        # ---- §2 core representatives (driver window 1-12) -------------
         "window_rows": q_window_rows,
         "window_range": q_window_range,
-        "window_range_open": q_window_range_open,
-        "window_exclude_current_row": q_window_exclude_current_row,
-        "window_range_end": q_window_range_end,
-        "lag_lead": q_lag_lead,
-        "window_where": q_window_where,
-        "last_join_asof": q_last_join_asof,
-        "last_join_unsorted": q_last_join_unsorted,
         "window_union": q_window_union,
+        "window_exclude_current_row": q_window_exclude_current_row,
+        "lag_lead": q_lag_lead,
+        "last_join_asof": q_last_join_asof,
         "lastjoin_window": q_lastjoin_window,
-        "sessionize": q_sessionize,
-        "session_agg": q_session_agg,
-        "request_window": q_request_window,
+        "multi_window": q_multi_window,
         "group_agg": q_group_agg,
+        "request_window": q_request_window,
+        "sessionize": q_sessionize,
+        "scalar_string_date": q_scalar_string_date,
+        # ---- LLM-data ops rotated into the window (13-50) -------------
+        "quality_filter": q_quality_filter,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "normalize_text": q_normalize_text,
+        "paragraph_dedup": q_paragraph_dedup,
+        "substr_dedup": q_substr_dedup,
+        "dup_clusters": q_dup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "chunk_tokens": q_chunk_tokens,
+        "tokens_to_shards": q_tokens_to_shards,
+        "shard_shuffle": q_shard_shuffle,
+        "mixture_sample": q_mixture_sample,
+        "dsir_select": q_dsir_select,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "domain_filter": q_domain_filter,
+        "token_budget": q_token_budget,
+        "top_per_user": q_top_per_user,
+        "per_key_sample": q_per_key_sample,
+        "exact_quantile": q_exact_quantile,
+        "quantile_by_key": q_quantile_by_key,
+        "quantile_sketch": q_quantile_sketch,
+        "rank_ops": q_rank_ops,
+        "score_norm": q_score_norm,
+        "ngram_counts": q_ngram_counts,
+        "repetition_stats": q_repetition_stats,
+        "collocations": q_collocations,
+        "token_freq": q_token_freq,
+        "compact_vocab": q_compact_vocab,
+        "bpe_learn": q_bpe_learn,
+        "lm_score": q_lm_score,
+        "nb_classify": q_nb_classify,
+        "knn_pq": q_knn_pq,
+        "knn_join": q_knn_join,
+        "multimodal": q_multimodal,
+        # ---- entry 51+: driver-window alumni (r1-r3 green rows) and the
+        # rest of the inventory, all in the in-repo oracle sweep --------
+        "window_range_open": q_window_range_open,
+        "window_range_end": q_window_range_end,
+        "window_where": q_window_where,
+        "last_join_unsorted": q_last_join_unsorted,
+        "session_agg": q_session_agg,
         "group_agg_where": q_group_agg_where,
         "group_stats": q_group_stats,
         "top_agg": q_top_agg,
@@ -3130,7 +3181,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect": q_intersect,
         "except": q_except,
         "union_distinct": q_union_distinct,
-        "multi_window": q_multi_window,
         "left_join": q_left_join,
         "inner_join": q_inner_join,
         "full_outer_join": q_full_outer_join,
@@ -3142,7 +3192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": q_resample_ffill,
         "cate_agg": q_cate_agg,
         "topn_cate": q_topn_cate,
-        "scalar_string_date": q_scalar_string_date,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "knn": q_knn,
@@ -3154,65 +3203,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
-        "quality_filter": q_quality_filter,
-        "pii_redact": q_pii_redact,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "substr_dedup": q_substr_dedup,
-        "pack_sequences": q_pack_sequences,
-        "dup_clusters": q_dup_clusters,
-        "chunk_tokens": q_chunk_tokens,
-        "ngram_counts": q_ngram_counts,
-        "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
         "bottomk_sample": q_bottomk_sample,
         "heavy_hitters": q_heavy_hitters,
         "text_embed_dedup": q_text_embed_dedup,
         "hll_distinct": q_hll_distinct,
         "sample_quantiles": q_sample_quantiles,
-        "decontaminate_bloom": q_decontaminate_bloom,
         "asof_tolerance": q_asof_tolerance,
         "label_join": q_label_join,
         "latest_snapshot": q_latest_snapshot,
         "range_join": q_range_join,
         "hopping_agg": q_hopping_agg,
-        "shard_shuffle": q_shard_shuffle,
-        "score_norm": q_score_norm,
-        "rank_ops": q_rank_ops,
         "kmeans_embed": q_kmeans_embed,
-        "mixture_sample": q_mixture_sample,
-        "dsir_select": q_dsir_select,
         "incremental_docs": q_incremental_docs,
-        "weighted_sample": q_weighted_sample,
-        "tokens_to_shards": q_tokens_to_shards,
-        "paragraph_dedup": q_paragraph_dedup,
-        "domain_filter": q_domain_filter,
-        "knn_join": q_knn_join,
-        "collocations": q_collocations,
-        "quantile_by_key": q_quantile_by_key,
-        "hll_by_key": q_hll_by_key,
         "winsorize": q_winsorize,
-        "per_key_sample": q_per_key_sample,
+        "hll_by_key": q_hll_by_key,
         "drift_psi": q_drift_psi,
-        "normalize_text": q_normalize_text,
-        "hash_split": q_hash_split,
-        "exact_quantile": q_exact_quantile,
-        "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_by_key": q_quantile_sketch_by_key,
-        "knn_pq": q_knn_pq,
-        "token_budget": q_token_budget,
-        "top_per_user": q_top_per_user,
-        "nb_classify": q_nb_classify,
         "snapshot_diff": q_snapshot_diff,
         "pca_embed": q_pca_embed,
-        "lm_score": q_lm_score,
-        "token_freq": q_token_freq,
         "semdedup": q_semdedup,
-        "bpe_learn": q_bpe_learn,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "compact_vocab": q_compact_vocab,
-        "decayed_sum": q_decayed_sum,
-        "tfidf": q_tfidf,
         "target_encode": q_target_encode,
         "count_encode": q_count_encode,
         "one_hot": q_one_hot,
@@ -3229,7 +3239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin": q_quantile_bin,
         "compress_ratio": q_compress_ratio,
         "json_extract": q_json_extract,
-        "multimodal": q_multimodal,
+        "decayed_sum": q_decayed_sum,
+        "tfidf": q_tfidf,
         "taxi_demo": q_taxi,
         "flagship": q_flagship,
         "sql_window": q_sql_window,
