@@ -23,12 +23,15 @@ UNION-style buffer (history rows at exactly T are included, like DuckDB's
 RANGE CURRENT ROW peer rows). Empty window → NULL for sum/avg/min/max,
 0 for count/count_star (reference UDAF null semantics).
 
-Known limitation (same class semi_join's exchange fixed in bbe994d, not
-yet applied here): request PAYLOAD columns ride the union exchange
-through pandas, so a nullable-int payload column fails the restore cast
-loudly and int payloads >= 2^53 lose exactness — keep request payloads
-to floats/strings/small ints, or pre-cast. Aggregated VALUE columns are
-unaffected (they are float64 by definition of the aggs).
+Payload exchange is Arrow-native (the semi_join typed-exchange idiom,
+bbe994d, applied here in round 4): the per-bucket kernel receives a
+pyarrow Table, converts ONLY the narrow kernel columns (keys, order_by,
+request flag, agg value columns) to pandas/numpy, and re-emits the
+request rows by ``Table.take`` on their original row positions — request
+payload columns never pass through pandas, so nullable-int payloads and
+int payloads past 2^53 survive bit-exact with their original Arrow
+types. Aggregated VALUE columns are float64/int64 by definition of the
+aggs.
 """
 
 from __future__ import annotations
@@ -162,35 +165,43 @@ def request_window_agg(
     add_b = add_bucket_column(keys, "__rwb",
                               num_buckets or default_num_buckets())
 
-    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__rwb", errors="ignore")
-        parts = [
-            _one_key(sub, order_by, aggs, preceding_ms, req_cols)
-            for _, sub in g.groupby(keys, sort=False, dropna=False)
-        ]
-        if not parts:
-            return _one_key(g, order_by, aggs, preceding_ms, req_cols)
-        return pd.concat(parts, ignore_index=True)
+    kernel_cols = sorted(set(keys) | {order_by, REQ_FLAG} | set(need_cols))
 
-    def restore_types(t: "pa.Table") -> "pa.Table":
-        # the union's null-padding promoted request int columns to float in
-        # the pandas kernel — cast back to the request schema's types
-        import pyarrow.compute as pc
-
-        for c in req_cols:
-            typ = req_types[c]
-            if c in t.column_names and t.schema.field(c).type != typ:
-                t = t.set_column(t.column_names.index(c), c,
-                                 pc.cast(t[c], typ))
-        return t
+    def bucket_fn(t: "pa.Table") -> "pa.Table":
+        # narrow pandas view for the numeric kernel only; payload columns
+        # stay in Arrow and are re-emitted by position (typed, exact)
+        nd = t.select(kernel_cols).to_pandas()
+        nd["__pos"] = np.arange(len(nd), dtype=np.int64)
+        pos_parts: list[np.ndarray] = []
+        agg_parts: dict[str, list[np.ndarray]] = {a.name: [] for a in aggs}
+        for _, sub in nd.groupby(keys, sort=False, dropna=False):
+            pos, vals = _one_key_arrays(sub, order_by, aggs, preceding_ms)
+            pos_parts.append(pos)
+            for a in aggs:
+                agg_parts[a.name].append(vals[a.name])
+        pos_all = (np.concatenate(pos_parts) if pos_parts
+                   else np.array([], dtype=np.int64))
+        out = t.select(req_cols).take(pa.array(pos_all, type=pa.int64()))
+        for a in aggs:
+            parts = agg_parts[a.name]
+            int_out = a.kind in ("count", "count_star")
+            v = (np.concatenate(parts) if parts
+                 else np.array([], dtype=np.int64 if int_out
+                               else np.float64))
+            out = out.append_column(
+                a.name, pa.array(v,
+                                 type=pa.int64() if int_out
+                                 else pa.float64(),
+                                 from_pandas=True))  # NaN -> null
+        return out
 
     from ..core.grouping import map_groups_typed
 
     return map_groups_typed(
         both.map_batches(add_b, batch_format="pyarrow", batch_size=None),
-        "__rwb", bucket_fn, batch_format="pandas",
+        "__rwb", bucket_fn, batch_format="pyarrow",
         num_partitions=num_partitions,
-    ).map_batches(restore_types, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _ts_f64(col: pd.Series) -> np.ndarray:
@@ -206,8 +217,14 @@ def _ts_f64(col: pd.Series) -> np.ndarray:
     return col.to_numpy(np.float64)
 
 
-def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
-             preceding_ms: int, req_cols: list[str]) -> pd.DataFrame:
+def _one_key_arrays(
+    g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
+    preceding_ms: int,
+) -> "tuple[np.ndarray, dict[str, np.ndarray]]":
+    """One key's kernel over the NARROW frame (keys, order_by, flag, agg
+    value columns, __pos): returns the request rows' original positions
+    in the bucket table (original within-key order) and one aligned numpy
+    array per agg — the caller reattaches payload via Arrow ``take``."""
     is_req = g[REQ_FLAG].to_numpy(bool)
     # null timestamps: a NaN history row would sort to the tail and land
     # inside any NaN request's searchsorted window — exclude them; null
@@ -224,7 +241,6 @@ def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
     lo = np.searchsorted(h_ts, r_ts - preceding_ms, side="left")
     hi = np.searchsorted(h_ts, r_ts, side="right")
 
-    out = req.iloc[order_r].reset_index(drop=True)[req_cols].copy()
     cache: dict[str, np.ndarray] = {}
 
     def col_vals(c: str) -> np.ndarray:
@@ -233,10 +249,15 @@ def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
                          .to_numpy(np.float64)[order_h]
         return cache[c]
 
+    # arrays below are aligned to ts-sorted request order; inv restores
+    # the original within-key order at the end
+    inv = np.empty_like(order_r)
+    inv[order_r] = np.arange(order_r.size)
     n_in_win = (hi - lo).astype(np.int64)
+    vals: dict[str, np.ndarray] = {}
     for a in aggs:
         if a.kind == "count_star":
-            out[a.name] = n_in_win
+            vals[a.name] = n_in_win[inv]
             continue
         v = col_vals(a.col)
         valid = (~np.isnan(v)).astype(np.float64)
@@ -245,16 +266,14 @@ def _one_key(g: pd.DataFrame, order_by: str, aggs: list[AggSpec],
         s = csum[hi] - csum[lo]
         c = (ccnt[hi] - ccnt[lo]).astype(np.int64)
         if a.kind == "count":
-            out[a.name] = c
+            out_v: np.ndarray = c
         elif a.kind == "sum":
-            out[a.name] = np.where(c > 0, s, np.nan)
+            out_v = np.where(c > 0, s, np.nan)
         elif a.kind == "avg":
-            out[a.name] = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+            out_v = np.where(c > 0, s / np.maximum(c, 1), np.nan)
         else:  # min / max
-            out[a.name] = _sliding_extreme(v, lo, hi,
-                                           want_max=(a.kind == "max"),
-                                           valid_in_win=c)
-    # restore the request rows' original within-key order
-    inv = np.empty_like(order_r)
-    inv[order_r] = np.arange(order_r.size)
-    return out.iloc[inv].reset_index(drop=True)
+            out_v = _sliding_extreme(v, lo, hi,
+                                     want_max=(a.kind == "max"),
+                                     valid_in_win=c)
+        vals[a.name] = out_v[inv]
+    return req["__pos"].to_numpy(np.int64), vals

@@ -83,3 +83,45 @@ def test_request_window_agg_rejects_unsupported_kind(ray_session, frames):
             rd.from_arrow(pa.Table.from_pandas(hist)),
             "k", "ts", [AggSpec(name="m", kind="median", col="v")],
             preceding_ms=1000)
+
+
+def test_request_payload_nullable_int_and_huge_ints_exact(ray_session):
+    """Round-4 regression: payload columns ride the exchange as Arrow —
+    nullable-int payloads survive (previously a loud restore-cast
+    failure) and int64 payloads past 2^53 stay bit-exact (previously
+    rounded through the pandas float64 union)."""
+    import ray.data as rd
+
+    from openmldb_ray.core.aggregates import AggSpec
+    from openmldb_ray.stages.request_window import request_window_agg
+
+    big = 2 ** 60
+    reqs = pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([100, 200, 150, 250], pa.int64()),
+        "payload_big": pa.array([big + 1, big + 2, big + 3, big + 4],
+                                pa.int64()),
+        "payload_null": pa.array([7, None, None, 9], pa.int64()),
+    })
+    hist = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([90, 180, 140], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0], pa.float64()),
+    })
+    out = request_window_agg(
+        rd.from_arrow(reqs), rd.from_arrow(hist), "k", "ts",
+        [AggSpec(name="s", kind="sum", col="v"),
+         AggSpec(name="n", kind="count_star")],
+        preceding_ms=50)
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert sch["payload_big"] == pa.int64()
+    assert sch["payload_null"] == pa.int64()
+    df = out.to_pandas().sort_values("ts").reset_index(drop=True)
+    got = {int(t): v for t, v in zip(df["ts"], df["payload_big"])}
+    assert got == {100: big + 1, 200: big + 2, 150: big + 3, 250: big + 4}
+    nulls = {int(t): v for t, v in zip(df["ts"], df["payload_null"])}
+    assert nulls[100] == 7 and nulls[250] == 9
+    assert pd.isna(nulls[200]) and pd.isna(nulls[150])
+    sums = {int(t): v for t, v in zip(df["ts"], df["s"])}
+    assert sums[100] == 10.0 and sums[200] == 20.0 and sums[150] == 30.0
+    assert pd.isna(sums[250])
