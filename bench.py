@@ -91,17 +91,18 @@ def flagship_num_docs(sf_dir: str) -> int:
     return n_docs * 200  # sf0.1 → 1M sequences
 
 
-def _bench_substr_tokens() -> int:
-    """Bench-scale ExactSubstr load test: 200k docs x 128 tokens (25.6M
-    tokens, one candidate row per token through the shuffle), 10% of docs
-    sharing a planted 60-token boilerplate span. Returns surviving rows."""
+def _bench_substr_tokens(n_docs: int = 200_000) -> int:
+    """Bench-scale ExactSubstr load test: n_docs x 128 tokens (25.6M
+    tokens at the 200k default, one candidate row per token through the
+    shuffle), 10% of docs sharing a planted 60-token boilerplate span.
+    Returns surviving rows."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
     from openmldb_ray.stages.tokenops import exact_substring_dedup
 
-    N, L = 200_000, 128
+    N, L = n_docs, 128
     boiler = np.arange(900_000, 900_060, dtype=np.int32)
 
     def gen(b):
@@ -121,6 +122,42 @@ def _bench_substr_tokens() -> int:
     ds = rd.range(N).map_batches(lambda b: gen(b), batch_format="numpy",
                                  batch_size=4096)
     return exact_substring_dedup(ds, span_len=50).count()
+
+
+def _bench_paragraph_dedup(n_docs: int = 1_000_000, paras: int = 10) -> int:
+    """Load test for the O(total paragraphs)-exchange op: n_docs docs x
+    ``paras`` paragraphs (10M paragraphs at the default), ~15% of
+    paragraph slots drawn from a small shared boilerplate pool (the
+    CCNet/RefinedWeb hot case). Only (id, pos, h128) rides the exchange;
+    returns surviving rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openmldb_ray.stages.paradedup import paragraph_dedup
+
+    pool = [f"SHARED boilerplate paragraph number {i} — subscribe now!"
+            for i in range(50)]
+
+    def gen(b):
+        ids = np.asarray(b["id"])
+        texts = []
+        for i in ids:
+            r = np.random.default_rng(int(i) + 17)
+            parts = []
+            for p in range(paras):
+                if r.random() < 0.15:
+                    parts.append(pool[int(r.integers(0, len(pool)))])
+                else:
+                    parts.append(f"unique para {int(i)}-{p} body "
+                                 f"{int(r.integers(0, 10**9))}")
+            texts.append("\n".join(parts))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = rd.range(n_docs).map_batches(gen, batch_format="numpy",
+                                      batch_size=4096)
+    return paragraph_dedup(ds, id_col="doc_id", text_col="text").count()
 
 
 def run_bench() -> dict:
@@ -165,11 +202,24 @@ def run_bench() -> dict:
             # aren't taxed by spill pressure from earlier ones
             gc.collect()
 
-        # bench-only load test (too heavy for the sf0.01 correctness gate):
-        # ExactSubstr over 25.6M tokens, per-token candidate shuffle
+        # bench-only load tests (too heavy for the sf0.01 correctness
+        # gate); the 10x points demonstrate near-linear behavior of the
+        # two O(total tokens / paragraphs)-exchange ops
         t0 = time.time()
         _bench_substr_tokens()
         timings["substr_dedup_25m_tokens"] = round(time.time() - t0, 3)
+        gc.collect()
+        t0 = time.time()
+        _bench_paragraph_dedup(100_000)
+        timings["paragraph_dedup_1m_paras"] = round(time.time() - t0, 3)
+        gc.collect()
+        t0 = time.time()
+        _bench_paragraph_dedup(1_000_000)
+        timings["paragraph_dedup_10m_paras"] = round(time.time() - t0, 3)
+        gc.collect()
+        t0 = time.time()
+        _bench_substr_tokens(2_000_000)
+        timings["substr_dedup_256m_tokens"] = round(time.time() - t0, 3)
         gc.collect()
 
     ray.shutdown()
@@ -189,6 +239,20 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same flagship job in fresh processes at num_cpus = 2, 8, 32.
 
+    PRE-REGISTERED PROTOCOL (round 4 — removes the judgment call the r3
+    "best coherent run" headline required):
+
+    1. GRAFT_SCALING_REPS repetitions (default 3), each a fresh
+       2-CPU / 8-CPU / 32-CPU process triple, interleaved so a
+       contention episode hits whole reps, not one leg class.
+    2. Mechanical discard: a rep is INCOHERENT if its 2-CPU leg's
+       rows/sec deviates more than 15% from the median 2-CPU rows/sec
+       across reps (the 2-CPU leg is the contention canary: it has no
+       parallel slack to absorb a noisy neighbor). Incoherent reps are
+       excluded from the headline but reported in full.
+    3. Headline ``scaling_efficiency`` = MEDIAN eff(2→8) over coherent
+       reps (all reps if fewer than 2 survive the discard).
+
     Two N→4N pairs are reported. On this single box the 32-worker level is
     limited by SHARED memory bandwidth (pure-CPU work scales ~27x/32 while
     bandwidth-bound vectorized kernels go flat — see BASELINE.md §3), a
@@ -198,6 +262,7 @@ def run_scaling() -> dict:
     transparency.
     """
     docs = int(os.environ.get("GRAFT_SCALING_DOCS", "8000000"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -206,22 +271,47 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r2, r8, r32 = run(2), run(8), run(32)
-    eff_2_8 = r8["feature_rows_per_sec"] / (4.0 * r2["feature_rows_per_sec"])
-    eff_8_32 = r32["feature_rows_per_sec"] / (4.0 * r8["feature_rows_per_sec"])
+    runs = []
+    for i in range(reps):
+        r2, r8, r32 = run(2), run(8), run(32)
+        runs.append({
+            "rep": i + 1,
+            "sec_2": r2["value"], "sec_8": r8["value"],
+            "sec_32": r32["value"],
+            "rows_per_sec_2": r2["feature_rows_per_sec"],
+            "rows_per_sec_8": r8["feature_rows_per_sec"],
+            "rows_per_sec_32": r32["feature_rows_per_sec"],
+            "eff_2_8": round(r8["feature_rows_per_sec"]
+                             / (4.0 * r2["feature_rows_per_sec"]), 3),
+            "eff_8_32": round(r32["feature_rows_per_sec"]
+                              / (4.0 * r8["feature_rows_per_sec"]), 3),
+            "feature_rows": r8["feature_rows"],
+        })
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+    med2 = median([r["rows_per_sec_2"] for r in runs])
+    for r in runs:
+        r["coherent"] = abs(r["rows_per_sec_2"] - med2) <= 0.15 * med2
+    coherent = [r for r in runs if r["coherent"]] or runs
+    headline = median([r["eff_2_8"] for r in coherent])
     return {
         "metric": "scaling efficiency (N -> 4N CPUs, stand-in for N -> 4N nodes)",
+        "protocol": ("median eff(2->8) over coherent reps; a rep is "
+                     "incoherent if its 2-CPU rows/sec deviates >15% from "
+                     "the cross-rep median (pre-registered, mechanical)"),
         "num_docs": docs,
-        "sec_2": r2["value"], "sec_8": r8["value"], "sec_32": r32["value"],
-        "rows_per_sec_2": r2["feature_rows_per_sec"],
-        "rows_per_sec_8": r8["feature_rows_per_sec"],
-        "rows_per_sec_32": r32["feature_rows_per_sec"],
-        "scaling_efficiency": round(eff_2_8, 3),
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "reps": runs,
+        "coherent_reps": len(coherent),
+        "scaling_efficiency": round(headline, 3),
+        "scaling_efficiency_2_to_8": round(headline, 3),
+        "scaling_efficiency_8_to_32": round(
+            median([r["eff_8_32"] for r in coherent]), 3),
         "note": ("8->32 on one box is capped by shared DRAM bandwidth, not by "
                  "the pipeline; see BASELINE.md §3 for the microbenchmark"),
-        "feature_rows": r8["feature_rows"],
         "sf": SF_DIR,
     }
 

@@ -108,7 +108,13 @@ def bucket_ids(table_or_df, keys: list[str], num_buckets: int) -> np.ndarray:
 def default_num_buckets(floor: int = 256) -> int:
     """Bucket fanout: max(floor, 4 × cluster CPUs) so reduce-side
     parallelism scales with the cluster instead of capping at a constant
-    (VERDICT r1: fixed 256 caps a 256-node cluster's window reduce)."""
+    (VERDICT r1: fixed 256 caps a 256-node cluster's window reduce).
+    ``OMR_NUM_BUCKETS`` pins it explicitly (RUNBOOK.md knobs)."""
+    from ..config import num_buckets as _cfg_num_buckets
+
+    pinned = _cfg_num_buckets()
+    if pinned:
+        return pinned
     try:
         import ray
 

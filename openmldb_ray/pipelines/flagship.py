@@ -33,6 +33,7 @@ from ..core.frames import rows_range
 from ..sources.io import read_table
 from ..stages.join_stage import last_join
 from ..stages.window_stage import window_agg_salted
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 VOCAB = 50257
 BASE_TS = 1_700_000_000_000  # ms
@@ -270,7 +271,7 @@ def attach_payload_regen(feats, seed: int = 42):
     return feats.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
+def attach_payload(feats, payload, *, broadcast_limit: int | None = None,
                    num_buckets: int = 64):
     """Re-attach a STORED token payload to the feature rows by doc_num.
 
@@ -283,7 +284,7 @@ def attach_payload(feats, payload, *, broadcast_limit: int = 2_000_000,
 
     ftbl_ds = feats.map_batches(_canonicalize, batch_format="pyarrow",
                                 batch_size=None).materialize()
-    if ftbl_ds.count() > broadcast_limit:
+    if ftbl_ds.count() > _cfg_broadcast_limit(broadcast_limit, 2_000_000):
         return _bucketed_attach_tokens(ftbl_ds, payload, num_buckets=num_buckets)
     ftbl = pa.concat_tables(
         ftbl_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..core.hashing import stable_hash64 as _stable_hash64  # noqa: F401 (re-export)
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -49,7 +50,7 @@ def _mod_mersenne61(m: np.ndarray) -> np.ndarray:
 def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
                   id_col: str, *, num_buckets: int = 256,
                   num_partitions: int | None = None,
-                  broadcast_limit: int = 2_000_000) -> "ray.data.Dataset":
+                  broadcast_limit: int | None = None) -> "ray.data.Dataset":
     """Distributed hash ANTI-JOIN: rows of ``ds`` whose ``id_col`` appears in
     ``dup_ids`` (a one-column Dataset) are dropped.
 
@@ -73,7 +74,7 @@ def anti_join_ids(ds: "ray.data.Dataset", dup_ids: "ray.data.Dataset",
     n_dup = dup_ids.count()  # metadata read — the pipeline ran once above
     if n_dup == 0:
         return ds
-    if n_dup <= broadcast_limit:
+    if n_dup <= _cfg_broadcast_limit(broadcast_limit, 2_000_000):
         vals = pa.concat_tables(
             [pa.table({id_col: b[id_col]})
              for b in dup_ids.iter_batches(batch_format="pyarrow")]

@@ -22,6 +22,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+from ..config import driver_limit as _cfg_driver_limit
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -56,7 +57,7 @@ def connected_components(edges: "ray.data.Dataset", *,
                          max_iters: int = 10,
                          num_buckets: int | None = None,
                          strategy: str = "auto",
-                         driver_limit: int = 2_000_000) -> "ray.data.Dataset":
+                         driver_limit: int | None = None) -> "ray.data.Dataset":
     """Labels every node reachable through ``edges`` with the minimum node
     id of its component. Returns a Dataset (node, cluster_id). Node ids
     must be a totally ordered numeric/string type (min is the canonical
@@ -89,7 +90,9 @@ def connected_components(edges: "ray.data.Dataset", *,
                                   batch_size=None).materialize()
 
     n_edges = sym_edges.count() // 2  # metadata read on a materialized ds
-    if strategy == "driver" or (strategy == "auto" and n_edges <= driver_limit):
+    if strategy == "driver" or (
+            strategy == "auto"
+            and n_edges <= _cfg_driver_limit(driver_limit, 2_000_000)):
         import ray.data as rd
 
         df = sym_edges.to_pandas()

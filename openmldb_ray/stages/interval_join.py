@@ -51,6 +51,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 
 def _to_i64(values) -> np.ndarray:
@@ -203,7 +204,7 @@ def interval_join(
     how: str = "inner",
     right_cols: list[str] | None = None,
     strategy: str = "auto",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int | None = None,
     bucket_width: int | None = None,
     long_bucket_span: int = 64,
     num_partitions: int | None = None,
@@ -227,7 +228,9 @@ def interval_join(
     need = list(dict.fromkeys([start_col, end_col] + on + rcols))
 
     if strategy == "auto":
-        strategy = ("broadcast" if right.count() <= broadcast_limit
+        strategy = ("broadcast"
+                    if right.count() <= _cfg_broadcast_limit(broadcast_limit,
+                                                            2_000_000)
                     else "shuffle")
 
     def _run_broadcast(rdf: pd.DataFrame):

@@ -33,6 +33,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import ray
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -328,7 +329,7 @@ def last_join(
     tiebreak: str | None = None,
     right_cols: dict[str, str] | None = None,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_partitions: int | None = None,
     concurrency=None,
     residual=None,
@@ -384,7 +385,10 @@ def last_join(
             if opts is not None:
                 opts.preserve_order = prev_preserve
         if strategy == "auto":
-            strategy = "broadcast" if right.count() <= broadcast_limit else "shuffle"
+            strategy = ("broadcast"
+                        if right.count() <= _cfg_broadcast_limit(
+                            broadcast_limit, 5_000_000)
+                        else "shuffle")
 
     mapped_key = right_cols.get(right_key, right_key) if right_cols else right_key
     mapped_order = (right_cols.get(order_by, order_by) if (right_cols and order_by) else order_by)
@@ -615,7 +619,7 @@ def left_join(
     *,
     right_cols: dict[str, str] | None = None,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Plain LEFT OUTER equi-join (JoinPlan.scala:39-151).
@@ -630,7 +634,9 @@ def left_join(
     if not isinstance(right, pd.DataFrame):
         if strategy == "auto":
             right = right.materialize()
-            strategy = ("broadcast" if right.count() <= broadcast_limit
+            strategy = ("broadcast"
+                        if right.count() <= _cfg_broadcast_limit(
+                            broadcast_limit, 5_000_000)
                         else "shuffle")
         if strategy == "shuffle":
             # the coarse-bucket exchange, not Ray's native hash join — the
@@ -683,7 +689,7 @@ def inner_join(
     *,
     right_cols: dict[str, str] | None = None,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Plain INNER equi-join (completes the join family; the reference's
@@ -699,7 +705,9 @@ def inner_join(
     if not isinstance(right, pd.DataFrame):
         if strategy == "auto":
             right = right.materialize()
-            strategy = ("broadcast" if right.count() <= broadcast_limit
+            strategy = ("broadcast"
+                        if right.count() <= _cfg_broadcast_limit(
+                            broadcast_limit, 5_000_000)
                         else "shuffle")
         if strategy == "shuffle":
             return _bucket_equi_join(left, right, (left_key, right_key),
@@ -836,13 +844,24 @@ def _bucket_equi_join(
     ``ray.get`` forever) and deadlocks outright when num_partitions
     exceeds session CPUs — both fatal on small/sparse inputs.
 
-    ANSI semantics: NULL keys never match; under left/outer they surface
-    once each, padded. The join key coalesces into the LEFT key column
-    (USING-style), so the output schema is left columns + non-key right
-    columns; integer columns that pick up nulls from padding come back as
-    nullable Int64 (Arrow int64 + nulls), not float64.
+    ANSI semantics: NULL keys (including float NaN) never match; under
+    left/outer they surface once each, padded. The join key coalesces
+    into the LEFT key column (USING-style), so the output schema is left
+    columns + non-key right columns.
+
+    Arrow-native kernel (round 4; previously a per-bucket pandas
+    pad+merge): both sides ride the exchange as TYPED Arrow blocks
+    (missing counterpart columns are typed nulls, never pandas object
+    padding), and the per-bucket kernel hash-merges only a narrow
+    ``(key, row position)`` pandas frame — C-speed, no payload
+    conversion — then assembles the output by ``Table.take`` on the
+    matched positions. Payload columns keep their exact Arrow types
+    (nullable ints stay int64-with-nulls, ints past 2^53 stay exact,
+    list/binary payloads ride untouched) and the two Arrow→pandas→Arrow
+    payload conversions per bucket are gone.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..core.grouping import map_groups_typed
     from ..core.hashing import (add_bucket_column, default_num_buckets,
@@ -862,13 +881,17 @@ def _bucket_equi_join(
                                   batch_size=None)
         right_key = right_cols.get(right_key, right_key)
 
-    lcols = list(left.schema().names)
+    from ..core.grouping import arrow_col_type
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
     # the right_cols projection above already selected + renamed, so the
     # schema here IS the final right column set
-    rcols = list(right.schema().names)
-    ltypes = dict(zip(left.schema().names, left.schema().types))
-    rtypes_all = dict(zip(right.schema().names, right.schema().types))
-    rtypes = {c: rtypes_all[c] for c in rcols if c in rtypes_all}
+    rcols = list(rsch.names)
+    # normalize to pa.DataType: a pandas-block input's schema() reports
+    # numpy dtypes, which would silently degrade the typed-null padding
+    ltypes = {c: arrow_col_type(lsch, c) for c in lcols}
+    rtypes = {c: arrow_col_type(rsch, c) for c in rcols}
     clash = (set(lcols) & set(rcols)) - (
         {left_key} if left_key == right_key else set())
     if clash:
@@ -876,97 +899,136 @@ def _bucket_equi_join(
             f"full_outer_join: right columns {sorted(clash)} collide with "
             "left names — rename them via right_cols=")
     out_cols = lcols + [c for c in rcols if c != right_key]
-    out_types = {**{c: ltypes[c] for c in lcols},
-                 **{c: rtypes[c] for c in rcols if c != right_key}}
+
+    # one promoted key type on BOTH sides: the unified exchange layout
+    # (and the unmatched-right coalesce into the left key column) needs a
+    # single physical type for the key pair
+    def _promote(a: "pa.DataType", b: "pa.DataType") -> "pa.DataType":
+        if a == b:
+            return a
+        return pa.unify_schemas(
+            [pa.schema([("k", a)]), pa.schema([("k", b)])],
+            promote_options="permissive").field("k").type
+
+    key_type = _promote(ltypes[left_key], rtypes[right_key])
+    utypes = dict(ltypes)
+    for c in rcols:
+        utypes.setdefault(c, rtypes[c])
+    utypes[left_key] = utypes[right_key] = key_type
+    unified = list(dict.fromkeys(lcols + rcols))
 
     SIDE = "__side"
     nb = num_buckets or default_num_buckets()
-    addb_l = add_bucket_column([left_key], "__b", nb)
-    addb_r = add_bucket_column([right_key], "__b", nb)
 
-    def tag(side_is_left, addb, key):
+    def tag(side_is_left: bool, key: str, present: list[str]):
+        addb = add_bucket_column([key], "__b", nb)
+        pset = set(present)
+
         def fn(t: pa.Table) -> pa.Table:
             quiet_ray_data_logs()
-            t = addb(t)
-            t = t.append_column(
-                SIDE, pa.array(np.full(len(t), side_is_left), pa.bool_()))
-            return t
-
-        return fn
-
-    all_cols = list(dict.fromkeys(lcols + rcols)) + ["__b", SIDE]
-
-    def pad(present):
-        missing = [c for c in all_cols if c not in present]
-
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c in missing:
-                df[c] = None
-            return df[all_cols]
+            n = t.num_rows
+            arrays, names = [], []
+            for c in unified:
+                names.append(c)
+                if c in pset:
+                    a = t[c]
+                    if a.type != utypes[c]:
+                        a = pc.cast(a, utypes[c])
+                    arrays.append(a.combine_chunks()
+                                  if isinstance(a, pa.ChunkedArray) else a)
+                else:
+                    arrays.append(pa.nulls(n, utypes[c]))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = addb(out)
+            return out.append_column(
+                SIDE, pa.array(np.full(n, side_is_left), pa.bool_()))
 
         return fn
 
     from ..core.empty_ds import union_any
 
-    lt = left.map_batches(tag(True, addb_l, left_key),
-                          batch_format="pyarrow", batch_size=None) \
-        .map_batches(pad(lcols + ["__b", SIDE]), batch_format="pandas",
-                     batch_size=None)
-    rt = right.map_batches(tag(False, addb_r, right_key),
-                           batch_format="pyarrow", batch_size=None) \
-        .map_batches(pad(rcols + ["__b", SIDE]), batch_format="pandas",
-                     batch_size=None)
+    lt = left.map_batches(tag(True, left_key, lcols),
+                          batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag(False, right_key, rcols),
+                           batch_format="pyarrow", batch_size=None)
     both = union_any(lt, rt)
 
-    def _restore(df: pd.DataFrame, types: dict) -> pd.DataFrame:
-        for c in df.columns:
-            t = types.get(c)
-            if t is None or df[c].dtype != object:
-                continue
-            dt = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
-            if dt is object:
-                continue
-            try:
-                df[c] = df[c].astype(dt)
-            except (TypeError, ValueError):
-                pass
-        return df
+    def _null_mask(arr) -> np.ndarray:
+        # SQL null semantics incl. float NaN (parity with the previous
+        # pandas kernel, where pd.isna covered both)
+        m = pc.is_null(arr, nan_is_null=True)
+        return m.to_numpy(zero_copy_only=False)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(t: "pa.Table") -> "pa.Table":
         quiet_ray_data_logs()
-        lg = _restore(g[g[SIDE] == True][lcols].copy(), ltypes)  # noqa: E712
-        rg = _restore(g[g[SIDE] == False][rcols].copy(), rtypes)  # noqa: E712
-        lk_na = pd.isna(lg[left_key]).to_numpy()
-        rk_na = pd.isna(rg[right_key]).to_numpy()
-        # the right side is always null-key-filtered (NULLs never match),
-        # so a null-key LEFT row cannot spuriously merge under pandas's
-        # NaN == NaN rule and can ride the merge directly for how="left"
-        lm = lg if how == "left" else lg[~lk_na]
-        out = lm.merge(rg[~rk_na], how=how, left_on=left_key,
-                       right_on=right_key)
-        if right_key != left_key:
-            out[left_key] = out[left_key].where(out[left_key].notna(),
-                                                out[right_key])
-            out = out.drop(columns=[right_key])
-        tails = [out[out_cols]]
-        if how == "outer":
-            tails.append(lg[lk_na].reindex(columns=out_cols))
-            tails.append(rg[rk_na].rename(columns={right_key: left_key})
-                         .reindex(columns=out_cols))
-        out = pd.concat(tails, ignore_index=True) if len(tails) > 1 \
-            else tails[0]
-        # padding NaNs promote int columns to float64 — restore to
-        # nullable Int64 so the Arrow output stays int64-with-nulls
-        for c in out_cols:
-            t = out_types.get(c)
-            if (t is not None and hasattr(pa.types, "is_integer")
-                    and pa.types.is_integer(t)
-                    and out[c].dtype == np.float64):
-                out[c] = out[c].astype("Int64")
-        return out
+        side = t[SIDE].to_numpy(zero_copy_only=False).astype(bool)
+        lg = t.filter(pa.array(side)).select(lcols)
+        rg = t.filter(pa.array(~side)).select(rcols)
+        lk_na = _null_mask(lg[left_key])
+        rk_na = _null_mask(rg[right_key])
+        # narrow key+position merge: the ONLY pandas work in the kernel.
+        # Non-null keys are taken in ARROW first so an int key column
+        # that carries nulls does not round-trip through float64 (where
+        # values past 2^53 would collide)
+        lnn = np.flatnonzero(~lk_na)
+        rnn = np.flatnonzero(~rk_na)
+        ldf = pd.DataFrame({
+            "k": lg[left_key].take(pa.array(lnn)).to_pandas().to_numpy(),
+            "lp": lnn})
+        rdf = pd.DataFrame({
+            "k": rg[right_key].take(pa.array(rnn)).to_pandas().to_numpy(),
+            "rp": rnn})
+        m = ldf.merge(rdf, on="k", how="inner")
+        lp = m["lp"].to_numpy(np.int64)
+        rp = m["rp"].to_numpy(np.int64)
 
-    return map_groups_typed(both, "__b", per_bucket, batch_format="pandas",
+        rpay = [c for c in rcols if c != right_key]
+        pieces = []
+
+        def assemble(ltab, rtab) -> "pa.Table":
+            # defensive unified-type cast: an all-null slice can arrive
+            # null-TYPED from the exchange (Ray's sort degrades some
+            # empty/all-null column slices); null -> T casts are always
+            # valid and keep every piece concat-compatible
+            arrays = []
+            for c, tab in [(c, ltab) for c in lcols] + \
+                          [(c, rtab) for c in rpay]:
+                a = tab[c]
+                if a.type != utypes[c]:
+                    a = pc.cast(a, utypes[c])
+                arrays.append(a.combine_chunks()
+                              if isinstance(a, pa.ChunkedArray) else a)
+            return pa.Table.from_arrays(arrays, names=out_cols)
+
+        pieces.append(assemble(lg.take(pa.array(lp)),
+                               rg.take(pa.array(rp))))
+        if how in ("left", "outer"):
+            matched_l = np.zeros(len(lg), dtype=bool)
+            matched_l[lp] = True
+            un_l = np.flatnonzero(~matched_l)   # incl. null-key left rows
+            if len(un_l):
+                ltab = lg.take(pa.array(un_l))
+                rtab = pa.Table.from_arrays(
+                    [pa.nulls(len(un_l), utypes[c]) for c in rpay],
+                    names=rpay)
+                pieces.append(assemble(ltab, rtab))
+        if how == "outer":
+            matched_r = np.zeros(len(rg), dtype=bool)
+            matched_r[rp] = True
+            un_r = np.flatnonzero(~matched_r)   # incl. null-key right rows
+            if len(un_r):
+                rtab = rg.take(pa.array(un_r))
+                arrays = []
+                for c in lcols:   # key coalesces from the right side
+                    arrays.append(rtab[right_key] if c == left_key
+                                  else pa.nulls(len(un_r), utypes[c]))
+                ltab = pa.Table.from_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in arrays], names=lcols)
+                pieces.append(assemble(ltab, rtab))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    return map_groups_typed(both, "__b", per_bucket, batch_format="pyarrow",
                             num_partitions=num_partitions)
 
 
@@ -982,7 +1044,7 @@ def next_join(
     tiebreak: str | None = None,
     right_cols: dict[str, str] | None = None,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_partitions: int | None = None,
     skew_salts: int = 0,
 ) -> "ray.data.Dataset":

@@ -39,6 +39,7 @@ import itertools
 
 import numpy as np
 import pandas as pd
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -142,7 +143,7 @@ def paragraph_dedup(
     min_chars: int = 1,
     drop_empty: bool = True,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_buckets: int | None = None,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
@@ -173,7 +174,9 @@ def paragraph_dedup(
     n_drop = drops.count()  # metadata read — executed once above
 
     if strategy == "auto":
-        strategy = "broadcast" if n_drop <= broadcast_limit else "shuffle"
+        strategy = ("broadcast"
+                    if n_drop <= _cfg_broadcast_limit(broadcast_limit, 5_000_000)
+                    else "shuffle")
 
     if strategy == "broadcast":
         if n_drop == 0:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 
 def _probe_mask(lkeys: pd.DataFrame, rkeys: pd.DataFrame,
@@ -56,7 +57,7 @@ def semi_join(
     *,
     anti: bool = False,
     strategy: str = "auto",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_buckets: int | None = None,
     num_partitions: int | None = None,
 ):
@@ -79,7 +80,9 @@ def semi_join(
         # each re-run right's full upstream lineage (the last_join /
         # anti_join_ids materialize-once pattern)
         right = right.materialize()
-        strategy = ("broadcast" if right.count() <= broadcast_limit
+        strategy = ("broadcast"
+                    if right.count() <= _cfg_broadcast_limit(broadcast_limit,
+                                                            5_000_000)
                     else "shuffle")
 
     if strategy == "broadcast":

@@ -17,6 +17,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import ray
+from ..config import broadcast_limit as _cfg_broadcast_limit
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -467,7 +468,7 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     strategy: str = "auto",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int | None = None,
     num_centroids: int = 64,
     nprobe: int = 8,
     sample_size: int = 2048,
@@ -501,7 +502,9 @@ def knn_join(
     if n_right == 0:
         raise ValueError("right side is empty")
     if strategy == "auto":
-        strategy = "broadcast" if n_right <= broadcast_limit else "ivf"
+        strategy = ("broadcast"
+                    if n_right <= _cfg_broadcast_limit(broadcast_limit, 2_000_000)
+                    else "ivf")
 
     if strategy == "broadcast":
         mats, idps = [], []
