@@ -1428,15 +1428,30 @@ def q_pack_sequences(sf_dir: str):
 
 
 def q_multimodal(sf_dir: str):
-    """Multimodal plumbing: binary payload schema + actor-pool decode stub.
-    The output contract (ids, modality layout, feature dimensionality) is
-    deterministic, so it oracles as plain SQL over range(64)."""
-    from openmldb_ray.stages.multimodal import extract_image_features, make_multimodal_dataset
+    """Multimodal columns with REAL pure-stdlib decode (stages/codecs):
+    even ids are solid-color PNGs whose decoded channel means replay
+    exactly in SQL ((7i + 13i + 29i) mod-256 sums); odd ids are PCM WAVs
+    whose decoded sample count is 800+i. One actor-pool decode stage per
+    modality; no fake_decode anywhere."""
+    from openmldb_ray.stages.multimodal import (
+        extract_image_features,
+        make_multimodal_dataset,
+        sample_audio_frames,
+    )
 
     mm = make_multimodal_dataset(64)
-    out = extract_image_features(mm, fake_decode=True).to_pandas()
-    out["feat_dim"] = out["img_mean_rgb"].map(len).astype(np.int64)
-    return out[["mm_id", "mm_type", "feat_dim"]]
+    imgs = mm.filter(lambda r: r["mm_type"] == "image")
+    aud = mm.filter(lambda r: r["mm_type"] == "audio")
+    fi = extract_image_features(imgs).to_pandas()   # REAL PNG decode
+    # solid color -> the mean of each channel is the exact color byte;
+    # feat = r+g+b as an exact BIGINT
+    fi["feat"] = fi["img_mean_rgb"].map(
+        lambda v: int(round(float(np.sum(v))))).astype(np.int64)
+    fa = sample_audio_frames(aud).to_pandas()       # REAL WAV decode
+    fa["feat"] = fa["n_samples"].astype(np.int64)
+    out = pd.concat([fi[["mm_id", "mm_type", "feat"]],
+                     fa[["mm_id", "mm_type", "feat"]]], ignore_index=True)
+    return out.sort_values("mm_id").reset_index(drop=True)
 
 
 def q_taxi(sf_dir: str):
@@ -4498,7 +4513,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal": """
             SELECT CAST(x AS BIGINT) AS mm_id,
                    CASE WHEN x % 2 = 0 THEN 'image' ELSE 'audio' END AS mm_type,
-                   CAST(3 AS BIGINT) AS feat_dim
+                   CAST(CASE WHEN x % 2 = 0
+                        THEN (7 * x) % 256 + (13 * x) % 256 + (29 * x) % 256
+                        ELSE 800 + x END AS BIGINT) AS feat
             FROM range(64) t(x)
         """,
         "taxi_demo": """

@@ -4,10 +4,14 @@ Images / audio / video are opaque ``binary`` columns with typed metadata
 columns alongside (``mm_type``, ``mm_width``/``mm_height`` or
 ``mm_sample_rate``, …). The Ray-side plumbing — schema, actor-pool stage
 shape, small batch sizes for large payloads, output layout — is real and
-tested; the actual codec work is STUBBED (the image/audio libraries are
-not in this environment): ``decode_fn=None`` raises NotImplementedError,
-and ``fake_decode=True`` swaps in a deterministic fake so pipelines can be
-exercised end-to-end.
+tested, and since round 4 so is the DEFAULT decode: pure-stdlib codecs
+(stages/codecs.py) handle PNG / BMP / PPM / PGM images, PCM WAV audio
+and the repo's ``OMRV`` length-prefixed frame container for video.
+Formats that genuinely need external libraries (JPEG, H.264, …) raise a
+clear ValueError naming the ``decode_fn=`` escape hatch — a real
+deployment passes its PIL/ffmpeg decoder there, loaded once per actor.
+``fake_decode=True`` still swaps in the deterministic fake for
+plumbing-only tests.
 
 Scale notes: binary payloads make blocks heavy — these stages default to
 ``batch_size=64`` and ``batch_format="pyarrow"`` so payload bytes stay
@@ -42,17 +46,15 @@ def _fake_image_decode(payload: bytes) -> np.ndarray:
 
 def _resolve_decode(decode_fn, fake_decode):
     """Shared decode-fn resolution for the image stages: explicit fn >
-    deterministic fake > a loud stub (no imaging libs in this env)."""
+    deterministic fake > the REAL pure-stdlib sniffer (PNG/BMP/PPM/PGM;
+    unknown magic bytes raise a ValueError naming decode_fn=)."""
     if decode_fn is not None:
         return decode_fn
     if fake_decode:
         return _fake_image_decode
+    from .codecs import sniff_decode_image
 
-    def _raise(_):
-        raise NotImplementedError(
-            "image decode requires an imaging library not present in "
-            "this environment; pass decode_fn or fake_decode=True")
-    return _raise
+    return sniff_decode_image
 
 
 class ImageFeatureExtractor:
@@ -80,25 +82,41 @@ class ImageFeatureExtractor:
 
 
 class AudioFrameSampler:
-    """Actor-pool stage shape for audio: frame-sample metadata extraction.
-    Stubbed identically to images (no audio codec available here)."""
+    """Actor-pool stage for audio: REAL PCM WAV decode (stdlib ``wave``)
+    → sample count, sample rate and ``frame_ms``-frame count per row.
+    Non-WAV payloads need ``decode_fn`` (bytes → (samples, sr)) or
+    ``fake_decode=True`` (byte-length heuristic, plumbing-only)."""
 
     def __init__(self, payload_col: str = "payload", frame_ms: int = 10,
-                 fake_decode: bool = False):
+                 decode_fn=None, fake_decode: bool = False):
         self.payload_col = payload_col
         self.frame_ms = frame_ms
         self.fake = fake_decode
+        if decode_fn is None:
+            from .codecs import decode_wav
+
+            decode_fn = decode_wav
+        self.decode = decode_fn
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this "
-                "environment; pass fake_decode=True to exercise the plumbing")
-        # 16 kHz mono s16le: sr * 2 bytes/sample * frame_ms / 1000
-        frame_bytes = max(1, 16_000 * 2 * self.frame_ms // 1000)
-        n_frames = [max(1, (len(p) if p else 0) // frame_bytes)
-                    for p in t[self.payload_col].to_pylist()]
-        return t.append_column("n_frames", pa.array(n_frames, type=pa.int64()))
+        n_frames, n_samples, rates = [], [], []
+        for p in t[self.payload_col].to_pylist():
+            p = p or b""
+            if self.fake and not p.startswith(b"RIFF"):
+                # plumbing-only heuristic: 16 kHz mono s16le assumption
+                frame_bytes = max(1, 16_000 * 2 * self.frame_ms // 1000)
+                n_frames.append(max(1, len(p) // frame_bytes))
+                n_samples.append(len(p) // 2)
+                rates.append(16_000)
+                continue
+            samples, sr = self.decode(p)
+            spf = max(1, sr * self.frame_ms // 1000)
+            n_samples.append(int(samples.shape[0]))
+            rates.append(int(sr))
+            n_frames.append(max(1, -(-samples.shape[0] // spf)))
+        return (t.append_column("n_frames", pa.array(n_frames, pa.int64()))
+                 .append_column("n_samples", pa.array(n_samples, pa.int64()))
+                 .append_column("sample_rate", pa.array(rates, pa.int64())))
 
 
 class ImageResizer:
@@ -127,26 +145,35 @@ class ImageResizer:
 
 
 class VideoFrameSampler:
-    """Actor-pool stage shape for video: sample every ``stride``-th frame's
-    byte offset from the opaque payload (stub frame size = 1 KiB; a real
-    deployment passes a demuxer loaded once per actor)."""
+    """Actor-pool stage for video: REAL frame demux of the repo's ``OMRV``
+    length-prefixed container (every ``stride``-th frame's byte offset —
+    the sampled frames decode with stages/codecs.decode_container_frame).
+    Real-world codecs (H.264, …) pass ``offsets_fn`` (bytes → byte
+    offsets), loaded once per actor; ``fake_decode=True`` keeps the old
+    fixed-frame-size heuristic for plumbing-only tests."""
 
     def __init__(self, payload_col: str = "payload", stride: int = 4,
-                 fake_decode: bool = False, frame_bytes: int = 1024):
+                 offsets_fn=None, fake_decode: bool = False,
+                 frame_bytes: int = 1024):
         self.payload_col = payload_col
         self.stride = int(stride)
         self.fake = fake_decode
         self.frame_bytes = int(frame_bytes)
+        if offsets_fn is None:
+            from .codecs import frame_container_offsets
+
+            offsets_fn = frame_container_offsets
+        self.offsets = offsets_fn
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video demux requires a codec library not present in this "
-                "environment; pass fake_decode=True to exercise the plumbing")
         offs = []
         for p in t[self.payload_col].to_pylist():
-            n = max(1, (len(p) if p else 0) // self.frame_bytes)
-            offs.append(list(range(0, n, self.stride)))
+            p = p or b""
+            if self.fake and not p.startswith(b"OMRV"):
+                n = max(1, len(p) // self.frame_bytes)
+                offs.append(list(range(0, n, self.stride)))
+                continue
+            offs.append(self.offsets(p)[::self.stride])
         return t.append_column("frame_offsets",
                                pa.array(offs, pa.list_(pa.int64())))
 
@@ -162,10 +189,12 @@ def extract_image_features(ds: "ray.data.Dataset", *, fake_decode: bool = False,
 
 
 def sample_audio_frames(ds: "ray.data.Dataset", *, fake_decode: bool = False,
+                        decode_fn=None, frame_ms: int = 10,
                         concurrency=(1, 8), batch_size: int = 64) -> "ray.data.Dataset":
     return ds.map_batches(
         AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs=dict(fake_decode=fake_decode),
+        fn_constructor_kwargs=dict(fake_decode=fake_decode,
+                                   decode_fn=decode_fn, frame_ms=frame_ms),
         concurrency=concurrency,
     )
 
@@ -182,24 +211,62 @@ def resize_images(ds: "ray.data.Dataset", out_hw=(4, 4), *,
 
 
 def sample_video_frames(ds: "ray.data.Dataset", stride: int = 4, *,
-                        fake_decode: bool = False, concurrency=(1, 8),
+                        fake_decode: bool = False, offsets_fn=None,
+                        concurrency=(1, 8),
                         batch_size: int = 64) -> "ray.data.Dataset":
     return ds.map_batches(
         VideoFrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs=dict(stride=stride, fake_decode=fake_decode),
+        fn_constructor_kwargs=dict(stride=stride, fake_decode=fake_decode,
+                                   offsets_fn=offsets_fn),
         concurrency=concurrency,
     )
 
 
 def make_multimodal_dataset(n: int = 64, seed: int = 42) -> "ray.data.Dataset":
-    """Deterministic synthetic multimodal table exercising the schema."""
+    """Deterministic synthetic multimodal table with REAL payloads: even
+    ids are 8x8 solid-color PNGs (RGB = (7i, 13i, 29i) mod 256 — the mean
+    replays exactly in SQL), odd ids are 16 kHz PCM-16 WAVs of 800+i
+    samples. ``seed`` kept for API compatibility (payloads are id-derived)."""
     import ray.data as rd
 
-    rng = np.random.default_rng(seed)
+    from .codecs import encode_png, encode_wav
+
+    del seed
     rows = []
     for i in range(n):
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
-        rows.append({"mm_id": i, "mm_type": "image" if i % 2 == 0 else "audio",
-                     "payload": payload,
-                     "mm_meta": '{"w": 8, "h": 8}' if i % 2 == 0 else '{"sr": 16000}'})
+        if i % 2 == 0:
+            rgb = np.array([(7 * i) % 256, (13 * i) % 256, (29 * i) % 256],
+                           dtype=np.uint8)
+            img = np.broadcast_to(rgb, (8, 8, 3))
+            rows.append({"mm_id": i, "mm_type": "image",
+                         "payload": encode_png(img),
+                         "mm_meta": '{"w": 8, "h": 8, "codec": "png"}'})
+        else:
+            ns = 800 + i
+            samples = (np.arange(ns, dtype=np.int64) * (i + 3) % 4001
+                       - 2000).astype(np.int16)
+            rows.append({"mm_id": i, "mm_type": "audio",
+                         "payload": encode_wav(samples, 16_000),
+                         "mm_meta": '{"sr": 16000, "codec": "pcm16"}'})
+    return rd.from_items(rows)
+
+
+def make_video_dataset(n: int = 8, frames: int = 6,
+                       seed: int = 7) -> "ray.data.Dataset":
+    """Deterministic OMRV frame-container table: each row is a container
+    of ``frames`` 4x4 PNG frames (frame f of video i is solid gray
+    (i * 31 + f * 5) mod 256)."""
+    import ray.data as rd
+
+    from .codecs import encode_frame_container, encode_png
+
+    del seed
+    rows = []
+    for i in range(n):
+        frs = [encode_png(np.full((4, 4, 3), (i * 31 + f * 5) % 256,
+                                  dtype=np.uint8))
+               for f in range(frames)]
+        rows.append({"mm_id": i, "mm_type": "video",
+                     "payload": encode_frame_container(frs),
+                     "mm_meta": f'{{"frames": {frames}, "codec": "omrv"}}'})
     return rd.from_items(rows)

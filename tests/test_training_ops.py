@@ -155,9 +155,10 @@ def test_multimodal_plumbing(ray_session):
     a = np.stack([np.asarray(v) for v in out.sort_values("mm_id")["img_mean_rgb"]])
     b = np.stack([np.asarray(v) for v in out2.sort_values("mm_id")["img_mean_rgb"]])
     assert np.allclose(a, b)
-    # stub path raises without fake_decode
+    # default decode is REAL since round 4: unknown magic bytes raise a
+    # clear ValueError naming decode_fn= (not a silent fake)
     ex = ImageFeatureExtractor()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="decode_fn"):
         ex.decode(b"xx")
     audio = sample_audio_frames(mm, fake_decode=True).to_pandas()
     assert (audio["n_frames"] >= 1).all()
@@ -230,8 +231,9 @@ def test_multimodal_resize_and_video(ray_session):
     # offsets follow the stride
     offs = vid["frame_offsets"].iloc[0]
     assert list(offs) == list(range(0, len(offs) * 2, 2))
-    # stub refuses without fake/real decoder
+    # default demux is REAL (OMRV container): unknown bytes raise a
+    # clear ValueError naming the demuxer escape hatch
     import pyarrow as pa
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="OMRV|demuxer"):
         VideoFrameSampler()(pa.table({"payload": [b"xx"]}))
