@@ -223,8 +223,26 @@ def pq_adc_topk(ds, model: dict, queries: np.ndarray,
                 for j in range(m):
                     d2 += t[j][codes[:, j]]
                 kk = min(kk_final, len(d2))
-                top = np.argpartition(d2, kth=kk - 1)[:kk]  # O(n); the
-                # final reduce re-sorts candidates by (score, id)
+                # top-kk by (distance, id) — NOT a bare argpartition:
+                # clustered data ties many rows at one code distance, and
+                # an arbitrary tie pick per batch would make the final
+                # (score, id)-sorted reduce PARTITION-DEPENDENT (caught
+                # by tools/fuzz_llmops.fuzz_pq). O(n) via boundary-tie
+                # fill with the smallest ids.
+                if kk < len(d2):
+                    sel = np.argpartition(d2, kth=kk - 1)[:kk]
+                    kthv = d2[sel].max()
+                    strict = np.flatnonzero(d2 < kthv)
+                    ties = np.flatnonzero(d2 == kthv)
+                    need = kk - len(strict)
+                    if 0 < need < len(ties):
+                        ties = ties[np.argpartition(ids[ties],
+                                                    need - 1)[:need]]
+                    elif need <= 0:
+                        ties = ties[:0]
+                    top = np.concatenate([strict, ties])
+                else:
+                    top = np.arange(len(d2))
                 outs.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": ids[top],
                     "score": -d2[top]}))

@@ -63,7 +63,9 @@ DEFAULT_GLOBS = [
 # excluded: request-mode-only files, DDL/deploy/out_in (no SELECT surface),
 # multi-DB, long-running thousand-union cluster case
 EXCLUDE_SUBSTR = [
-    "test_window_union_cluster_thousand",  # 1000-row synthetic stress, slow
+    # (round 4) test_window_union_cluster_thousand is back in the sweep —
+    # the 1000-row union stress runs in ~2 s on this engine and is also
+    # pinned as a slow-marked pytest (tests/test_sql_conformance.py)
     "test_batch_request",                  # request-mode protocol cases
 ]
 

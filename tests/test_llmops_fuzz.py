@@ -1,0 +1,54 @@
+"""Pinned seeds of the LLM-ops differential fuzzer (tools/fuzz_llmops —
+round-4 extension of the relational campaign to the r3c families).
+
+Full campaigns run offline (`python tools/fuzz_llmops.py --seeds N`); CI
+pins the first seeds of every family — including seed 1, whose
+clustered vectors exposed the pq ADC per-batch argpartition picking
+arbitrary members of score-tie classes (partition-DEPENDENT results,
+fixed with the boundary-tie smallest-id fill in stages/pq.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tools.fuzz_llmops import (fuzz_encoders, fuzz_knn_join, fuzz_paradedup,
+                               fuzz_pq, fuzz_scale)
+
+OPS = {"pq": fuzz_pq, "knn_join": fuzz_knn_join, "paradedup": fuzz_paradedup,
+       "encoders": fuzz_encoders, "scale": fuzz_scale}
+
+
+@pytest.mark.parametrize("op", sorted(OPS))
+@pytest.mark.parametrize("seed", [0, 1, 2, 7, 13])
+def test_llmops_fuzz_seed(ray_session, op, seed):
+    import ray.data as rd
+
+    assert OPS[op](seed, 150, rd) == []
+
+
+def test_pq_adc_tie_partition_independence(ray_session):
+    """Direct regression for the fuzz finding: massively duplicated
+    vectors (one code, all distances tied) must produce the SAME
+    (id-ascending) top-k under any partitioning."""
+    import ray
+    import ray.data as rd
+
+    from openmldb_ray.stages.pq import pq_adc_topk, pq_encode, pq_fit
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(4, 8))
+    X = np.repeat(base, 50, axis=0)            # 200 rows, 4 distinct vecs
+    perm = rng.permutation(len(X))
+    df = pd.DataFrame({"vec_id": np.arange(len(X)),
+                       "embedding": list(X[perm])})
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        model = pq_fit(ds, "embedding", m=2, nbits=3, iters=2)
+        enc = pq_encode(ds, model)
+        got = pq_adc_topk(enc, model, base[:2], np.arange(2), k=5) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -214,3 +214,20 @@ def test_sql_lastjoin_residual(ray_session):
     df = out.to_pandas().sort_values("v")
     assert df["w"].tolist() == [100, 100, None] or \
         df["w"].fillna(-1).tolist() == [100, 100, -1]
+
+
+@pytest.mark.slow
+def test_window_union_cluster_thousand(ray_session):
+    """The reference's 1000-row WINDOW UNION cluster stress case —
+    previously excluded from the sweep as 'slow'; on this engine it runs
+    in ~2 s, so it is pinned here (slow-marked) AND back in the sweep."""
+    from openmldb_ray.sql.yaml_runner import run_file
+
+    path = os.path.join(
+        REF, "window/test_window_union_cluster_thousand.yaml")
+    if not os.path.exists(path):
+        pytest.skip("reference corpus not present")
+    outcomes = run_file(path)
+    assert outcomes and all(o.status in ALLOWED for o in outcomes), [
+        (o.case_id, o.status, o.detail[:200]) for o in outcomes
+        if o.status not in ALLOWED]
