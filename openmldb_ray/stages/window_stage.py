@@ -40,6 +40,7 @@ if TYPE_CHECKING:  # pragma: no cover
 UNION_FLAG = "__is_primary"
 EXPANDED_FLAG = "__expanded"
 BUCKET_COL = "__bucket"
+EMIT_COL = "__emit"
 
 
 def _normalize_keys(partition_by) -> list[str]:
@@ -61,11 +62,18 @@ def _to_arrow(out: pd.DataFrame):
 
 def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
                    has_union: bool, tiebreak: str | None, drop_cols: list[str],
-                   hook=None, keys: list[str] | None = None):
+                   hook=None, keys: list[str] | None = None,
+                   emit_col: str | None = None):
     """Group fn. When ``keys`` is given the incoming frame is a COARSE
     bucket holding many partition keys (one Ray dispatch per bucket, not
     per key — high-cardinality scale path); each key is windowed
-    independently inside."""
+    independently inside.
+
+    ``emit_col`` (salted path): a bool column marking which rows EMIT
+    output — buffer-only rows (expanded history replicas, union rows)
+    are False. The sort tie order still uses the ORIGINAL union flag
+    (union-before-primary), so emit masking cannot perturb lag/ordering
+    semantics; the mask is applied right before the kernel."""
 
     def one_key(g: pd.DataFrame, presorted: bool = False):
         if not presorted:
@@ -79,9 +87,12 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
             g = g.sort_values(sort_cols, kind="stable")
         if hook is not None:
             hook("pre", g)
+        if emit_col is not None:
+            g = g.assign(**{UNION_FLAG: g[emit_col].to_numpy(bool)})
         out = compute_window_features(
             g, order_by, aggs, frame,
-            is_primary_col=UNION_FLAG if has_union else None,
+            is_primary_col=UNION_FLAG if (has_union or emit_col is not None)
+            else None,
         )
         if drop_cols:
             out = out.drop(columns=[c for c in drop_cols if c in out.columns])
@@ -269,8 +280,12 @@ def window_agg_salted(
                                              batch_format="pyarrow",
                                              batch_size=None))
 
+    has_union = union is not None
+
     def explode(t: "pa.Table") -> "pa.Table":
-        # Arrow-native so the downstream sort shuffle runs on Arrow blocks
+        # Arrow-native so the downstream sort shuffle runs on Arrow blocks.
+        # EMIT_COL is computed here, vectorized: a row emits output iff it
+        # is not an expanded history replica and (with union) is primary.
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -280,6 +295,10 @@ def window_agg_salted(
         bucket = pc.divide(ts0, bucket_ms)
         own = t.append_column(BUCKET_COL, pc.cast(bucket, pa.int64()))
         own = own.append_column(EXPANDED_FLAG, pa.array(np.zeros(t.num_rows, bool)))
+        own_emit = (pc.fill_null(pc.cast(t[UNION_FLAG], pa.bool_()), False)
+                    if has_union
+                    else pa.array(np.ones(t.num_rows, bool)))
+        own = own.append_column(EMIT_COL, own_emit)
         near_end = pc.and_(
             pc.fill_null(valid, False),
             pc.greater_equal(ts0, pc.subtract(
@@ -288,29 +307,23 @@ def window_agg_salted(
         rep_bucket = pc.add(pc.cast(bucket, pa.int64()).filter(near_end), 1)
         rep = rep_base.append_column(BUCKET_COL, rep_bucket)
         rep = rep.append_column(EXPANDED_FLAG, pa.array(np.ones(rep.num_rows, bool)))
+        rep = rep.append_column(EMIT_COL, pa.array(np.zeros(rep.num_rows, bool)))
         return pa.concat_tables([own, rep])
 
     ds = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
-    has_union = union is not None
-
-    def fn(t) -> pd.DataFrame:
-        g = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
-        # expanded (replicated-history) rows always have strictly smaller ts
-        # than the bucket's own rows, so ties only occur within a class;
-        # union rows sort before primary on ties as in the plain stage
-        sort_cols = [order_by] + ([UNION_FLAG] if has_union else []) + ([tiebreak] if tiebreak else [])
-        g = g.sort_values(sort_cols, kind="stable")
-        emit = ~g[EXPANDED_FLAG]
-        if has_union:
-            emit &= g[UNION_FLAG]
-        g = g.assign(**{UNION_FLAG: emit})
-        out = compute_window_features(g, order_by, aggs, frame, is_primary_col=UNION_FLAG)
-        out = out.drop(columns=[c for c in (EXPANDED_FLAG, BUCKET_COL) if c in out.columns])
-        return _to_arrow(out)
-
+    # same coarse-bucket exchange as the plain stage (one int64 __wb sort,
+    # one vectorized in-bucket Arrow sort + boundary split) instead of a
+    # full multi-key map_groups: at 8M rows / 8 CPUs this halves the
+    # non-kernel machinery cost of the window stage
     from ..core.grouping import map_groups_typed
+    from ..core.hashing import add_bucket_column, default_num_buckets
 
-    return map_groups_typed(ds, [*keys, BUCKET_COL], fn,
-                            batch_format="pandas",
-                            num_partitions=num_partitions)
+    add_bucket = add_bucket_column([*keys, BUCKET_COL], "__wb",
+                                   default_num_buckets())
+    fn = _make_group_fn(order_by, aggs, frame, has_union, tiebreak,
+                        drop_cols=[EXPANDED_FLAG, BUCKET_COL, EMIT_COL],
+                        keys=[*keys, BUCKET_COL], emit_col=EMIT_COL)
+    return map_groups_typed(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        "__wb", fn, batch_format="pyarrow", num_partitions=num_partitions)

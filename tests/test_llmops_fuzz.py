@@ -12,11 +12,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from tools.fuzz_llmops import (fuzz_encoders, fuzz_knn_join, fuzz_paradedup,
-                               fuzz_pq, fuzz_scale)
+from tools.fuzz_llmops import (fuzz_dedup, fuzz_encoders, fuzz_knn_join,
+                               fuzz_paradedup, fuzz_pq, fuzz_scale)
 
 OPS = {"pq": fuzz_pq, "knn_join": fuzz_knn_join, "paradedup": fuzz_paradedup,
-       "encoders": fuzz_encoders, "scale": fuzz_scale}
+       "encoders": fuzz_encoders, "scale": fuzz_scale, "dedup": fuzz_dedup}
 
 
 @pytest.mark.parametrize("op", sorted(OPS))

@@ -330,7 +330,62 @@ def fuzz_scale(seed: int, rows: int, rd) -> list[str]:
     return bad
 
 
-OPS = [fuzz_pq, fuzz_knn_join, fuzz_paradedup, fuzz_encoders, fuzz_scale]
+# ---------------------------------------------------------------------------
+# dedup family: exact / minhash-LSH / simhash vs deterministic survivor sets
+# ---------------------------------------------------------------------------
+
+def fuzz_dedup(seed: int, rows: int, rd) -> list[str]:
+    """Planted exact-duplicate groups among long random-word documents:
+    the expected survivor set is DETERMINISTIC (min id per identical
+    text; every unique doc survives — identical texts always collide at
+    Jaccard 1 / Hamming 0, while long random-word docs sit far below any
+    near-dup threshold), so all three dedup ops compare exactly."""
+    from openmldb_ray.stages.dedup import (exact_dedup, minhash_lsh_dedup,
+                                           simhash_dedup)
+
+    rng = random.Random(seed + 760_000)
+    nrng = np.random.default_rng(seed + 760_000)
+    vocab = [f"w{i}x{i * 7919 % 10007}" for i in range(500)]
+    n = max(30, rows // 2)
+    texts: list = []
+    for i in range(n):
+        r = nrng.random()
+        if r < 0.25 and texts:
+            texts.append(texts[int(nrng.integers(0, len(texts)))])  # dup
+        else:
+            texts.append(" ".join(
+                vocab[int(j)] for j in nrng.integers(0, len(vocab), 25)))
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    exp = set(df.groupby("text")["doc_id"].min())
+    bad = []
+    ds = _part(rng, rd.from_pandas(df))
+
+    got = set(exact_dedup(ds, "text", keep_by="doc_id")
+              .to_pandas()["doc_id"])
+    if got != exp:
+        bad.append(f"dedup seed {seed}: exact_dedup survivors "
+                   f"{sorted(got ^ exp)[:5]} differ")
+
+    got = set(minhash_lsh_dedup(_part(rng, rd.from_pandas(df)),
+                                "text", "doc_id",
+                                jaccard_threshold=0.8)
+              .to_pandas()["doc_id"])
+    if got != exp:
+        bad.append(f"dedup seed {seed}: minhash survivors "
+                   f"{sorted(got ^ exp)[:5]} differ")
+
+    got = set(simhash_dedup(_part(rng, rd.from_pandas(df)),
+                            "text", "doc_id", hamming_threshold=3)
+              .to_pandas()["doc_id"])
+    if got != exp:
+        bad.append(f"dedup seed {seed}: simhash survivors "
+                   f"{sorted(got ^ exp)[:5]} differ")
+    return bad
+
+
+OPS = [fuzz_pq, fuzz_knn_join, fuzz_paradedup, fuzz_encoders,
+       fuzz_scale, fuzz_dedup]
 
 
 def run_seed(seed: int, rows: int, rd) -> list[str]:
