@@ -28,6 +28,19 @@ import pyarrow.compute as pc
 
 REGISTRY: dict[str, Callable] = {}
 
+#: env var carrying os.pathsep-joined external UDF module paths — set by
+#: register_external and inherited by Ray workers (local mode) so worker
+#: processes can lazily re-load the same modules on a registry miss
+EXTERNAL_UDFS_ENV = "OMR_EXTERNAL_UDFS"
+_external_loaded: set[str] = set()
+_EXTERNAL_FNS: dict[str, Callable] = {}
+
+
+def external_snapshot() -> dict[str, Callable]:
+    """Externally-registered UDFs (name → fn) for shipping into worker
+    processes (the SQL Evaluator captures this at plan time)."""
+    return dict(_EXTERNAL_FNS)
+
 
 def register(name: str, fn: Callable, *aliases: str) -> None:
     REGISTRY[name] = fn
@@ -35,8 +48,93 @@ def register(name: str, fn: Callable, *aliases: str) -> None:
         REGISTRY[a] = fn
 
 
+def _load_module_udfs(path: str) -> dict[str, Callable]:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "omr_udf_" + os.path.basename(path).replace(".", "_"), path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"register_external: cannot load module {path!r}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    udfs = getattr(mod, "OMR_UDFS", None)
+    if udfs is None:
+        udfs = {n: f for n, f in vars(mod).items()
+                if callable(f) and not n.startswith("_")}
+    return dict(udfs)
+
+
+def register_external(path: str, *, names: list[str] | None = None,
+                      prefix: str = "") -> list[str]:
+    """Register scalar UDFs from a Python module FILE — the environment's
+    analog of the reference's external ``.so`` registration
+    (SparkPlanner.scala:349-378 ``Engine.RegisterExternalFunction``;
+    hybridse/src/udf/dynamic_lib_manager.h). The module may declare
+    ``OMR_UDFS = {"name": callable, ...}``; otherwise every public
+    top-level callable registers under its own name. Functions must be
+    vectorized (Arrow/numpy array in → array out) like every registry
+    kernel.
+
+    Worker visibility mirrors the reference's .so contract (the library
+    file must exist on every executor): the path is appended to the
+    ``OMR_EXTERNAL_UDFS`` env var, which Ray workers inherit, and
+    :func:`get` lazily re-loads it on a registry miss inside the worker
+    process — so external UDFs work through the SQL engine's per-process
+    resolution too. Returns the registered names."""
+    import os
+
+    udfs = _load_module_udfs(path)
+    if names is not None:
+        missing = sorted(set(names) - set(udfs))
+        if missing:
+            raise ValueError(
+                f"register_external: {path!r} does not define {missing}")
+        udfs = {n: udfs[n] for n in names}
+    out = []
+    for n, f in udfs.items():
+        register(prefix + n, f)
+        _EXTERNAL_FNS[prefix + n] = f
+        out.append(prefix + n)
+    # env entry carries the prefix too ("prefix|path") so a worker-side
+    # lazy reload registers the same names the driver did
+    entry = f"{prefix}|{os.path.abspath(path)}"
+    existing = [p for p in os.environ.get(EXTERNAL_UDFS_ENV, "")
+                .split(os.pathsep) if p]
+    if entry not in existing:
+        os.environ[EXTERNAL_UDFS_ENV] = os.pathsep.join(existing + [entry])
+    _external_loaded.add(entry)
+    return sorted(out)
+
+
+def _load_externals_from_env() -> bool:
+    """Load any env-announced external UDF modules this process has not
+    seen yet; returns True if anything new was registered."""
+    import os
+
+    new = False
+    for entry in os.environ.get(EXTERNAL_UDFS_ENV, "").split(os.pathsep):
+        if not entry or entry in _external_loaded:
+            continue
+        _external_loaded.add(entry)
+        prefix, _, p = entry.partition("|")
+        if not p or not os.path.exists(p):
+            continue   # not present on this node — same failure mode as
+            # a missing .so on an executor; the KeyError below says which
+            # function is unresolved
+        for n, f in _load_module_udfs(p).items():
+            register(prefix + n, f)
+            new = True
+    return new
+
+
 def get(name: str) -> Callable:
-    return REGISTRY[name]
+    try:
+        return REGISTRY[name]
+    except KeyError:
+        if _load_externals_from_env():
+            return REGISTRY[name]   # may raise KeyError again: correct
+        raise
 
 
 def _arr(x):

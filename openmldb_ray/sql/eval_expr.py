@@ -443,6 +443,11 @@ class Evaluator:
         # Ray workers whose module globals are fresh, so the offset must
         # travel with the pickled evaluator
         self.tz_offset_ms = scalar_fns.get_timezone_offset_ms()
+        # externally-registered UDFs travel the same way (cloudpickle
+        # ships file-loaded module functions by value): a worker's fresh
+        # REGISTRY has no external entries, so the snapshot is the
+        # resolution fallback there (scalar_fns.register_external)
+        self.external_fns = scalar_fns.external_snapshot()
 
     def eval(self, expr, batch: pa.Table) -> pa.Array:
         if scalar_fns.get_timezone_offset_ms() != self.tz_offset_ms:
@@ -673,7 +678,10 @@ class Evaluator:
         try:
             fn = scalar_fns.get(name)
         except KeyError:
-            raise SqlEvalError(f"unknown function {name!r}") from None
+            fn = getattr(self, "external_fns", {}).get(name)
+            if fn is None:
+                raise SqlEvalError(f"unknown function {name!r}") from None
+            scalar_fns.register(name, fn)  # cache for later batches
         args = []
         for a in e.args:
             v = self._eval(a, batch)
