@@ -1454,6 +1454,33 @@ def q_multimodal(sf_dir: str):
     return out.sort_values("mm_id").reset_index(drop=True)
 
 
+def q_multimodal_stats(sf_dir: str):
+    """Typed multimodal metadata with REAL decode (stages/multimodal
+    ImageStats / AudioStats): image dims + exact mean intensity for the
+    solid-color PNGs, exact duration for the PCM WAVs. Exact SQL oracle
+    (the payloads are arithmetic functions of mm_id)."""
+    from openmldb_ray.stages.multimodal import (
+        audio_stats,
+        image_stats,
+        make_multimodal_dataset,
+    )
+
+    mm = make_multimodal_dataset(64)
+    fi = image_stats(mm.filter(lambda r: r["mm_type"] == "image")).to_pandas()
+    fi = fi[["mm_id", "mm_type", "img_w", "img_h", "img_mean"]].copy()
+    fi["duration_ms"] = np.nan
+    fa = audio_stats(mm.filter(lambda r: r["mm_type"] == "audio")).to_pandas()
+    fa = fa[["mm_id", "mm_type", "duration_ms"]].copy()
+    fa["img_w"] = np.nan
+    fa["img_h"] = np.nan
+    fa["img_mean"] = np.nan
+    out = pd.concat([fi, fa], ignore_index=True).sort_values("mm_id") \
+        .reset_index(drop=True)
+    return _round_cols(out[["mm_id", "mm_type", "img_w", "img_h",
+                            "img_mean", "duration_ms"]],
+                       ["img_w", "img_h", "img_mean", "duration_ms"])
+
+
 def q_taxi(sf_dir: str):
     """The reference's taxi-trip demo feature vector (taxi.sql:9-23) over a
     deterministic synthetic trips table. The trips table is generated, not
@@ -3254,6 +3281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin": q_quantile_bin,
         "compress_ratio": q_compress_ratio,
         "json_extract": q_json_extract,
+        "multimodal_stats": q_multimodal_stats,
         "decayed_sum": q_decayed_sum,
         "tfidf": q_tfidf,
         "taxi_demo": q_taxi,
@@ -4516,6 +4544,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN x % 2 = 0
                         THEN (7 * x) % 256 + (13 * x) % 256 + (29 * x) % 256
                         ELSE 800 + x END AS BIGINT) AS feat
+            FROM range(64) t(x)
+        """,
+        "multimodal_stats": """
+            SELECT CAST(x AS BIGINT) AS mm_id,
+                   CASE WHEN x % 2 = 0 THEN 'image' ELSE 'audio' END AS mm_type,
+                   CASE WHEN x % 2 = 0 THEN CAST(8 AS DOUBLE) END AS img_w,
+                   CASE WHEN x % 2 = 0 THEN CAST(8 AS DOUBLE) END AS img_h,
+                   ROUND(CASE WHEN x % 2 = 0 THEN
+                       ((7 * x) % 256 + (13 * x) % 256 + (29 * x) % 256) / 3.0
+                   END, 6) AS img_mean,
+                   ROUND(CASE WHEN x % 2 = 1 THEN (800 + x) / 16.0 END, 6)
+                       AS duration_ms
             FROM range(64) t(x)
         """,
         "taxi_demo": """

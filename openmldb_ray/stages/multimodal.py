@@ -119,6 +119,62 @@ class AudioFrameSampler:
                  .append_column("sample_rate", pa.array(rates, pa.int64())))
 
 
+class ImageStats:
+    """Actor-pool stage: REAL decode → typed image metadata columns
+    (``img_w``, ``img_h``, ``img_channels``, ``img_mean``: mean intensity
+    over all pixels/channels as float64). The per-image work after decode
+    is one numpy reduction."""
+
+    def __init__(self, payload_col: str = "payload",
+                 decode_fn: Callable[[bytes], np.ndarray] | None = None,
+                 fake_decode: bool = False):
+        self.payload_col = payload_col
+        self.decode = _resolve_decode(decode_fn, fake_decode)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, cs, means = [], [], [], []
+        for payload in t[self.payload_col].to_pylist():
+            img = self.decode(payload if payload is not None else b"")
+            if img.ndim == 2:
+                img = img[:, :, None]
+            hs.append(int(img.shape[0]))
+            ws.append(int(img.shape[1]))
+            cs.append(int(img.shape[2]))
+            means.append(float(img.mean()))
+        return (t.append_column("img_w", pa.array(ws, pa.int64()))
+                 .append_column("img_h", pa.array(hs, pa.int64()))
+                 .append_column("img_channels", pa.array(cs, pa.int64()))
+                 .append_column("img_mean", pa.array(means, pa.float64())))
+
+
+class AudioStats:
+    """Actor-pool stage: REAL PCM WAV decode → ``duration_ms`` (exact
+    n_samples * 1000 / sample_rate), ``rms`` (float64 over all channels)
+    and ``zero_crossings`` (sign changes in channel 0)."""
+
+    def __init__(self, payload_col: str = "payload", decode_fn=None):
+        self.payload_col = payload_col
+        if decode_fn is None:
+            from .codecs import decode_wav
+
+            decode_fn = decode_wav
+        self.decode = decode_fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dur, rms, zc = [], [], []
+        for p in t[self.payload_col].to_pylist():
+            samples, sr = self.decode(p or b"")
+            x = samples.astype(np.float64)
+            dur.append(samples.shape[0] * 1000.0 / sr)
+            rms.append(float(np.sqrt((x * x).mean())) if x.size else 0.0)
+            c0 = x[:, 0]
+            zc.append(int(np.count_nonzero(np.signbit(c0[1:])
+                                           != np.signbit(c0[:-1]))))
+        return (t.append_column("duration_ms", pa.array(dur, pa.float64()))
+                 .append_column("rms", pa.array(rms, pa.float64()))
+                 .append_column("zero_crossings", pa.array(zc, pa.int64())))
+
+
 class ImageResizer:
     """Actor-pool stage shape for decode→resize→re-encode. Stub resize is a
     deterministic nearest-neighbor subsample of the fake-decoded image; a
@@ -195,6 +251,27 @@ def sample_audio_frames(ds: "ray.data.Dataset", *, fake_decode: bool = False,
         AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs=dict(fake_decode=fake_decode,
                                    decode_fn=decode_fn, frame_ms=frame_ms),
+        concurrency=concurrency,
+    )
+
+
+def image_stats(ds: "ray.data.Dataset", *, fake_decode: bool = False,
+                decode_fn=None, concurrency=(1, 8),
+                batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageStats, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(decode_fn=decode_fn,
+                                   fake_decode=fake_decode),
+        concurrency=concurrency,
+    )
+
+
+def audio_stats(ds: "ray.data.Dataset", *, decode_fn=None,
+                concurrency=(1, 8),
+                batch_size: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioStats, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(decode_fn=decode_fn),
         concurrency=concurrency,
     )
 

@@ -207,3 +207,21 @@ def test_stage_real_resize_roundtrip(ray_session):
         a = np.frombuffer(r["payload_resized"], np.uint8).reshape(4, 4, 3)
         assert (a[0, 0] == [(7 * i) % 256, (13 * i) % 256,
                             (29 * i) % 256]).all()
+
+
+def test_stage_image_audio_stats(ray_session):
+    from openmldb_ray.stages.multimodal import (
+        audio_stats, image_stats, make_multimodal_dataset)
+
+    mm = make_multimodal_dataset(12)
+    fi = image_stats(mm.filter(lambda r: r["mm_type"] == "image")).to_pandas()
+    for _, r in fi.iterrows():
+        i = int(r["mm_id"])
+        assert (r["img_w"], r["img_h"], r["img_channels"]) == (8, 8, 3)
+        exp = ((7 * i) % 256 + (13 * i) % 256 + (29 * i) % 256) / 3.0
+        assert abs(r["img_mean"] - exp) < 1e-9
+    fa = audio_stats(mm.filter(lambda r: r["mm_type"] == "audio")).to_pandas()
+    for _, r in fa.iterrows():
+        i = int(r["mm_id"])
+        assert abs(r["duration_ms"] - (800 + i) / 16.0) < 1e-9
+        assert r["rms"] > 0 and r["zero_crossings"] >= 1
