@@ -44,20 +44,32 @@ class TextQuality:
         df = df.copy()
         # null text is EMPTY text, not the literal 'None' (library
         # convention) — a null doc must score 0 chars / 0 words, not 4/1
-        s = df[self.text_col].fillna("").astype(str)
+        s = df[self.text_col].fillna("").astype(str).reset_index(drop=True)
         n_chars = s.str.len().to_numpy(np.int64)
+        # vectorized word stats (r4, VERDICT "wrong #4"): the per-row
+        # Python lambdas are gone — n_words/word lengths come from one
+        # findall + Series.str.len, mean word length from a char-class
+        # count (every [A-Za-z'] char is inside some "[A-Za-z']+" match,
+        # so word_chars / n_words == the old per-row np.mean exactly),
+        # and stopword hits from one explode + isin + level-0 sum
         words = s.str.findall(self.word_re)
-        n_words = words.map(len).to_numpy(np.int64)
+        n_words = words.str.len().to_numpy(np.int64)
+        word_chars = s.str.count(r"[A-Za-z']").to_numpy(np.int64)
         df["q_n_chars"] = n_chars
         df["q_n_words"] = n_words
         df["q_punct_ratio"] = s.str.count(self.punct_re).to_numpy(float) / np.maximum(n_chars, 1)
         df["q_digit_ratio"] = s.str.count(r"\d").to_numpy(float) / np.maximum(n_chars, 1)
         df["q_upper_ratio"] = s.str.count(r"[A-Z]").to_numpy(float) / np.maximum(n_chars, 1)
-        df["q_mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0).to_numpy(float)
-        df["q_stopword_ratio"] = words.map(
-            lambda ws: sum(w.lower() in _STOPWORDS_EN for w in ws) / max(1, len(ws))
-        ).to_numpy(float)
+        df["q_mean_word_len"] = np.where(
+            n_words > 0, word_chars / np.maximum(n_words, 1), 0.0)
+        ex = words.explode().dropna()
+        if len(ex):
+            hits = ex.str.lower().isin(_STOPWORDS_EN).groupby(level=0).sum()
+            hits = hits.reindex(pd.RangeIndex(len(s)),
+                                fill_value=0).to_numpy(np.int64)
+        else:
+            hits = np.zeros(len(s), dtype=np.int64)
+        df["q_stopword_ratio"] = hits / np.maximum(n_words, 1)
         return df
 
 
@@ -131,8 +143,10 @@ class TokenCounter:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         s = df[self.text_col].fillna("").astype(str)
-        df["n_ws_tokens"] = s.str.split().map(len).to_numpy(np.int64)
-        df["n_bpe_tokens"] = s.map(lambda t: len(self.bpe_re.findall(t))).to_numpy(np.int64)
+        # match counts instead of findall-materialized lists (r4): same
+        # values, no per-row Python list building
+        df["n_ws_tokens"] = s.str.count(r"\S+").to_numpy(np.int64)
+        df["n_bpe_tokens"] = s.str.count(self.bpe_re).to_numpy(np.int64)
         return df
 
 
