@@ -151,16 +151,31 @@ def _sliding_matrix_path(vals: np.ndarray, valid: np.ndarray, lo: np.ndarray,
             labels = np.asarray(
                 [_fmt_typed(u, a.val_t, a.tz_ms) for u in uniq], dtype=object)
             order = np.argsort(-C, axis=1, kind="stable")  # ties → lower value index first
-            res = np.empty(n, dtype=object)
             kk = a.k
             pres_cnt = present.sum(axis=1)
-            for i in range(n):  # string assembly only; O(n·k) tiny
-                sel = order[i][: min(kk, int(pres_cnt[i]))]
-                # always pad to k entries with literal "NULL" (exact-kernel
-                # parity; reference FZTopNFrequency::Output)
-                parts = [labels[j] for j in sel] + ["NULL"] * (kk - sel.size)
-                res[i] = ",".join(parts)
-            out[a.name] = res
+            # string assembly runs once per UNIQUE (prefix, length)
+            # pattern, not per row: sliding windows repeat the same top-k
+            # layout for long runs, so the unique-pattern count is tiny
+            # (bounded by distinct-value arrangements, and in the worst
+            # case this degenerates to the old per-row cost)
+            m = min(kk, k) if k else 0
+            take = np.minimum(pres_cnt, kk).astype(np.int64)
+            if m == 0:
+                out[a.name] = np.full(n, ",".join(["NULL"] * kk),
+                                      dtype=object)
+            else:
+                key = np.where(np.arange(m)[None, :] < take[:, None],
+                               order[:, :m], -1)
+                uk, inv = np.unique(key, axis=0, return_inverse=True)
+                res_u = np.empty(len(uk), dtype=object)
+                for ui, row in enumerate(uk):
+                    sel = row[row >= 0]
+                    # always pad to k entries with literal "NULL"
+                    # (exact-kernel parity; FZTopNFrequency::Output)
+                    res_u[ui] = ",".join(
+                        [labels[j] for j in sel]
+                        + ["NULL"] * (kk - sel.size))
+                out[a.name] = res_u[inv]
     return out
 
 
