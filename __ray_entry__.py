@@ -2234,6 +2234,59 @@ def q_normalize_text(sf_dir: str):
     return out[["doc_id", "text"]]
 
 
+_HTML_WRAP_PRE = ('<html><head><style>p {color:red}</style>'
+                  '<!-- note --></head><body><h1>')
+_HTML_WRAP_MID = '</h1><p class="x">'
+_HTML_WRAP_POST = (' &amp; 1 &lt; 2</p><script type="text/js">var x=1;'
+                   '</script></body></html>')
+
+
+def q_html_extract(sf_dir: str):
+    """HTML → text extraction (textstats.html_to_text), the first pass of
+    every web-scrape pipeline: script/style/comment removal, tag strip,
+    entity decode (amp last), whitespace collapse. The fixture wraps each
+    doc in a fixed HTML shell (replayed identically in SQL) and the
+    oracle replays the op's own HTML_STRIP_STEPS table verbatim as a
+    regexp_replace/replace chain — exact string equality."""
+    from openmldb_ray.sources.io import read_table
+    from openmldb_ray.stages.textstats import html_to_text
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        t = df["text"].astype(str)
+        df["text"] = _HTML_WRAP_PRE + t + _HTML_WRAP_MID + t + _HTML_WRAP_POST
+        return df
+
+    out = html_to_text(
+        docs.map_batches(wrap, batch_format="pandas", batch_size=None),
+    ).to_pandas()
+    return out[["doc_id", "text"]]
+
+
+def _html_extract_oracle_sql() -> str:
+    from openmldb_ray.stages.textstats import HTML_STRIP_STEPS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "m.text"
+    for pat, rep, is_re in HTML_STRIP_STEPS:
+        if is_re:
+            expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        else:
+            expr = f"replace({expr}, '{q(pat)}', '{q(rep)}')"
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 '{q(_HTML_WRAP_PRE)}' || text || '{q(_HTML_WRAP_MID)}'
+                 || text || '{q(_HTML_WRAP_POST)}' AS text
+          FROM documents)
+        SELECT doc_id, trim({expr}) AS text FROM m
+    """
+
+
 def q_domain_filter(sf_dir: str):
     """Group-level curation (RefinedWeb/C4 "drop bad DOMAINS"): keep
     every doc whose source's mean n_chars clears the bar. Pass 1 is a
@@ -3281,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin": q_quantile_bin,
         "compress_ratio": q_compress_ratio,
         "json_extract": q_json_extract,
+        "html_extract": q_html_extract,
         "multimodal_stats": q_multimodal_stats,
         "decayed_sum": q_decayed_sum,
         "tfidf": q_tfidf,
@@ -4131,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'moderate' ELSE 'shifted' END AS psi_band
             FROM f
         """,
+        "html_extract": _html_extract_oracle_sql(),
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(

@@ -392,6 +392,60 @@ def compression_ratio(ds: "ray.data.Dataset", text_col: str = "text", *,
                               level=level))
 
 
+#: (pattern, replacement, is_regex) pipeline of html_to_text — declared
+#: once so the DuckDB oracle can replay the IDENTICAL sequence (all
+#: patterns are RE2-compatible: no backreferences, non-greedy allowed)
+HTML_STRIP_STEPS: list[tuple[str, str, bool]] = [
+    (r"(?is)<script[^>]*>.*?</script\s*>", " ", True),
+    (r"(?is)<style[^>]*>.*?</style\s*>", " ", True),
+    (r"(?s)<!--.*?-->", " ", True),
+    (r"(?s)<[^>]+>", " ", True),
+    # entity subset with &amp; LAST so "&amp;lt;" decodes to "&lt;"
+    # (double-encoded stays encoded once — standard single-pass decode)
+    ("&lt;", "<", False),
+    ("&gt;", ">", False),
+    ("&quot;", '"', False),
+    ("&#39;", "'", False),
+    ("&nbsp;", " ", False),
+    ("&amp;", "&", False),
+    (r"\s+", " ", True),
+]
+
+
+def html_to_text(ds: "ray.data.Dataset", text_col: str = "text", *,
+                 out_col: str | None = None,
+                 batch_size: int | None = None):
+    """HTML → plain text, the first pass of every web-scrape curation
+    pipeline (C4/CCNet/RefinedWeb operate on extracted text): drop
+    <script>/<style> blocks and comments, strip all tags, decode the
+    common entities (&lt; &gt; &quot; &#39; &nbsp; &amp; — amp last, so
+    double-encoded text decodes exactly once), collapse whitespace.
+
+    One shuffle-free streaming pass of vectorized pandas str kernels.
+    The step sequence is declared in :data:`HTML_STRIP_STEPS` with
+    RE2-compatible patterns, so a SQL engine replays it verbatim as a
+    regexp_replace/replace chain — the driver oracle does exactly that.
+    Boilerplate-aware extraction (readability scoring, main-content
+    detection) is a model decision layered on top; this is the
+    deterministic mechanical layer. Writes ``out_col`` (default: in
+    place)."""
+    out_col = out_col or text_col
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        from ..core.hashing import quiet_ray_data_logs
+
+        quiet_ray_data_logs()
+        df = df.copy()
+        s = df[text_col].fillna("").astype(str)  # nulls -> "" not "None"
+        for pat, rep, is_re in HTML_STRIP_STEPS:
+            s = s.str.replace(pat, rep, regex=is_re)
+        df[out_col] = s.str.strip()
+        return df
+
+    return ds.map_batches(strip, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def normalize_text(ds: "ray.data.Dataset", text_col: str = "text", *,
                    lowercase: bool = True, collapse_ws: bool = True,
                    strip_punct: bool = False, nfkc: bool = False,

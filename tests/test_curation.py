@@ -331,3 +331,37 @@ def test_compression_ratio_signal(ray_session):
                                batch_size=1).to_pandas()
              .set_index("doc_id")["q_compress_ratio"])
     assert split.sort_index().tolist() == out.sort_index().tolist()
+
+
+def test_html_to_text(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.textstats import html_to_text
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "<html><body><h1>Title</h1><p>Hello <b>world</b>!</p></body></html>",
+        "<script>var x = '<p>not text</p>';</script>before"
+        "<style>p{}</style>after<!-- gone -->",
+        "A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end",
+        None,
+    ]})
+    out = html_to_text(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "Title Hello world !",
+        "before after",
+        # single-pass decode: &amp;amp; -> &amp; (stays), entities decode
+        'A &amp; B <tag> "q" \'s\' end',
+        "",
+    ]
+
+
+def test_html_to_text_multiline_script(ray_session):
+    import ray.data as rd
+
+    from openmldb_ray.stages.textstats import html_to_text
+
+    doc = "<div>keep</div>\n<script>\nline1\nline2\n</script>\n<p>tail</p>"
+    out = html_to_text(rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": [doc]}))).to_pandas()
+    assert out["text"].iloc[0] == "keep tail"
