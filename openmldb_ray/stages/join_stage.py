@@ -12,18 +12,26 @@ Reference semantics (java/openmldb-batch/.../nodes/JoinPlan.scala):
 - LEFT JOIN (:39-151): plain left outer equi-join.
 
 Two execution strategies:
-- **broadcast** (small right side): the right table is collected once,
-  ``ray.put`` into the object store, and every map_batches task does a
-  vectorized ``pd.merge_asof`` / merge against it — no shuffle. This is
-  the 100 TB path whenever the right side is a dimension-ish table.
-- **shuffle** (both sides large): tag each side, union, hash-shuffle by
-  join key via ``groupby(key).map_groups`` and run the same merge per key
-  group — one all-to-all exchange, co-partitioning both sides by the key
-  (SURVEY §7.4). Hot join keys inherit Ray's groupby partitioning; salt
-  upstream if a single key exceeds a worker's heap.
+- **broadcast** (small right side): the right table is collected once as an
+  Arrow table, ``ray.put`` into the object store, and every map_batches
+  task matches against it — no shuffle. This is the 100 TB path whenever
+  the right side is a dimension-ish table.
+- **shuffle** (both sides large): tag each side into one typed Arrow
+  layout, union, hash-shuffle by a COARSE bucket of the join key and match
+  all keys of a bucket in one vectorized kernel call — one all-to-all
+  exchange, co-partitioning both sides (SURVEY §7.4). Hot join keys are
+  salted (``skew_salts``) so one key no longer lands on one worker.
 
 Ties on the order value are broken by ``tiebreak`` (max wins), because a
 distributed read has no stable arrival order to fall back on.
+
+Round-5 exchange format: BOTH strategies are Arrow-native end to end.
+Matching happens on a NARROW ``(key, order, row-position)`` pandas frame
+(nulls removed via Arrow ``take`` first, so int64 never degrades through
+float64); the output is assembled by ``Table.take`` on the matched
+positions, so payload columns keep their exact Arrow types — nullable
+ints stay int64-with-nulls, ints past 2^53 stay exact, list/binary
+payloads ride untouched (the `_bucket_equi_join` idiom, VERDICT r4 #1).
 """
 
 from __future__ import annotations
@@ -32,6 +40,8 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ..config import broadcast_limit as _cfg_broadcast_limit
 
@@ -42,211 +52,344 @@ SIDE_COL = "__side"
 RID_COL = "__rid"
 
 
-def _prep_right(rdf: pd.DataFrame, key: str, order_by: str | None,
-                tiebreak: str | None, right_cols: dict[str, str] | None) -> pd.DataFrame:
-    rdf = rdf.reset_index(drop=True)
-    rdf[RID_COL] = np.arange(len(rdf), dtype=np.int64)
+# ---------------------------------------------------------------------------
+# Arrow-native LAST JOIN kernel (round 5)
+# ---------------------------------------------------------------------------
+
+def _arrow_table_of(ds) -> pa.Table:
+    """A materialized Dataset / driver DataFrame → ONE pa.Table, keeping
+    the exact block types (never a pandas round-trip: Arrow blocks with
+    nullable ints / 2^53+ ints / list payloads must not degrade)."""
+    if isinstance(ds, pd.DataFrame):
+        return pa.Table.from_pandas(ds, preserve_index=False) \
+            .replace_schema_metadata(None)
+    from ..core.empty_ds import is_empty_shim
+
+    if is_empty_shim(ds):
+        return ds.to_arrow()
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        sch = ds.schema()
+        if sch is None:
+            return pa.table({})
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return base.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame({n: pd.Series(dtype=t)
+                          for n, t in zip(base.names, base.types)}),
+            preserve_index=False).replace_schema_metadata(None)
+    t = (tabs[0] if len(tabs) == 1
+         else pa.concat_tables(tabs, promote_options="permissive"))
+    return t.combine_chunks().replace_schema_metadata(None)
+
+
+def _prep_right_arrow(rtab: pa.Table, key: str, order_by: str | None,
+                      tiebreak: str | None,
+                      right_cols: dict[str, str] | None) -> pa.Table:
+    """Right-side layout for the matcher: projection/rename per
+    ``right_cols`` (key/order/tiebreak always kept) + a fresh arrival-order
+    ``__rid`` column (the unsorted LAST JOIN determinism column; overwrites
+    a caller-provided one, whose order it matches under the preserve_order
+    materialization in :func:`last_join`)."""
     if right_cols:
-        keep = [key] + [c for c in (order_by, tiebreak) if c and c not in right_cols]
-        keep = list(dict.fromkeys(keep + list(right_cols) + [RID_COL]))
-        rdf = rdf[keep].rename(columns=right_cols)
-    return rdf
+        keep = [key] + [c for c in (order_by, tiebreak)
+                        if c and c not in right_cols]
+        keep = [c for c in dict.fromkeys(list(keep) + list(right_cols))
+                if c != RID_COL]
+        names = [right_cols.get(c, c) for c in keep]
+        rtab = rtab.select(keep).rename_columns(names)
+    elif RID_COL in rtab.column_names:
+        rtab = rtab.drop_columns([RID_COL])
+    return rtab.append_column(
+        RID_COL, pa.array(np.arange(rtab.num_rows, dtype=np.int64)))
 
 
-def _asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame, left_key: str, right_key: str,
-                left_ts: str, right_order: str, out_cols: list[str],
-                direction: str = "backward", tolerance=None) -> pd.DataFrame:
-    """Vectorized point-in-time merge: per left row, the right row with max
-    right_order such that right_order <= left_ts and keys equal
-    (direction="backward", LAST JOIN). direction="forward" flips it to the
-    FIRST right row with right_order >= left_ts — the label-generation join
-    (next_join). tolerance bounds |right_order - left_ts| (max staleness
-    backward / label horizon forward) natively inside merge_asof."""
-    # rows with a null order key or null join key can never match and would
-    # break merge_asof's sortedness check — drop them from the right side
-    # (matches the reference's max-order selection, which skips nulls)
-    rvalid = rdf[right_order].notna() & rdf[right_key].notna()
-    if not rvalid.all():
-        rdf = rdf[rvalid].reset_index(drop=True)
-    # a nullable order column arrives float64 (NaN upcast); after the nulls
-    # are gone, realign with the left ts dtype so merge_asof accepts it
-    lt_dtype = ldf[left_ts].dtype
-    if (rdf[right_order].dtype != lt_dtype
-            and pd.api.types.is_numeric_dtype(lt_dtype)
-            and pd.api.types.is_numeric_dtype(rdf[right_order])):
-        rdf = rdf.assign(**{right_order: rdf[right_order].astype(lt_dtype)})
-    ldf = ldf.reset_index(drop=True)
-    orig_order = np.arange(len(ldf))
-    ldf = ldf.assign(__lorder=orig_order)
-    ok = ldf[left_ts].notna() & ldf[left_key].notna()
-    good, bad = ldf[ok], ldf[~ok]
-    if len(good):
-        gs = good.sort_values(left_ts, kind="stable")
-        merged = pd.merge_asof(
-            gs, rdf,
-            left_on=left_ts, right_on=right_order,
-            left_by=left_key, right_by=right_key,
-            direction=direction, allow_exact_matches=True,
-            tolerance=tolerance,
-            suffixes=("", "__r"),
-        )
+def _notnull_np(arr) -> np.ndarray:
+    """Bool mask of non-null values (float NaN counts as null — SQL rule)."""
+    try:
+        m = pc.is_null(arr, nan_is_null=True)
+    except pa.ArrowNotImplementedError:  # e.g. null-typed column
+        return np.zeros(len(arr), dtype=bool)
+    return ~m.to_numpy(zero_copy_only=False)
+
+
+def _col_np(tab: pa.Table, col: str, positions: np.ndarray | None = None):
+    """Exact numpy/object values of one Arrow column, optionally gathered
+    at ``positions`` FIRST (Arrow-side) so an int column whose other rows
+    hold nulls never round-trips through float64."""
+    a = tab[col]
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if positions is not None:
+        a = a.take(pa.array(positions, pa.int64()))
+    return a.to_pandas().to_numpy()
+
+
+def _align_dtypes(lv: np.ndarray, rv: np.ndarray):
+    """Make two narrow key/order arrays merge-compatible: numeric pairs
+    promote; anything else falls back to object equality."""
+    if lv.dtype == rv.dtype:
+        return lv, rv
+    lk, rk = lv.dtype.kind, rv.dtype.kind
+    if lk in "iufb" and rk in "iufb":
+        common = np.promote_types(lv.dtype, rv.dtype)
+        return lv.astype(common), rv.astype(common)
+    if lk == "M" and rk == "M":
+        return lv.astype("M8[ns]"), rv.astype("M8[ns]")
+    return lv.astype(object), rv.astype(object)
+
+
+def _narrow_asof_frame(rtab: pa.Table, key: str, order: str,
+                       tb: str | None) -> pd.DataFrame:
+    """Narrow right frame ``(__k, __o, __rp)`` for merge_asof: null
+    key/order rows dropped (they can never satisfy the PIT bound), sorted
+    ascending by (order, tiebreak-or-rid) — so backward's bottom-most pick
+    is the max-tiebreak winner and forward's top-most the min."""
+    ok = _notnull_np(rtab[key]) & _notnull_np(rtab[order])
+    pos = np.flatnonzero(ok)
+    df = pd.DataFrame({"__k": _col_np(rtab, key, pos),
+                       "__o": _col_np(rtab, order, pos),
+                       "__rp": pos.astype(np.int64)})
+    if tb:
+        df["__tb"] = rtab[tb].combine_chunks().take(
+            pa.array(pos, pa.int64())).to_pandas().to_numpy()
+        df = df.sort_values(["__o", "__tb"], kind="stable")
     else:
-        # no valid left rows in this batch: emit the SAME schema merge_asof
-        # would have produced (left cols + right cols, suffixed on collision,
-        # minus the coalesced same-name on/by columns) so block schemas stay
-        # uniform across batches — and never iterate out_cols (it is None on
-        # the broadcast path when right_cols is None)
-        coalesced = set()
-        if right_key == left_key:
-            coalesced.add(right_key)
-        if right_order == left_ts:
-            coalesced.add(right_order)
-        radd = []
-        for c in rdf.columns:
-            if c in coalesced:
-                continue
-            name = c + "__r" if c in good.columns else c
-            if name not in good.columns and name not in radd:
-                radd.append(name)
-        merged = good.reindex(columns=list(good.columns) + radd)
-    if len(bad):
-        bad = bad.reindex(columns=list(merged.columns))
-        merged = pd.concat([merged, bad], ignore_index=True)
-    merged = merged.sort_values("__lorder", kind="stable").drop(columns=["__lorder"])
-    return merged.reset_index(drop=True)
+        df = df.sort_values(["__o", "__rp"], kind="stable")
+    return df[["__k", "__o", "__rp"]].reset_index(drop=True)
 
 
-def _last_merge_generic(ldf: pd.DataFrame, rdf: pd.DataFrame, *, left_key: str,
-                        right_key: str, left_ts: str | None, right_order: str | None,
-                        tiebreak_col: str | None, residual,
-                        direction: str = "backward", tolerance=None) -> pd.DataFrame:
-    """LAST JOIN with an arbitrary residual ON condition (reference:
-    JoinPlan.scala:39-151 accepts any JIT'd condition; covers the non-equi
-    clauses of cases/function/join/test_lastjoin_complex.yaml).
+def _narrow_singles(rtab: pa.Table, key: str, order: str | None,
+                    tb: str | None) -> pd.DataFrame:
+    """One surviving right position per key ``(__k, __rp)``: max
+    (order, tiebreak) for sorted LAST JOIN — null orders sort FIRST so
+    they lose to any real order but still match when a key has only
+    null-order candidates (test_lastjoin_complex.yaml id 13-1) — or max
+    storage rid for unsorted (test_lastjoin_simple.yaml id 4-5). Null
+    keys never match (reference groupby semantics)."""
+    pos = np.flatnonzero(_notnull_np(rtab[key]))
+    d = {"__k": _col_np(rtab, key, pos), "__rp": pos.astype(np.int64)}
+    if order is not None:
+        d["__o"] = rtab[order].combine_chunks().take(
+            pa.array(pos, pa.int64())).to_pandas().to_numpy()
+        sort_cols = ["__k", "__o"]
+        if tb:
+            d["__tb"] = rtab[tb].combine_chunks().take(
+                pa.array(pos, pa.int64())).to_pandas().to_numpy()
+            sort_cols.append("__tb")
+        else:
+            sort_cols.append("__rp")
+        df = pd.DataFrame(d).sort_values(sort_cols, kind="stable",
+                                         na_position="first")
+    else:
+        df = pd.DataFrame(d).sort_values(["__k", "__rp"], kind="stable")
+    return df.groupby("__k", sort=False).tail(1)[["__k", "__rp"]] \
+             .reset_index(drop=True)
 
-    Full equi-match → vectorized residual mask over the joined frame (and
-    the point-in-time bound when ``left_ts`` is set) → per left row keep the
-    match with max (order, tiebreak) (sorted) or max storage rid (unsorted).
-    O(matches) per call — use only when a residual prevents merge_asof."""
-    ldf = ldf.reset_index(drop=True).assign(__lorder=np.arange(len(ldf)))
-    m = ldf.merge(rdf, how="inner", left_on=left_key, right_on=right_key,
-                  suffixes=("", "__r"))
 
-    def _r(c):
-        # the merge suffixes RIGHT columns that collide with a left name
-        # (except the coalesced same-name join key) — the point-in-time
-        # bound and the order sort must read the right side, or a shared
-        # ts column name would compare left ts to itself (always true:
-        # temporal leakage)
-        return c + "__r" if (c in ldf.columns and c + "__r" in m.columns) else c
+def _match_asof(ltab: pa.Table, left_key: str, left_ts: str,
+                rnarrow: pd.DataFrame, *, direction: str,
+                tolerance) -> np.ndarray:
+    """Per left row: position of the PIT-matching right row, or -1.
+    Backward = max right order <= left ts (LAST JOIN); forward = min
+    right order >= left ts (label join); tolerance bounds the distance."""
+    n = ltab.num_rows
+    rp = np.full(n, -1, np.int64)
+    ok = _notnull_np(ltab[left_key]) & _notnull_np(ltab[left_ts])
+    lp = np.flatnonzero(ok)
+    if not len(lp) or not len(rnarrow):
+        return rp
+    lk, rk = _align_dtypes(_col_np(ltab, left_key, lp),
+                           rnarrow["__k"].to_numpy())
+    lts, ro = _align_dtypes(_col_np(ltab, left_ts, lp),
+                            rnarrow["__o"].to_numpy())
+    ldf = pd.DataFrame({"__k": lk, "__ts": lts,
+                        "__lp": lp.astype(np.int64)}) \
+        .sort_values("__ts", kind="stable")
+    rdf = pd.DataFrame({"__k": rk, "__o": ro,
+                        "__rp": rnarrow["__rp"].to_numpy()})
+    merged = pd.merge_asof(ldf, rdf, left_on="__ts", right_on="__o",
+                           by="__k", direction=direction,
+                           allow_exact_matches=True, tolerance=tolerance)
+    got = merged["__rp"].to_numpy()
+    hit = ~pd.isna(got)
+    rp[merged["__lp"].to_numpy()[hit]] = got[hit].astype(np.int64)
+    return rp
 
-    ro = _r(right_order) if right_order is not None else None
+
+def _match_single(ltab: pa.Table, left_key: str,
+                  singles: pd.DataFrame) -> np.ndarray:
+    """Per left row: the pre-reduced single match position per key, or -1."""
+    n = ltab.num_rows
+    rp = np.full(n, -1, np.int64)
+    lp = np.flatnonzero(_notnull_np(ltab[left_key]))
+    if not len(lp) or not len(singles):
+        return rp
+    lk, rk = _align_dtypes(_col_np(ltab, left_key, lp),
+                           singles["__k"].to_numpy())
+    m = pd.DataFrame({"__k": lk, "__lp": lp.astype(np.int64)}).merge(
+        pd.DataFrame({"__k": rk, "__rp": singles["__rp"].to_numpy()}),
+        on="__k", how="inner")
+    rp[m["__lp"].to_numpy(np.int64)] = m["__rp"].to_numpy(np.int64)
+    return rp
+
+
+def _match_residual(ltab: pa.Table, rtab: pa.Table, *, left_key: str,
+                    right_key: str, left_ts: str | None,
+                    right_order: str | None, tiebreak_col: str | None,
+                    residual, direction: str, tolerance) -> np.ndarray:
+    """Generic path (arbitrary residual ON condition, reference
+    JoinPlan.scala:39-151): narrow equi candidates → PIT bound → residual
+    mask over an Arrow-assembled candidate frame → per-left argmax.
+    O(matches), like the reference's JIT'd nested probe. NaN keys match
+    NaN keys here (pandas merge semantics — the SQL engine's null-safe
+    LAST JOIN equality rides on this via its encoded key)."""
+    n = ltab.num_rows
+    rp_out = np.full(n, -1, np.int64)
+    if not n or not rtab.num_rows:
+        return rp_out
+    lk, rk = _align_dtypes(_col_np(ltab, left_key), _col_np(rtab, right_key))
+    cand = pd.DataFrame({"__k": lk, "__lp": np.arange(n, dtype=np.int64)}) \
+        .merge(pd.DataFrame({"__k": rk,
+                             "__rp": np.arange(rtab.num_rows,
+                                               dtype=np.int64)}),
+               on="__k", how="inner")
+    if not len(cand):
+        return rp_out
+    lp = cand["__lp"].to_numpy(np.int64)
+    rpp = cand["__rp"].to_numpy(np.int64)
+    ro_np = _col_np(rtab, right_order) if right_order is not None else None
+    keep = np.ones(len(lp), dtype=bool)
     if right_order is not None and left_ts is not None:
-        # PIT/asof: a null order can never satisfy the bound — drop early.
-        # WITHOUT a PIT bound null-order candidates stay ELIGIBLE: the
-        # reference's LAST JOIN matches a null-order row when it is the
-        # key's only candidate (cases/function/join/test_lastjoin_complex
-        # .yaml id 13-1 row 5: subquery row (ee, 24, c7=NULL) must join);
-        # they sort FIRST below so any real order beats them.
-        m = m[m[ro].notna()]
+        # PIT: a null order can never satisfy the bound — drop early.
+        # WITHOUT a PIT bound null-order candidates stay ELIGIBLE (they
+        # sort FIRST below, so any real order beats them but a key whose
+        # only candidate has a null order still matches).
+        keep &= ~pd.isna(ro_np[rpp])
     if left_ts is not None:
-        if direction == "forward":
-            m = m[m[ro] >= m[left_ts]]
-            if tolerance is not None:
-                m = m[m[ro] <= m[left_ts] + tolerance]
+        lts_np = _col_np(ltab, left_ts)
+        lo, ro = lts_np[lp], ro_np[rpp]
+        with np.errstate(invalid="ignore"):
+            if direction == "forward":
+                keep &= ro >= lo
+                if tolerance is not None:
+                    keep &= ro <= lo + tolerance
+            else:
+                keep &= ro <= lo
+                if tolerance is not None:
+                    keep &= ro >= lo - tolerance
+    lp, rpp = lp[keep], rpp[keep]
+    if residual is not None and len(lp):
+        # candidate frame for the vectorized predicate: left columns +
+        # right columns (suffixed ``__r`` on collision, key coalesced) —
+        # the layout the pandas inner-merge used to produce
+        lfr = ltab.take(pa.array(lp, pa.int64())).to_pandas()
+        rsel = [c for c in rtab.column_names
+                if not (c == right_key and right_key == left_key)]
+        rfr = rtab.select(rsel).take(pa.array(rpp, pa.int64())).to_pandas()
+        rfr.columns = [c + "__r" if c in lfr.columns else c
+                       for c in rfr.columns]
+        frame = pd.concat([lfr.reset_index(drop=True),
+                           rfr.reset_index(drop=True)], axis=1)
+        mask = np.asarray(residual(frame), dtype=bool)
+        lp, rpp = lp[mask], rpp[mask]
+    if not len(lp):
+        return rp_out
+    if right_order is not None:
+        d = {"__lp": lp, "__o": ro_np[rpp], "__rp": rpp}
+        sort_cols = ["__o"]
+        if tiebreak_col:
+            d["__tb"] = _col_np(rtab, tiebreak_col)[rpp]
+            sort_cols.append("__tb")
         else:
-            m = m[m[ro] <= m[left_ts]]
-            if tolerance is not None:
-                m = m[m[ro] >= m[left_ts] - tolerance]
-    if residual is not None and len(m):
-        m = m[np.asarray(residual(m), dtype=bool)]
-    if len(m):
-        if right_order is not None:
-            sort_cols = [ro, _r(tiebreak_col or RID_COL)]
-            # nulls first: a null order loses to every real order but still
-            # matches when alone (reference semantics, see filter above)
-            m = m.sort_values(sort_cols, kind="stable",
-                              na_position="first").groupby("__lorder",
-                                                           sort=False)
-            m = m.head(1) if direction == "forward" else m.tail(1)
-        else:
-            m = m.sort_values(_r(RID_COL), kind="stable").groupby("__lorder", sort=False).tail(1)
-    right_out = [c for c in rdf.columns if c not in ldf.columns]
-    merged = ldf.merge(m[["__lorder", *[c for c in right_out if c in m.columns]]],
-                       on="__lorder", how="left", suffixes=("", "__r"))
-    return merged.sort_values("__lorder", kind="stable").drop(columns="__lorder") \
-                 .reset_index(drop=True)
+            sort_cols.append("__rp")
+        g = (pd.DataFrame(d)
+             .sort_values(sort_cols, kind="stable", na_position="first")
+             .groupby("__lp", sort=False))
+        pick = g.head(1) if direction == "forward" else g.tail(1)
+    else:
+        pick = (pd.DataFrame({"__lp": lp, "__rp": rpp})
+                .sort_values("__rp", kind="stable")
+                .groupby("__lp", sort=False).tail(1))
+    rp_out[pick["__lp"].to_numpy(np.int64)] = pick["__rp"].to_numpy(np.int64)
+    return rp_out
+
+
+def _assemble_take(ltab: pa.Table, rtab: pa.Table, rp: np.ndarray,
+                   rpay: list[str], types: dict | None = None) -> pa.Table:
+    """Join output = left batch columns (zero-copy, exact types) + right
+    payload columns gathered by matched position (-1 → a null row, via a
+    null take index). ``types`` optionally re-casts columns degraded to
+    null-type by the exchange (all-null slices) back to the plan types so
+    every bucket's output schema unifies."""
+    idx = pa.array(rp, type=pa.int64(), mask=rp < 0)
+    taken = rtab.select(rpay).take(idx) if rpay else None
+    arrays, names = [], []
+    for c, tab in [(c, ltab) for c in ltab.column_names] + \
+                  [(c, taken) for c in rpay]:
+        a = tab[c]
+        want = types.get(c) if types else None
+        if want is not None and a.type != want:
+            a = pc.cast(a, want)
+        arrays.append(a)
+        names.append(c)
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def _promote_pa(a: "pa.DataType", b: "pa.DataType") -> "pa.DataType":
+    """One physical type for a key pair across both exchange sides."""
+    if a == b:
+        return a
+    return pa.unify_schemas(
+        [pa.schema([("k", a)]), pa.schema([("k", b)])],
+        promote_options="permissive").field("k").type
 
 
 class _BroadcastLastJoin:
-    """Actor-pool map_batches stage: right side fetched ONCE per actor."""
+    """Broadcast LAST JOIN stage: right Arrow table + pre-built narrow
+    matching frame fetched ONCE per actor (``lazy=True`` → used as a plain
+    pickled task fn; refs resolve in the worker on first call — per-batch
+    plasma get of a small table is ~free and task workers are reused)."""
 
-    def __init__(self, right_ref, left_key, right_key, left_ts, right_order,
-                 out_cols, single_ref, tiebreak_col=None, residual=None,
-                 lazy=False, out_types=None, direction="backward",
-                 tolerance=None):
-        self.out_types = out_types or {}
-        self.direction, self.tolerance = direction, tolerance
-        # lazy=True: used as a plain (pickled) task fn — resolve the refs in
-        # the worker on first call instead of actor __init__
-        self._right_ref, self._single_ref = right_ref, single_ref
-        self.rdf = None if lazy else ray.get(right_ref)
-        self.single = (None if (lazy or single_ref is None)
-                       else ray.get(single_ref))
+    def __init__(self, right_ref, narrow_ref, mode, left_key, right_key,
+                 left_ts, right_order, tiebreak_col, out_cols, residual,
+                 direction="backward", tolerance=None, lazy=False):
+        self._right_ref, self._narrow_ref = right_ref, narrow_ref
+        self.rtab = None if lazy else ray.get(right_ref)
+        self.narrow = (None if (lazy or narrow_ref is None)
+                       else ray.get(narrow_ref))
+        self.mode = mode
         self.left_key, self.right_key = left_key, right_key
         self.left_ts, self.right_order = left_ts, right_order
-        self.out_cols = out_cols
-        self.tiebreak_col = tiebreak_col
+        self.tiebreak_col, self.out_cols = tiebreak_col, out_cols
         self.residual = residual
+        self.direction, self.tolerance = direction, tolerance
 
-    def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
-        if self.rdf is None:
-            self.rdf = ray.get(self._right_ref)
-            if self._single_ref is not None:
-                self.single = ray.get(self._single_ref)
-        if self.residual is not None:
-            out = _last_merge_generic(
-                ldf, self.rdf, left_key=self.left_key, right_key=self.right_key,
-                left_ts=self.left_ts, right_order=self.right_order,
+    def __call__(self, ltab: pa.Table) -> pa.Table:
+        if self.rtab is None:
+            self.rtab = ray.get(self._right_ref)
+            if self._narrow_ref is not None:
+                self.narrow = ray.get(self._narrow_ref)
+        if self.mode == "residual":
+            rp = _match_residual(
+                ltab, self.rtab, left_key=self.left_key,
+                right_key=self.right_key, left_ts=self.left_ts,
+                right_order=self.right_order,
                 tiebreak_col=self.tiebreak_col, residual=self.residual,
                 direction=self.direction, tolerance=self.tolerance)
-        elif self.left_ts is not None:
-            out = _asof_merge(ldf, self.rdf, self.left_key, self.right_key,
-                              self.left_ts, self.right_order, self.out_cols,
-                              direction=self.direction, tolerance=self.tolerance)
+        elif self.mode == "asof":
+            rp = _match_asof(ltab, self.left_key, self.left_ts, self.narrow,
+                             direction=self.direction,
+                             tolerance=self.tolerance)
         else:
-            out = ldf.merge(self.single, how="left", left_on=self.left_key,
-                            right_on=self.right_key, suffixes=("", "__r"))
-        out = _project_out(out, list(ldf.columns), self.out_cols)
-        if self.out_types:
-            return _df_to_typed_arrow(out, self.out_types)
-        return out
-
-
-
-
-def _df_to_typed_arrow(df: pd.DataFrame, types: dict) -> "pa.Table":
-    """Convert a join-output pandas frame back to the planned Arrow schema.
-
-    pandas cannot hold NULL in integer/bool columns (they upcast to
-    float64/object through the merge), which would leak wrong types into
-    downstream Arrow stages (SQL projection type rules, cate formatting).
-    NaN becomes a proper NULL; dtypes come from the pre-join schemas."""
-    import pyarrow as pa
-
-    arrays, names = [], []
-    for c in df.columns:
-        s = df[c]
-        t = types.get(c)
-        if t is None:
-            arrays.append(pa.Array.from_pandas(s))
-        else:
-            try:
-                arrays.append(pa.Array.from_pandas(s, type=t))
-            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
-                arrays.append(pa.Array.from_pandas(s))
-        names.append(c)
-    return pa.Table.from_arrays(arrays, names=names)
+            rp = _match_single(ltab, self.left_key, self.narrow)
+        lnames = ltab.column_names
+        rpay = ([c for c in self.out_cols if c not in lnames]
+                if self.out_cols is not None
+                else [c for c in self.rtab.column_names
+                      if c not in lnames and c != RID_COL])
+        return _assemble_take(ltab, self.rtab, rp, rpay)
 
 
 def _named_pandas(ds) -> pd.DataFrame:
@@ -288,35 +431,6 @@ def _seed_typed_empty(out_ds, out_types: dict, planned: list[str]):
 
     seed = pa.table({c: pa.nulls(0, out_types[c]) for c in planned})
     return out_ds.union(rd.from_arrow(seed))
-
-
-def _project_out(out: pd.DataFrame, left_cols: list[str],
-                 out_cols: list[str] | None) -> pd.DataFrame:
-    """Keep left columns + the requested right payload, drop join internals."""
-    if out_cols is not None:
-        keep = left_cols + [c for c in out_cols if c not in left_cols]
-        return out[keep]
-    drop = [c for c in out.columns
-            if c.endswith("__r") or c in (RID_COL, SIDE_COL, "__jk", "__lorder")]
-    return out.drop(columns=[c for c in drop if c in out.columns])
-
-
-def _reduce_single_match(rdf: pd.DataFrame, key: str, order_by: str | None,
-                         tiebreak: str | None) -> pd.DataFrame:
-    """One surviving right row per key: max (order, tiebreak) for sorted
-    LAST JOIN, max storage rid (last stored row) for unsorted
-    (test_lastjoin_simple.yaml id 4-5)."""
-    if order_by is not None:
-        # null orders sort FIRST: they lose max-order selection to any
-        # real order (NaN previously sorted LAST and silently won) but
-        # remain eligible when a key has ONLY null-order candidates — the
-        # reference's LAST JOIN matches such a row
-        # (test_lastjoin_complex.yaml id 13-1 row 5)
-        sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [RID_COL])
-        rs = rdf.sort_values(sort_cols, kind="stable", na_position="first")
-        return rs.groupby(key, sort=False).tail(1)
-    rs = rdf.sort_values([key, RID_COL], kind="stable")
-    return rs.groupby(key, sort=False).tail(1)
 
 
 def last_join(
@@ -398,93 +512,109 @@ def last_join(
                  if (right_cols and tiebreak) else tiebreak)
 
     if strategy == "broadcast":
-        if isinstance(right, pd.DataFrame):
-            # NOTE: deliberately no left.schema() probe here — on an
-            # unexecuted left (e.g. flagship's window output) schema()
-            # would execute the whole upstream sort once just to type the
-            # join output. Zero-row pandas outputs instead ride untyped;
-            # the benign size-estimator noise they cause is filtered at
-            # the package logger (see openmldb_ray/__init__.py).
-            rpdf = right
-            out_types = {}
-            planned_out: list[str] = []
+        rtab = _prep_right_arrow(_arrow_table_of(right), right_key,
+                                 order_by, tiebreak, right_cols)
+        if residual is not None:
+            mode, narrow = "residual", None
+        elif asof_left_ts is not None:
+            mode = "asof"
+            narrow = _narrow_asof_frame(rtab, mapped_key, mapped_order,
+                                        mapped_tb)
         else:
-            import pyarrow as pa
+            mode = "single"
+            narrow = _narrow_singles(rtab, mapped_key, mapped_order,
+                                     mapped_tb)
+        out_types: dict = {}
+        planned_out: list[str] = []
+        if not isinstance(right, pd.DataFrame):
+            # typed-empty seeding metadata. NOTE: deliberately NO
+            # left.schema() probe when right is a driver DataFrame — on an
+            # unexecuted left (e.g. flagship's window output) schema()
+            # would execute the whole upstream sort once just to seed the
+            # join output.
             lsch = left.schema()
-            rsch = right.schema()
-            rmap = right_cols or {}
-            # pandas-block datasets report numpy/python types; only Arrow
-            # DataTypes are usable for the typed restore
             out_types = {n: t for n, t in zip(lsch.names, lsch.types)
                          if isinstance(t, pa.DataType)}
-            for n, t in zip(rsch.names, rsch.types):
-                if isinstance(t, pa.DataType):
-                    out_types.setdefault(rmap.get(n, n), t)
-            rpdf = _named_pandas(right)
-            # output layout of _project_out: left columns, then new right
-            # payload — used to seed a typed 0-row block (see
-            # _seed_typed_empty)
+            for f in rtab.schema:
+                out_types.setdefault(f.name, f.type)
             planned_out = list(dict.fromkeys(
                 list(lsch.names)
                 + [c for c in (out_cols if out_cols is not None
-                               else [rmap.get(n, n) for n in rsch.names])
+                               else [f.name for f in rtab.schema
+                                     if f.name != RID_COL])
                    if c not in lsch.names]))
-        rdf = _prep_right(rpdf, right_key, order_by, tiebreak, right_cols)
-        if residual is not None:
-            right_ref, single_ref = ray.put(rdf), None
-        elif asof_left_ts is not None:
-            sort_cols = [mapped_order] + ([mapped_tb] if mapped_tb else [RID_COL])
-            rdf = rdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-            right_ref, single_ref = ray.put(rdf), None
-        else:
-            single = _reduce_single_match(rdf, mapped_key, mapped_order, mapped_tb)
-            right_ref, single_ref = ray.put(rdf), ray.put(single)
         kwargs = dict(
-            right_ref=right_ref, left_key=left_key, right_key=mapped_key,
+            right_ref=ray.put(rtab),
+            narrow_ref=(ray.put(narrow) if narrow is not None else None),
+            mode=mode, left_key=left_key, right_key=mapped_key,
             left_ts=asof_left_ts, right_order=mapped_order,
-            out_cols=out_cols, single_ref=single_ref,
-            tiebreak_col=mapped_tb, residual=residual,
-            out_types=out_types, direction=direction, tolerance=tolerance,
+            tiebreak_col=mapped_tb, out_cols=out_cols, residual=residual,
+            direction=direction, tolerance=tolerance,
         )
-        if len(rdf) <= 50_000:
+        if rtab.num_rows <= 50_000:
             # tiny right side: a stateless task (per-batch plasma get of a
             # small table is ~free, and Ray reuses task workers across
             # datasets — actor pools are torn down per dataset, which
             # dominates wall-time for short queries)
             join_fn = _BroadcastLastJoin(**kwargs, lazy=True)
-            out_ds = left.map_batches(join_fn, batch_format="pandas",
+            out_ds = left.map_batches(join_fn, batch_format="pyarrow",
                                       batch_size=None)
         else:
             out_ds = left.map_batches(
                 _BroadcastLastJoin,
-                batch_format="pandas",
+                batch_format="pyarrow",
                 fn_constructor_kwargs=kwargs,
                 concurrency=concurrency or (1, 16), batch_size=None)
         return _seed_typed_empty(out_ds, out_types, planned_out)
 
-    # ---- shuffle strategy: co-partition both sides by the join key ----
-    lcols = list(left.schema().names)
-    ltypes = {n: t for n, t in zip(left.schema().names, left.schema().types)}
-    rtypes_raw = {n: t for n, t in zip(right.schema().names, right.schema().types)}
-    rtypes = ({right_cols.get(n, n): t for n, t in rtypes_raw.items()}
-              if right_cols else rtypes_raw)
+    # ---- shuffle strategy: Arrow coarse-bucket co-exchange (round 5) ----
+    # Both sides ride the exchange as TYPED Arrow blocks in ONE unified
+    # layout (missing counterpart columns are typed nulls); the shuffle key
+    # is a COARSE bucket of the join key — one vectorized kernel call per
+    # bucket, not one per key — and the per-bucket kernel is the same
+    # narrow-match + Table.take assembly as the broadcast path.
+    from ..core.empty_ds import union_any
+    from ..core.grouping import arrow_col_type, map_groups_typed
+    from ..core.hashing import (add_bucket_column, default_num_buckets,
+                                quiet_ray_data_logs)
 
-    def _restore(df: pd.DataFrame, types: dict) -> pd.DataFrame:
-        """Undo the object-upcast caused by union null-padding."""
-        for c in df.columns:
-            t = types.get(c)
-            if t is None or df[c].dtype != object:
-                continue
-            # schema types are pyarrow DataTypes for Arrow-block datasets,
-            # numpy dtypes / Python types for pandas-block ones
-            dt = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
-            if dt is object:
-                continue
-            try:
-                df[c] = df[c].astype(dt)
-            except (TypeError, ValueError):
-                pass
-        return df
+    def _type_or_none(sch, c):
+        # pandas-block object columns have no static Arrow type; they ride
+        # the exchange with per-batch Arrow inference (no cast, no typed
+        # null padding) — the defensive casts downstream skip None
+        try:
+            return arrow_col_type(sch, c)
+        except TypeError:
+            return None
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    ltypes = {c: _type_or_none(lsch, c) for c in lcols}
+    if right_cols:
+        rkeep = [right_key] + [c for c in (order_by, tiebreak)
+                               if c and c not in right_cols]
+        rkeep = [c for c in dict.fromkeys(rkeep + list(right_cols))
+                 if c != RID_COL]
+        rtypes = {right_cols.get(c, c): _type_or_none(rsch, c)
+                  for c in rkeep}
+        rnames = [right_cols.get(c, c) for c in rkeep] + [RID_COL]
+    else:
+        rkeep = [c for c in rsch.names if c != RID_COL]
+        rtypes = {c: _type_or_none(rsch, c) for c in rkeep}
+        rnames = rkeep + [RID_COL]
+    rtypes[RID_COL] = pa.int64()
+
+    key_type = (None if (ltypes[left_key] is None
+                         or rtypes[mapped_key] is None)
+                else _promote_pa(ltypes[left_key], rtypes[mapped_key]))
+    utypes = dict(ltypes)
+    for c in rnames:
+        utypes.setdefault(c, rtypes[c])
+    utypes[left_key] = utypes[mapped_key] = key_type
+    unified = list(dict.fromkeys(lcols + rnames))
+    rpay = ([c for c in out_cols if c not in lcols]
+            if out_cols is not None
+            else [c for c in rnames if c not in lcols and c != RID_COL])
 
     # hot-key defusal: salt the hot left keys, replicate the matching right
     # rows once per salt (reference analog: SkewDataFrameUtils.scala's
@@ -494,96 +624,88 @@ def last_join(
     if skew_salts > 1:
         hot_keys = _detect_hot_keys(left, left_key, hot_key_threshold)
     hot_ref = ray.put(hot_keys) if hot_keys else None
+    nb = default_num_buckets()
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[SIDE_COL] = True
-        df["__jk"] = df[left_key]
-        if hot_ref is not None:
-            hot = ray.get(hot_ref)
-            salt = np.zeros(len(df), dtype=np.int64)
-            mask = df[left_key].isin(hot).to_numpy()
-            salt[mask] = np.arange(int(mask.sum()), dtype=np.int64) % skew_salts
-            df["__salt"] = salt
-        return df
+    def tag(side_is_left: bool):
+        key = left_key if side_is_left else mapped_key
+        present = set(lcols) if side_is_left else set(rnames)
+        addb = add_bucket_column([key], "__b", nb)
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = _prep_right(df, right_key, order_by, tiebreak, right_cols)
-        df[SIDE_COL] = False
-        df["__jk"] = df[mapped_key]
-        if hot_ref is not None:
-            hot = ray.get(hot_ref)
-            mask = df[mapped_key].isin(hot).to_numpy()
-            cold = df[~mask].assign(__salt=np.int64(0))
-            hot_rows = df[mask]
-            reps = [hot_rows.assign(__salt=np.int64(s)) for s in range(skew_salts)]
-            df = pd.concat([cold, *reps], ignore_index=True)
-        return df
-
-    lt = left.map_batches(tag_left, batch_format="pandas", batch_size=None)
-    rt = right.map_batches(tag_right, batch_format="pandas", batch_size=None)
-    # harmonize schemas for union: fill each side's missing columns with nulls
-    # (derived statically so no eager execution is triggered)
-    salt_cols = {"__salt"} if hot_ref is not None else set()
-    lsch = set(lcols) | {SIDE_COL, "__jk"} | salt_cols
-    rnames = list(right.schema().names)
-    if right_cols:
-        rnames = [right_cols.get(c, c) for c in rnames
-                  if c in right_cols or c in (right_key, order_by, tiebreak)]
-    rsch = set(rnames) | {RID_COL, SIDE_COL, "__jk"} | salt_cols
-    all_cols = list(dict.fromkeys(list(lsch) + [c for c in rsch if c not in lsch]))
-
-    def pad(cols_present):
-        missing = [c for c in all_cols if c not in cols_present]
-
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c in missing:
-                df[c] = None
-            return df[all_cols]
+        def fn(t: pa.Table) -> pa.Table:
+            quiet_ray_data_logs()
+            if not side_is_left:
+                t = _prep_right_arrow(t, right_key, order_by, tiebreak,
+                                      right_cols)
+            n = t.num_rows
+            arrays = []
+            for c in unified:
+                if c in present:
+                    a = t[c]
+                    if utypes[c] is not None and a.type != utypes[c]:
+                        a = pc.cast(a, utypes[c])
+                    arrays.append(a.combine_chunks()
+                                  if isinstance(a, pa.ChunkedArray) else a)
+                else:
+                    arrays.append(pa.nulls(n, utypes[c])
+                                  if utypes[c] is not None else pa.nulls(n))
+            out = addb(pa.Table.from_arrays(arrays, names=unified))
+            out = out.append_column(
+                SIDE_COL, pa.array(np.full(n, side_is_left), pa.bool_()))
+            if hot_ref is not None:
+                hot = ray.get(hot_ref)
+                mask = out[key].to_pandas().isin(hot).to_numpy()
+                if side_is_left:
+                    salt = np.zeros(n, dtype=np.int64)
+                    salt[mask] = (np.arange(int(mask.sum()), dtype=np.int64)
+                                  % skew_salts)
+                    out = out.append_column("__salt", pa.array(salt))
+                else:
+                    pmask = pa.array(mask)
+                    cold = out.filter(pc.invert(pmask))
+                    cold = cold.append_column(
+                        "__salt",
+                        pa.array(np.zeros(cold.num_rows, dtype=np.int64)))
+                    hotr = out.filter(pmask)
+                    reps = [hotr.append_column(
+                        "__salt",
+                        pa.array(np.full(hotr.num_rows, s, dtype=np.int64)))
+                        for s in range(skew_salts)]
+                    out = pa.concat_tables([cold, *reps])
+            return out
 
         return fn
 
-    from ..core.empty_ds import union_any
+    lt = left.map_batches(tag(True), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag(False), batch_format="pyarrow",
+                           batch_size=None)
+    both = union_any(lt, rt)
 
-    both = union_any(
-        lt.map_batches(pad(lsch), batch_format="pandas", batch_size=None),
-        rt.map_batches(pad(rsch), batch_format="pandas", batch_size=None),
-    )
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        drop_internal = [SIDE_COL, "__jk"] + (["__salt"] if "__salt" in g.columns else [])
-        lg = g[g[SIDE_COL] == True]  # noqa: E712
-        rg = g[g[SIDE_COL] == False]  # noqa: E712
-        if len(lg) == 0:
-            return lg.drop(columns=drop_internal)
-        rg = rg[[c for c in rsch if c not in (SIDE_COL, "__jk", "__salt")]].copy()
-        # union-padding can upcast to object; restore joinable dtypes
-        rg = _restore(rg, rtypes)
-        lg = _restore(lg.copy(), ltypes)
-        lg2 = lg[[c for c in lcols]].copy()
+    def per_bucket(t: pa.Table) -> pa.Table:
+        quiet_ray_data_logs()
+        side = t[SIDE_COL].to_numpy(zero_copy_only=False).astype(bool)
+        ltab = t.filter(pa.array(side)).select(lcols)
+        rtab = t.filter(pa.array(~side)).select(rnames)
         if residual is not None:
-            out = _last_merge_generic(
-                lg2, rg.reset_index(drop=True), left_key=left_key,
-                right_key=mapped_key, left_ts=asof_left_ts,
-                right_order=mapped_order, tiebreak_col=mapped_tb,
-                residual=residual, direction=direction, tolerance=tolerance)
+            rp = _match_residual(
+                ltab, rtab, left_key=left_key, right_key=mapped_key,
+                left_ts=asof_left_ts, right_order=mapped_order,
+                tiebreak_col=mapped_tb, residual=residual,
+                direction=direction, tolerance=tolerance)
         elif asof_left_ts is not None:
-            sort_cols = [mapped_order] + ([mapped_tb] if mapped_tb else [RID_COL])
-            rs = rg.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-            out = _asof_merge(lg2, rs, left_key, mapped_key, asof_left_ts,
-                              mapped_order, out_cols or [],
-                              direction=direction, tolerance=tolerance)
+            rp = _match_asof(
+                ltab, left_key, asof_left_ts,
+                _narrow_asof_frame(rtab, mapped_key, mapped_order,
+                                   mapped_tb),
+                direction=direction, tolerance=tolerance)
         else:
-            single = _reduce_single_match(rg.reset_index(drop=True), mapped_key, mapped_order, mapped_tb)
-            out = lg2.merge(single, how="left", left_on=left_key, right_on=mapped_key, suffixes=("", "__r"))
-        return _project_out(out, lcols, out_cols)
+            rp = _match_single(
+                ltab, left_key,
+                _narrow_singles(rtab, mapped_key, mapped_order, mapped_tb))
+        return _assemble_take(ltab, rtab, rp, rpay, types=utypes)
 
-    from ..core.grouping import map_groups_typed
-
-    group_keys = ["__jk", "__salt"] if hot_ref is not None else "__jk"
-    return map_groups_typed(both, group_keys, per_key,
-                            batch_format="pandas",
+    group_keys = ["__b", "__salt"] if hot_ref is not None else "__b"
+    return map_groups_typed(both, group_keys, per_bucket,
+                            batch_format="pyarrow",
                             num_partitions=num_partitions)
 
 
@@ -610,6 +732,80 @@ def _detect_hot_keys(left: "ray.data.Dataset", key: str, threshold: float,
     total = int(agg["n"].sum())
     counts = agg.groupby("k")["c"].sum()
     return frozenset(counts[counts >= threshold * max(total, 1)].index)
+
+
+class _BroadcastEquiJoin:
+    """Broadcast LEFT/INNER equi-join stage (Arrow-native, round 5): narrow
+    key merge → matched (left, right) positions → ``Table.take`` assembly.
+    One left row may match many right rows (1-to-many), so the left side is
+    gathered by position too; left batch order is preserved and matches
+    within a key keep right storage order (pandas-merge parity)."""
+
+    def __init__(self, right_ref, left_key, right_key, how, lazy=False):
+        self._right_ref = right_ref
+        self.rtab = None if lazy else ray.get(right_ref)
+        self.left_key, self.right_key, self.how = left_key, right_key, how
+
+    def __call__(self, ltab: pa.Table) -> pa.Table:
+        if self.rtab is None:
+            self.rtab = ray.get(self._right_ref)
+        r = self.rtab
+        n = ltab.num_rows
+        lp_ok = np.flatnonzero(_notnull_np(ltab[self.left_key]))
+        if len(lp_ok) and r.num_rows:
+            lk, rk = _align_dtypes(_col_np(ltab, self.left_key, lp_ok),
+                                   _col_np(r, self.right_key))
+            m = pd.DataFrame({"__k": lk, "__lp": lp_ok.astype(np.int64)}) \
+                .merge(pd.DataFrame({
+                    "__k": rk,
+                    "__rp": np.arange(r.num_rows, dtype=np.int64)}),
+                    on="__k", how="inner")
+            lp = m["__lp"].to_numpy(np.int64)
+            rp = m["__rp"].to_numpy(np.int64)
+        else:
+            lp = rp = np.empty(0, dtype=np.int64)
+        if self.how == "left":
+            matched = np.zeros(n, dtype=bool)
+            matched[lp] = True
+            un = np.flatnonzero(~matched)  # incl. null-key left rows
+            lp = np.concatenate([lp, un.astype(np.int64)])
+            rp = np.concatenate([rp, np.full(len(un), -1, np.int64)])
+            order = np.argsort(lp, kind="stable")
+            lp, rp = lp[order], rp[order]
+        lnames = ltab.column_names
+        rpay = [c for c in r.column_names
+                if c != self.right_key and c not in lnames]
+        return _assemble_take(ltab.take(pa.array(lp, pa.int64())), r, rp,
+                              rpay)
+
+
+def _broadcast_equi_apply(left, rtab: pa.Table, left_key: str,
+                          right_key: str, how: str):
+    """Dispatch the broadcast probe as a stateless task (tiny right side —
+    reused worker pool beats a per-dataset actor pool) or an actor pool."""
+    kwargs = dict(right_ref=ray.put(rtab), left_key=left_key,
+                  right_key=right_key, how=how)
+    if rtab.num_rows <= 50_000:
+        fn = _BroadcastEquiJoin(**kwargs, lazy=True)
+        return left.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return left.map_batches(_BroadcastEquiJoin, batch_format="pyarrow",
+                            fn_constructor_kwargs=kwargs,
+                            concurrency=(1, 16), batch_size=None)
+
+
+def _broadcast_right_table(right, right_key: str,
+                           right_cols: dict[str, str] | None) -> pa.Table:
+    """Right side of a broadcast equi-join as ONE Arrow table: optional
+    projection/rename, then ANSI null-key filter (NULL keys never match —
+    so the broadcast path agrees with the shuffle path instead of
+    inheriting pandas's NaN == NaN rule)."""
+    rtab = _arrow_table_of(right)
+    if right_cols:
+        cols = list(dict.fromkeys([right_key, *right_cols]))
+        rtab = rtab.select(cols).rename_columns(
+            [right_cols.get(c, c) for c in cols])
+    return rtab.filter(
+        pc.invert(pc.is_null(rtab[right_key], nan_is_null=True)))
 
 
 def left_join(
@@ -646,40 +842,8 @@ def left_join(
             return _bucket_equi_join(left, right, (left_key, right_key),
                                      how="left", right_cols=right_cols,
                                      num_partitions=num_partitions)
-        rdf = _named_pandas(right)
-    else:
-        rdf = right
-    if right_cols:
-        rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
-    # ANSI/Spark semantics (JoinPlan is a plain Spark left outer join):
-    # NULL keys never match — filtered here so the broadcast path agrees
-    # with the shuffle path instead of inheriting pandas's NaN == NaN rule
-    rdf = rdf[rdf[right_key].notna()]
-    rref = ray.put(rdf)
-
-    def _merge(ldf: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        out = ldf.merge(r, how="left", left_on=left_key,
-                        right_on=right_key, suffixes=("", "__r"))
-        drop = [c for c in out.columns
-                if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
-        return out.drop(columns=drop)
-
-    if len(rdf) <= 50_000:
-        # tiny dimension: stateless task (reused worker pool) beats a
-        # per-dataset actor pool; per-batch plasma get of a small df is ~free
-        def bj_fn(ldf: pd.DataFrame) -> pd.DataFrame:
-            return _merge(ldf, ray.get(rref))
-
-        return left.map_batches(bj_fn, batch_format="pandas", batch_size=None)
-
-    class _BJ:
-        def __init__(self):
-            self.rdf = ray.get(rref)
-
-        def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
-            return _merge(ldf, self.rdf)
-
-    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 16), batch_size=None)
+    rtab = _broadcast_right_table(right, right_key, right_cols)
+    return _broadcast_equi_apply(left, rtab, left_key, right_key, "left")
 
 
 def inner_join(
@@ -713,40 +877,11 @@ def inner_join(
             return _bucket_equi_join(left, right, (left_key, right_key),
                                      how="inner", right_cols=right_cols,
                                      num_partitions=num_partitions)
-        rdf = _named_pandas(right)
-    else:
-        rdf = right
-    if right_cols:
-        rdf = rdf[[right_key, *right_cols]].rename(columns=right_cols)
     # ANSI semantics: NULL keys never match (pandas merge would join
     # NaN == NaN; the reference's LAST JOIN null-safe equality is a
     # different, documented contract kept in last_join)
-    rdf = rdf[rdf[right_key].notna()]
-    rref = ray.put(rdf)
-
-    def _merge(ldf: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        ldf = ldf[ldf[left_key].notna()]
-        out = ldf.merge(r, how="inner", left_on=left_key,
-                        right_on=right_key, suffixes=("", "__r"))
-        drop = [c for c in out.columns
-                if c.endswith("__r") or (c == right_key and c not in ldf.columns)]
-        return out.drop(columns=drop)
-
-    if len(rdf) <= 50_000:
-        def bj_fn(ldf: pd.DataFrame) -> pd.DataFrame:
-            return _merge(ldf, ray.get(rref))
-
-        return left.map_batches(bj_fn, batch_format="pandas", batch_size=None)
-
-    class _BJ:
-        def __init__(self):
-            self.rdf = ray.get(rref)
-
-        def __call__(self, ldf: pd.DataFrame) -> pd.DataFrame:
-            return _merge(ldf, self.rdf)
-
-    return left.map_batches(_BJ, batch_format="pandas", concurrency=(1, 16),
-                            batch_size=None)
+    rtab = _broadcast_right_table(right, right_key, right_cols)
+    return _broadcast_equi_apply(left, rtab, left_key, right_key, "inner")
 
 
 def cross_join(
