@@ -3198,19 +3198,18 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is a CONTRACT: the external driver hashes the FIRST
-    50 entries against oracle_sql() (CORRECTNESS_r{N}.json). The window
-    below holds a representative §2 core (12 entries — windows, as-of
-    joins, union backfill, sessionization, group agg, long-window
-    pre-agg, scalar library) plus the 38 highest-value LLM-data-pipeline
-    ops that had no driver row through round 3; everything after entry 50
-    stays covered by tools/check_oracles.py (132/132 in-repo sweep)."""
+    50 entries against oracle_sql() (CORRECTNESS_r{N}.json). Round-5
+    rotation (VERDICT r4 task #3): 10 §2-core sentinels, then the entries
+    that never had a driver hash — the relational 3b family, the round-4
+    additions (html_extract / multimodal_stats) and
+    quantile_sketch_by_key — then returning r1-r3 alumni. Everything
+    after entry 50 (including the full round-4 window, all r4-green)
+    stays covered by tools/check_oracles.py (134/134 in-repo sweep)."""
     return {
-        # ---- §2 core representatives (driver window 1-12) -------------
+        # ---- §2 core sentinels (driver window 1-10) -------------------
         "window_rows": q_window_rows,
         "window_range": q_window_range,
         "window_union": q_window_union,
-        "window_exclude_current_row": q_window_exclude_current_row,
-        "lag_lead": q_lag_lead,
         "last_join_asof": q_last_join_asof,
         "lastjoin_window": q_lastjoin_window,
         "multi_window": q_multi_window,
@@ -3218,7 +3217,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "request_window": q_request_window,
         "sessionize": q_sessionize,
         "scalar_string_date": q_scalar_string_date,
-        # ---- LLM-data ops rotated into the window (13-50) -------------
+        # ---- never driver-hashed before round 5 (11-22) ---------------
+        "inner_join": q_inner_join,
+        "full_outer_join": q_full_outer_join,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
+        "rollup_agg": q_rollup_agg,
+        "explode_vec": q_explode_vec,
+        "collect_list_trace": q_collect_list_trace,
+        "resample_ffill": q_resample_ffill,
+        "html_extract": q_html_extract,
+        "multimodal_stats": q_multimodal_stats,
+        "quantile_sketch_by_key": q_quantile_sketch_by_key,
+        "left_join": q_left_join,
+        # ---- returning r1-r3 alumni (23-50) ---------------------------
+        "window_range_open": q_window_range_open,
+        "window_range_end": q_window_range_end,
+        "window_where": q_window_where,
+        "last_join_unsorted": q_last_join_unsorted,
+        "session_agg": q_session_agg,
+        "group_agg_where": q_group_agg_where,
+        "group_stats": q_group_stats,
+        "top_agg": q_top_agg,
+        "cate_agg": q_cate_agg,
+        "topn_cate": q_topn_cate,
+        "scalar_project": q_scalar_project,
+        "filter": q_filter,
+        "simple_project": q_simple_project,
+        "const_project": q_const_project,
+        "sort_limit": q_sort_limit,
+        "distinct": q_distinct,
+        "intersect": q_intersect,
+        "except": q_except,
+        "union_distinct": q_union_distinct,
+        "kmeans_embed": q_kmeans_embed,
+        "semdedup": q_semdedup,
+        "dedup_exact": q_dedup_exact,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        # ---- entry 51+: the full round-4 driver window (all r4-green)
+        # and the rest of the inventory, all in the in-repo sweep -------
+        "window_exclude_current_row": q_window_exclude_current_row,
+        "lag_lead": q_lag_lead,
         "quality_filter": q_quality_filter,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
@@ -3257,47 +3301,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": q_knn_pq,
         "knn_join": q_knn_join,
         "multimodal": q_multimodal,
-        # ---- entry 51+: driver-window alumni (r1-r3 green rows) and the
-        # rest of the inventory, all in the in-repo oracle sweep --------
-        "window_range_open": q_window_range_open,
-        "window_range_end": q_window_range_end,
-        "window_where": q_window_where,
-        "last_join_unsorted": q_last_join_unsorted,
-        "session_agg": q_session_agg,
-        "group_agg_where": q_group_agg_where,
-        "group_stats": q_group_stats,
-        "top_agg": q_top_agg,
-        "scalar_project": q_scalar_project,
-        "filter": q_filter,
-        "simple_project": q_simple_project,
-        "const_project": q_const_project,
-        "sort_limit": q_sort_limit,
-        "distinct": q_distinct,
-        "intersect": q_intersect,
-        "except": q_except,
-        "union_distinct": q_union_distinct,
-        "left_join": q_left_join,
-        "inner_join": q_inner_join,
-        "full_outer_join": q_full_outer_join,
-        "pivot_agg": q_pivot_agg,
-        "unpivot": q_unpivot,
-        "explode_vec": q_explode_vec,
-        "collect_list_trace": q_collect_list_trace,
-        "rollup_agg": q_rollup_agg,
-        "resample_ffill": q_resample_ffill,
-        "cate_agg": q_cate_agg,
-        "topn_cate": q_topn_cate,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
         "knn": q_knn,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "minhash_dedup": q_minhash_dedup,
         "minhash_dense": q_minhash_dense,
-        "simhash_dedup": q_simhash_dedup,
-        "embedding_dedup": q_embedding_dedup,
-        "langid": q_langid,
-        "fingerprint": q_fingerprint,
         "curation_pipeline": q_curation_pipeline,
         "bottomk_sample": q_bottomk_sample,
         "heavy_hitters": q_heavy_hitters,
@@ -3309,15 +3316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": q_latest_snapshot,
         "range_join": q_range_join,
         "hopping_agg": q_hopping_agg,
-        "kmeans_embed": q_kmeans_embed,
         "incremental_docs": q_incremental_docs,
         "winsorize": q_winsorize,
         "hll_by_key": q_hll_by_key,
         "drift_psi": q_drift_psi,
-        "quantile_sketch_by_key": q_quantile_sketch_by_key,
         "snapshot_diff": q_snapshot_diff,
         "pca_embed": q_pca_embed,
-        "semdedup": q_semdedup,
         "target_encode": q_target_encode,
         "count_encode": q_count_encode,
         "one_hot": q_one_hot,
@@ -3334,8 +3338,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bin": q_quantile_bin,
         "compress_ratio": q_compress_ratio,
         "json_extract": q_json_extract,
-        "html_extract": q_html_extract,
-        "multimodal_stats": q_multimodal_stats,
         "decayed_sum": q_decayed_sum,
         "tfidf": q_tfidf,
         "taxi_demo": q_taxi,

@@ -91,24 +91,39 @@ def rank_window(
     add_b = add_bucket_column([key_col], "__b", nb)
     pre = ds.map_batches(add_b, batch_format="pyarrow", batch_size=None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(t) -> "object":
+        # Arrow in/out (round 5): only the NARROW (key, order, tiebreak)
+        # columns convert to pandas for the sort/factorize; payload rows
+        # are re-attached by ``Table.take`` on the sort permutation so
+        # payload columns keep exact Arrow types
+        import pyarrow as pa
+
         quiet_ray_data_logs()
-        g = g.drop(columns="__b")
-        n = len(g)
+        t = t.drop_columns(["__b"])
+        n = t.num_rows
         if n == 0:
+            out = t
             for name, spec in outs.items():
                 fn = spec[0] if isinstance(spec, tuple) else spec
-                dt = np.float64 if fn == "percent_rank" else np.int64
-                g[name] = np.empty(0, dtype=dt)
-            return g
+                dt = pa.float64() if fn == "percent_rank" else pa.int64()
+                if name in out.column_names:
+                    out = out.drop_columns([name])
+                out = out.append_column(name, pa.nulls(0, dt))
+            return out
+        ndf = pd.DataFrame({
+            c: t[c].to_pandas()
+            for c in dict.fromkeys(
+                [key_col, order_col] + ([tiebreak] if tiebreak else []))})
         sort_cols = [key_col, order_col] + ([tiebreak] if tiebreak else [])
         asc = [True, not descending] + ([True] if tiebreak else [])
-        g = g.sort_values(sort_cols, ascending=asc, na_position="last",
-                          kind="stable").reset_index(drop=True)
+        ndf = ndf.sort_values(sort_cols, ascending=asc, na_position="last",
+                              kind="stable")
+        perm = ndf.index.to_numpy(np.int64)
+        ndf = ndf.reset_index(drop=True)
         # factorize treats every NULL as one shared code — exactly SQL's
         # "NULLs are equal for ranking" rule — and works for any dtype
-        kcodes = pd.factorize(g[key_col], use_na_sentinel=False)[0]
-        ocodes = pd.factorize(g[order_col], use_na_sentinel=False)[0]
+        kcodes = pd.factorize(ndf[key_col], use_na_sentinel=False)[0]
+        ocodes = pd.factorize(ndf[order_col], use_na_sentinel=False)[0]
         idx = np.arange(n, dtype=np.int64)
         new_key = np.empty(n, dtype=bool)
         new_key[0] = True
@@ -122,31 +137,36 @@ def rank_window(
         rank = run_start - grp_start + 1
         cnv = np.cumsum(new_val)
         dense = cnv - cnv[grp_start] + 1
+        out = t.take(pa.array(perm, pa.int64()))
         for name, spec in outs.items():
             fn = spec[0] if isinstance(spec, tuple) else spec
             if fn == "row_number":
-                g[name] = rn
+                vals = pa.array(rn, pa.int64())
             elif fn == "rank":
-                g[name] = rank
+                vals = pa.array(rank, pa.int64())
             elif fn == "dense_rank":
-                g[name] = dense
+                vals = pa.array(dense, pa.int64())
             elif fn == "percent_rank":
-                g[name] = np.where(sizes > 1,
-                                   (rank - 1) / np.maximum(sizes - 1, 1),
-                                   0.0)
+                vals = pa.array(np.where(sizes > 1,
+                                         (rank - 1) / np.maximum(sizes - 1,
+                                                                 1),
+                                         0.0), pa.float64())
             else:  # ntile
                 k = int(spec[1])
                 base, rem = sizes // k, sizes % k
                 head = rem * (base + 1)  # rows covered by the larger tiles
                 in_head = rn <= head
-                g[name] = np.where(
+                vals = pa.array(np.where(
                     in_head,
                     (rn - 1) // np.maximum(base + 1, 1) + 1,
                     rem + (rn - 1 - head) // np.maximum(base, 1) + 1,
-                ).astype(np.int64)
-        return g
+                ).astype(np.int64), pa.int64())
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, vals)
+        return out
 
-    return map_groups_typed(pre, "__b", per_bucket, batch_format="pandas",
+    return map_groups_typed(pre, "__b", per_bucket, batch_format="pyarrow",
                             num_partitions=num_partitions)
 
 
@@ -200,15 +220,25 @@ def cume_dist(
         pre = ds.map_batches(add_b, batch_format="pyarrow",
                              batch_size=None)
 
-        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def per_bucket(t) -> "object":
+            # Arrow in/out: the rank is computed on a NARROW (key, score)
+            # frame and appended to the untouched Arrow payload (rank()
+            # preserves row order, so no permutation is even needed)
+            import pyarrow as pa
+
             quiet_ray_data_logs()
-            g = g.drop(columns="__b")
-            g[out_col] = g.groupby(key_col)[score_col] \
-                .rank(method="max", pct=True)
-            return g
+            t = t.drop_columns(["__b"])
+            s = pd.DataFrame({key_col: t[key_col].to_pandas(),
+                              score_col: t[score_col].to_pandas()})
+            vals = s.groupby(key_col)[score_col].rank(method="max",
+                                                      pct=True)
+            if out_col in t.column_names:
+                t = t.drop_columns([out_col])
+            return t.append_column(
+                out_col, pa.Array.from_pandas(vals.astype(np.float64)))
 
         return map_groups_typed(pre, "__b", per_bucket,
-                                batch_format="pandas",
+                                batch_format="pyarrow",
                                 num_partitions=num_partitions)
 
     if strategy != "broadcast":

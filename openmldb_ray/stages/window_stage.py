@@ -103,11 +103,31 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
     if keys is None:
         return lambda g: _to_arrow(one_key(g))
 
+    # columns the window kernel actually reads; everything else is PAYLOAD
+    # and must never round-trip through pandas (nullable int64 -> float64,
+    # ints past 2^53 rounded, list columns to object) — payload rows are
+    # re-attached from the sorted Arrow table by emitted row position
+    from ..core.aggregates import spec_columns
+
+    needed = {order_by, *(keys or [])}
+    if has_union:
+        needed.add(UNION_FLAG)
+    if tiebreak:
+        needed.add(tiebreak)
+    if emit_col:
+        needed.add(emit_col)
+    for a in aggs:
+        needed.update(spec_columns(a))
+
     def bucket_fn(bucket: "pa.Table"):
         """Arrow-native bucket kernel: ONE stable Arrow sort over
         (keys…, order, flags), zero-copy per-key slicing via vectorized
-        boundary detection, pandas conversion only for the slice handed to
-        the window kernel (no whole-block object-dtype round trip)."""
+        boundary detection, pandas conversion only for the NARROW
+        kernel-input columns of each slice; payload columns are gathered
+        from the Arrow table via ``take`` on the emitted positions (exact
+        types, no object-dtype round trip). The full frame is converted
+        only when a WindowHook is installed (its contract sees all
+        columns)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -144,10 +164,29 @@ def _make_group_fn(order_by: str, aggs: list[AggSpec], frame: FrameSpec,
             change[1:] |= neq | vchg
         starts = np.nonzero(change)[0]
         bounds = np.append(starts, n)
-        parts = [one_key(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        payload = [c for c in t.column_names if c not in needed]
+        if hook is not None or not payload:
+            parts = [one_key(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                              .to_pandas(), presorted=True)
+                     for i in range(starts.size)]
+            return _to_arrow(pd.concat(parts, ignore_index=True))
+        tn = t.select([c for c in t.column_names if c in needed])
+        tn = tn.append_column(
+            "__wpos", pa.array(np.arange(n, dtype=np.int64)))
+        parts = [one_key(tn.slice(bounds[i], bounds[i + 1] - bounds[i])
                           .to_pandas(), presorted=True)
                  for i in range(starts.size)]
-        return _to_arrow(pd.concat(parts, ignore_index=True))
+        outn = pd.concat(parts, ignore_index=True)
+        pos = outn["__wpos"].to_numpy(np.int64)
+        feat_cols = [c for c in outn.columns
+                     if c not in tn.column_names]
+        base = t.take(pa.array(pos, pa.int64()))
+        keep = [c for c in t.column_names
+                if c not in drop_cols and c not in feat_cols]
+        out = base.select(keep)
+        for c in feat_cols:
+            out = out.append_column(c, pa.Array.from_pandas(outn[c]))
+        return out
 
     return bucket_fn
 

@@ -270,3 +270,67 @@ def test_lastjoin_multiblock_shuffle_exact(ray_session, strategy):
     for r in tab.to_pylist():
         gcount[(r["k"], r["ts"])] += 1
     assert gcount == lcount
+
+
+def test_window_agg_payload_exact(ray_session):
+    """Payload columns the window kernel never reads must not round-trip
+    through pandas inside the bucket kernel (VERDICT r5 task #8)."""
+    from openmldb_ray.core.aggregates import AggSpec
+    from openmldb_ray.core.frames import FrameSpec
+    from openmldb_ray.stages.window_stage import window_agg
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "ts": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+        "pay_int": pa.array([BIG, None, BIG2, 7, None], pa.int64()),
+        "pay_list": pa.array([[1, BIG], None, [BIG2], [], [9]],
+                             pa.list_(pa.int64())),
+    })
+    out = window_agg(rd.from_arrow(t), "k", "ts",
+                     [AggSpec(kind="sum", name="sum_v", col="v")],
+                     FrameSpec(rows_preceding=1))
+    tab = _collect(out)
+    assert tab.schema.field("pay_int").type == pa.int64()
+    assert tab.schema.field("pay_list").type == pa.list_(pa.int64())
+    rows = {(r["k"], r["ts"]): (r["sum_v"], r["pay_int"], r["pay_list"])
+            for r in tab.to_pylist()}
+    assert rows == {
+        ("a", 1): (1.0, BIG, [1, BIG]),
+        ("a", 2): (3.0, None, None),
+        ("a", 3): (5.0, BIG2, [BIG2]),
+        ("b", 1): (4.0, 7, []),
+        ("b", 2): (9.0, None, [9]),
+    }
+
+
+def test_rank_window_payload_exact(ray_session):
+    from openmldb_ray.stages.rank import cume_dist, rank_window
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b"], pa.string()),
+        "s": pa.array([3.0, 1.0, 2.0, 2.0], pa.float64()),
+        "uid": pa.array([1, 2, 3, 4], pa.int64()),
+        "pay_int": pa.array([BIG, BIG2, None, 5], pa.int64()),
+        "pay_list": pa.array([[BIG], [2], None, [BIG2, 1]],
+                             pa.list_(pa.int64())),
+    })
+    out = rank_window(rd.from_arrow(t), "s", key_col="k",
+                      outs={"rnk": "rank", "rn": "row_number"},
+                      tiebreak="uid")
+    tab = _collect(out)
+    assert tab.schema.field("pay_int").type == pa.int64()
+    assert tab.schema.field("pay_list").type == pa.list_(pa.int64())
+    rows = {r["uid"]: (r["rnk"], r["rn"], r["pay_int"], r["pay_list"])
+            for r in tab.to_pylist()}
+    assert rows == {1: (2, 2, BIG, [BIG]), 2: (1, 1, BIG2, [2]),
+                    3: (1, 1, None, None), 4: (1, 2, 5, [BIG2, 1])}
+
+    out2 = cume_dist(rd.from_arrow(t), "s", key_col="k",
+                     strategy="shuffle")
+    tab2 = _collect(out2)
+    assert tab2.schema.field("pay_int").type == pa.int64()
+    rows2 = {r["uid"]: (round(r["cume_dist"], 6), r["pay_int"])
+             for r in tab2.to_pylist()}
+    assert rows2 == {1: (1.0, BIG), 2: (0.5, BIG2), 3: (1.0, None),
+                     4: (1.0, 5)}
