@@ -28,6 +28,17 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 
+from ..core.stagecache import task_stage
+
+# NOTE (round 5): the light-state stages in this module run as TASK
+# functions with a per-worker-process instance cache (core/stagecache.py)
+# instead of actor pools. Chaining several actor-pool stages deadlocks
+# the streaming executor when free CPU slots < pools + 1 (each pool pins
+# >= 1 CPU for the dataset's lifetime — observed at num_cpus=2 in the
+# curation scaling protocol). The ``concurrency`` parameters remain in
+# the public signatures for API compatibility but are no-ops for these
+# stages; setup still runs once per worker process.
+
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
@@ -93,9 +104,9 @@ def quality_filter(ds: "ray.data.Dataset", text_col: str = "text",
                    keep_only: bool = True, concurrency=(1, 8),
                    batch_size: int = 4096, **rules) -> "ray.data.Dataset":
     """Score + (optionally) filter. Streaming, shuffle-free."""
-    out = ds.map_batches(QualityRules, batch_format="pandas",
-                         batch_size=batch_size, concurrency=concurrency,
-                         fn_constructor_kwargs=dict(text_col=text_col, **rules))
+    out = ds.map_batches(task_stage(QualityRules, text_col=text_col,
+                                    **rules),
+                         batch_format="pandas", batch_size=batch_size)
     if keep_only:
         out = out.filter(expr="keep == True")
     return out
@@ -137,9 +148,8 @@ class PiiRedactor:
 
 def pii_redact(ds: "ray.data.Dataset", text_col: str = "text",
                concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
-    return ds.map_batches(PiiRedactor, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency,
-                          fn_constructor_kwargs=dict(text_col=text_col))
+    return ds.map_batches(task_stage(PiiRedactor, text_col=text_col),
+                          batch_format="pandas", batch_size=batch_size)
 
 
 class NeedleFilter:
@@ -180,10 +190,9 @@ def decontaminate(ds: "ray.data.Dataset", needles: list[str],
                   text_col: str = "text", keep_only: bool = True,
                   concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
     """Drop documents containing any benchmark needle string."""
-    out = ds.map_batches(NeedleFilter, batch_format="pandas",
-                         batch_size=batch_size, concurrency=concurrency,
-                         fn_constructor_kwargs=dict(
-                             needles=list(needles), text_col=text_col))
+    out = ds.map_batches(task_stage(NeedleFilter, needles=list(needles),
+                                    text_col=text_col),
+                         batch_format="pandas", batch_size=batch_size)
     if keep_only:
         out = out.filter(expr="contaminated == False") \
                  .drop_columns(["contaminated"])
@@ -228,9 +237,9 @@ def ngram_counts(ds: "ray.data.Dataset", text_col: str = "text",
     from ..core.hashing import add_bucket_column, default_num_buckets
 
     nb = num_buckets or default_num_buckets()
-    partial = ds.map_batches(_NgramPartial, batch_format="pandas",
-                             batch_size=batch_size, concurrency=concurrency,
-                             fn_constructor_kwargs=dict(text_col=text_col))
+    partial = ds.map_batches(task_stage(_NgramPartial, text_col=text_col),
+                             batch_format="pandas",
+                             batch_size=batch_size)
     add_b = add_bucket_column(["ngram"], "__b", nb)
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -274,9 +283,8 @@ class RepetitionStats:
 
 def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
                      concurrency=(1, 8), batch_size: int = 4096) -> "ray.data.Dataset":
-    return ds.map_batches(RepetitionStats, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency,
-                          fn_constructor_kwargs=dict(text_col=text_col))
+    return ds.map_batches(task_stage(RepetitionStats, text_col=text_col),
+                          batch_format="pandas", batch_size=batch_size)
 
 
 class BloomFilter:
@@ -371,10 +379,9 @@ def decontaminate_bloom(ds: "ray.data.Dataset", needle_texts, n: int = 8,
     needle prefixes); no false negatives, false positives bounded by the
     bloom parameters."""
     bloom = build_ngram_bloom(needle_texts, n=n, n_bits=n_bits, k=k)
-    out = ds.map_batches(BloomNeedleFilter, batch_format="pandas",
-                         batch_size=batch_size, concurrency=concurrency,
-                         fn_constructor_kwargs=dict(
-                             bloom=bloom, n=n, text_col=text_col))
+    out = ds.map_batches(task_stage(BloomNeedleFilter, bloom=bloom, n=n,
+                                    text_col=text_col),
+                         batch_format="pandas", batch_size=batch_size)
     if keep_only:
         out = out.filter(expr="contaminated == False") \
                  .drop_columns(["contaminated"])
@@ -484,9 +491,10 @@ def heavy_hitters(ds: "ray.data.Dataset", top_k: int = 20, m: int = 512,
     from ..core.hashing import add_bucket_column, default_num_buckets
 
     nb = default_num_buckets()
-    partial = ds.map_batches(HeavyHitterSketch, batch_format="pandas",
-                             batch_size=batch_size, concurrency=concurrency,
-                             fn_constructor_kwargs=dict(m=m, text_col=text_col))
+    partial = ds.map_batches(task_stage(HeavyHitterSketch, m=m,
+                                        text_col=text_col),
+                             batch_format="pandas",
+                             batch_size=batch_size)
     add_b = add_bucket_column(["ngram"], "__b", nb)
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
@@ -601,9 +609,9 @@ def hll_distinct(ds: "ray.data.Dataset", col: str, p: int = 12,
     from ..core.hashing import quiet_ray_data_logs
 
     m = 1 << p
-    partial = ds.map_batches(_HllPartial, batch_format="pandas",
-                             batch_size=batch_size, concurrency=(1, 8),
-                             fn_constructor_kwargs=dict(col=col, p=p))
+    partial = ds.map_batches(task_stage(_HllPartial, col=col, p=p),
+                             batch_format="pandas",
+                             batch_size=batch_size)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         quiet_ray_data_logs()
@@ -706,12 +714,11 @@ def stratified_sample(ds: "ray.data.Dataset", rates: dict[str, float],
                       strata_col: str = "source", id_col: str = "doc_id",
                       default_rate: float = 0.0, mod_bits: int = 64,
                       concurrency=(1, 8), batch_size: int = 8192) -> "ray.data.Dataset":
-    return ds.map_batches(StratumSampler, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency,
-                          fn_constructor_kwargs=dict(
-                              rates=rates, strata_col=strata_col,
-                              id_col=id_col, default_rate=default_rate,
-                              mod_bits=mod_bits))
+    return ds.map_batches(task_stage(StratumSampler, rates=rates,
+                                     strata_col=strata_col, id_col=id_col,
+                                     default_rate=default_rate,
+                                     mod_bits=mod_bits),
+                          batch_format="pandas", batch_size=batch_size)
 
 
 # --------------------------------------------------------------------------
@@ -818,12 +825,10 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset", needle_texts, *,
     ref = _ray.put((nsigs, index))
     need = int(np.ceil(jaccard_threshold * num_perm))
     flagged = ds.map_batches(
-        FuzzyNeedleFlagger, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(ref=ref, text_col=text_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, need=need,
-                                   seed=seed))
+        task_stage(FuzzyNeedleFlagger, ref=ref, text_col=text_col,
+                   num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                   need=need, seed=seed),
+        batch_format="pandas", batch_size=batch_size)
     if not keep_only:
         return flagged
     import pyarrow as pa

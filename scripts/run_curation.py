@@ -96,6 +96,13 @@ def main() -> int:
     out = quality_filter(docs)
     out = pii_redact(out)
     out = decontaminate(out, needles)
+    # minhash_lsh_dedup consumes its input TWICE (signature pass + the
+    # anti-join back over the original rows); materialize the filtered/
+    # redacted stream once so the quality->pii->decontaminate chain does
+    # not re-execute — the object store spills to disk under pressure,
+    # which is exactly the post-filter checkpoint a large job wants
+    # (same materialize-once convention as join right sides)
+    out = out.materialize()
     out = minhash_lsh_dedup(out, "text", "doc_id")
     out = stratified_sample(out, rates={}, default_rate=args.keep_rate)
 

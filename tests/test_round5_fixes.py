@@ -272,6 +272,59 @@ def test_lastjoin_multiblock_shuffle_exact(ray_session, strategy):
     assert gcount == lcount
 
 
+def test_curation_chain_no_deadlock_at_2_cpus():
+    """Chained curation stages must make progress on a 2-CPU session.
+
+    Before round 5 each light-state stage was an actor POOL pinning >= 1
+    CPU for the dataset's lifetime; quality -> pii -> decontaminate ->
+    sample at num_cpus=2 deadlocked the streaming executor forever (one
+    pool stuck pending while the read task + sibling pools held both
+    CPUs). The stages now run as tasks with a per-process instance cache
+    (core/stagecache.py). Fresh subprocess: the deadlock only manifests
+    in its own small Ray session."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import ray, sys
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        sys.path.insert(0, %r)
+        import numpy as np, pandas as pd
+        import ray.data as rd
+        from openmldb_ray.stages.curation import (decontaminate,
+            pii_redact, quality_filter, stratified_sample)
+        from openmldb_ray.stages.dedup import minhash_lsh_dedup
+        rng = np.random.default_rng(0)
+        vocab = np.array(["the", "and", "of"] +
+                         [f"w{i}" for i in range(500)])
+        idx = rng.integers(0, len(vocab), (20000, 33))
+        idx[:, :3] = rng.integers(0, 3, (20000, 3))
+        docs = pd.DataFrame({
+            "doc_id": np.arange(20000),
+            "text": [" ".join(r) for r in vocab[idx]],
+            "source": np.array(["a", "b"])[rng.integers(0, 2, 20000)],
+        })
+        ds = rd.from_pandas(docs).repartition(8)
+        out = stratified_sample(
+            minhash_lsh_dedup(
+                decontaminate(pii_redact(quality_filter(ds)),
+                              ["needle that matches nothing"]),
+                "text", "doc_id"),
+            rates={}, default_rate=0.5)
+        n = out.count()
+        assert n > 0, n
+        print("OK", n)
+        ray.shutdown()
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
+
+
 def test_window_agg_payload_exact(ray_session):
     """Payload columns the window kernel never reads must not round-trip
     through pandas inside the bucket kernel (VERDICT r5 task #8)."""
