@@ -1669,13 +1669,17 @@ def q_sql_groupby(sf_dir: str):
 
 
 def q_asof_tolerance(sf_dir: str):
-    """LAST JOIN with a max-staleness tolerance (merge_asof tolerance
-    analog): the point-in-time bound PLUS ``right_ts >= left_ts - tol`` as
-    a vectorized residual ON condition — a right row older than the
-    tolerance no longer matches (feature freshness contract). tol = 8400
-    days sits inside the events-vs-orders gap distribution (p25 8264 /
-    p50 8371 / p90 8817 days), so the output is a genuine mix of matched
-    and tolerance-nulled rows. Exact DuckDB oracle."""
+    """LAST JOIN with a max-staleness tolerance: the point-in-time bound
+    PLUS ``right_ts >= left_ts - tol`` — a right row older than the
+    tolerance no longer matches (feature freshness contract). Expressed
+    through the join's native ``tolerance=`` (merge_asof tolerance on the
+    vectorized asof path — round 5; previously a residual lambda, which
+    forces the O(candidate-pairs) generic kernel for what is a bounded
+    asof; the residual path itself stays driver-covered by the
+    lastjoin_complex corpus + fuzzers). tol = 8400 days sits inside the
+    events-vs-orders gap distribution (p25 8264 / p50 8371 / p90 8817
+    days), so the output is a genuine mix of matched and
+    tolerance-nulled rows. Exact DuckDB oracle."""
     from openmldb_ray.sources.io import read_table, with_ts_ms
     from openmldb_ray.stages.join_stage import last_join
 
@@ -1687,7 +1691,7 @@ def q_asof_tolerance(sf_dir: str):
         order_by="o_ts_ms", asof_left_ts="ts_ms", tiebreak="o_orderkey",
         right_cols={"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"},
         strategy="broadcast",
-        residual=lambda m: m["o_ts_ms"] >= m["ts_ms"] - tol_ms,
+        tolerance=tol_ms,
     ).to_pandas()
     out["o_orderkey"] = pd.to_numeric(out["o_orderkey"], errors="coerce").astype(float)
     out["o_totalprice"] = pd.to_numeric(out["o_totalprice"], errors="coerce").astype(float)
