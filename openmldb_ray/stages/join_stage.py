@@ -1268,31 +1268,42 @@ def latest_snapshot(
     from ..core.hashing import add_bucket_column
 
     if as_of is not None:
-        import pyarrow.compute as pc
-
         ds = ds.map_batches(
             lambda t: t.filter(pc.less_equal(t.column(order_by), as_of)),
             batch_format="pyarrow", batch_size=None)
 
     add_b = add_bucket_column([key], "__b", num_buckets)
-    sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [])
 
-    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
-        # per-block combiner: at most one candidate per key leaves the block.
-        # A null order value cannot be "latest" (max-order skips nulls, the
-        # library-wide rule) — without the filter NaN sorts last and tail(1)
-        # would return the null-ts row whenever a key carries one. The
-        # as_of path already drops nulls via the pc.less_equal filter.
-        df = df[df[order_by].notna()]
-        return (df.sort_values(sort_cols, kind="stable")
-                  .groupby(key, sort=False).tail(1))
+    def _latest_take(t: pa.Table) -> pa.Table:
+        """Keep the max-(order, tiebreak) row per key via the narrow-frame
+        + Table.take idiom (round 5): payload columns never convert
+        through pandas. A null order value cannot be "latest" (max-order
+        skips nulls, the library-wide rule) and null keys never group
+        (pandas-groupby-dropna parity)."""
+        ok = _notnull_np(t[key]) & _notnull_np(t[order_by])
+        pos = np.flatnonzero(ok)
+        if not len(pos):
+            return t.slice(0, 0)
+        d = {"__k": _col_np(t, key, pos), "__o": _col_np(t, order_by, pos),
+             "__rp": pos.astype(np.int64)}
+        sort_cols = ["__k", "__o"]
+        if tiebreak:
+            d["__tb"] = t[tiebreak].combine_chunks().take(
+                pa.array(pos, pa.int64())).to_pandas().to_numpy()
+            sort_cols.append("__tb")
+        ndf = pd.DataFrame(d).sort_values(sort_cols, kind="stable")
+        keep = ndf.groupby("__k", sort=False).tail(1)["__rp"] \
+            .to_numpy(np.int64)
+        keep.sort()  # emit survivors in input order
+        return t.take(pa.array(keep, pa.int64()))
 
-    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(sort_cols, kind="stable")
-                 .groupby(key, sort=False).tail(1).drop(columns="__b"))
+    def bucket_latest(t: pa.Table) -> pa.Table:
+        return _latest_take(t.drop_columns(["__b"]))
 
-    pre = (ds.map_batches(local_latest, batch_format="pandas", batch_size=None)
+    # per-block combiner: at most one candidate per key leaves the block
+    pre = (ds.map_batches(_latest_take, batch_format="pyarrow",
+                          batch_size=None)
              .map_batches(add_b, batch_format="pyarrow", batch_size=None))
     return map_groups_typed(pre, "__b", bucket_latest,
-                            batch_format="pandas",
+                            batch_format="pyarrow",
                             num_partitions=num_partitions)

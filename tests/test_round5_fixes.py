@@ -357,6 +357,26 @@ def test_window_agg_payload_exact(ray_session):
     }
 
 
+def test_latest_snapshot_payload_exact(ray_session):
+    from openmldb_ray.stages.join_stage import latest_snapshot
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", None], pa.string()),
+        "ts": pa.array([1, 5, 2, None, 3], pa.int64()),
+        "pay_int": pa.array([1, BIG, BIG2, 9, 9], pa.int64()),
+        "pay_list": pa.array([[1], [BIG], [BIG2, 2], None, None],
+                             pa.list_(pa.int64())),
+    })
+    out = latest_snapshot(rd.from_arrow(t), "k", "ts")
+    tab = _collect(out)
+    assert tab.schema.field("pay_int").type == pa.int64()
+    assert tab.schema.field("pay_list").type == pa.list_(pa.int64())
+    rows = {r["k"]: (r["ts"], r["pay_int"], r["pay_list"])
+            for r in tab.to_pylist()}
+    # null key never groups; b's null-ts row can never be "latest"
+    assert rows == {"a": (5, BIG, [BIG]), "b": (2, BIG2, [BIG2, 2])}
+
+
 def test_rank_window_payload_exact(ray_session):
     from openmldb_ray.stages.rank import cume_dist, rank_window
 
