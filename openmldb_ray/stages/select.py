@@ -380,20 +380,45 @@ def top_n_per_key(
     from ..core.grouping import map_groups_typed
     from ..core.hashing import add_bucket_column
 
-    sort_cols = [key_col, order_col] + ([tiebreak] if tiebreak else [])
     asc = [True, ascending] + ([True] if tiebreak else [])
 
-    def local_top(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(sort_cols, ascending=asc, kind="stable")
-                  .groupby(key_col, sort=False).head(n))
+    def top_take(t):
+        """Round 5: survivor positions from a NARROW (key, order,
+        tiebreak) frame, rows gathered via Table.take — payload columns
+        keep exact Arrow types (no pandas round trip). Null keys never
+        group (pandas groupby-head parity); null orders sort last."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if "__b" in t.column_names:
+            t = t.drop_columns(["__b"])
+        kcol = t[key_col]
+        okk = ~pc.is_null(kcol, nan_is_null=True) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.flatnonzero(okk).astype(np.int64)
+        if not len(pos):
+            return t.slice(0, 0)
+        idx = pa.array(pos, pa.int64())
+        d = {"__k": kcol.combine_chunks().take(idx).to_pandas().to_numpy(),
+             "__o": t[order_col].combine_chunks().take(idx)
+             .to_pandas().to_numpy(),
+             "__rp": pos}
+        sort_cols = ["__k", "__o"]
+        if tiebreak:
+            d["__tb"] = t[tiebreak].combine_chunks().take(idx) \
+                .to_pandas().to_numpy()
+            sort_cols.append("__tb")
+        ndf = pd.DataFrame(d).sort_values(sort_cols, ascending=asc,
+                                          kind="stable")
+        keep = ndf.groupby("__k", sort=False).head(n)["__rp"] \
+            .to_numpy(np.int64)
+        keep.sort()  # emit survivors in input order
+        return t.take(pa.array(keep, pa.int64()))
 
     add_b = add_bucket_column([key_col], "__b", num_buckets)
 
-    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(sort_cols, ascending=asc, kind="stable")
-                 .groupby(key_col, sort=False).head(n).drop(columns="__b"))
-
-    pre = (ds.map_batches(local_top, batch_format="pandas", batch_size=None)
+    pre = (ds.map_batches(top_take, batch_format="pyarrow", batch_size=None)
              .map_batches(add_b, batch_format="pyarrow", batch_size=None))
-    return map_groups_typed(pre, "__b", bucket_top, batch_format="pandas",
+    return map_groups_typed(pre, "__b", top_take, batch_format="pyarrow",
                             num_partitions=num_partitions)

@@ -377,6 +377,27 @@ def test_latest_snapshot_payload_exact(ray_session):
     assert rows == {"a": (5, BIG, [BIG]), "b": (2, BIG2, [BIG2, 2])}
 
 
+def test_top_n_per_key_payload_exact(ray_session):
+    from openmldb_ray.stages.select import top_n_per_key
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", None], pa.string()),
+        "q": pa.array([0.9, 0.5, 0.7, 0.3, 0.8], pa.float64()),
+        "pay_int": pa.array([BIG, 2, BIG2, None, 5], pa.int64()),
+        "pay_list": pa.array([[BIG], [], [BIG2], None, [5]],
+                             pa.list_(pa.int64())),
+    })
+    out = top_n_per_key(rd.from_arrow(t), "k", "q", 2)
+    tab = _collect(out)
+    assert tab.schema.field("pay_int").type == pa.int64()
+    assert tab.schema.field("pay_list").type == pa.list_(pa.int64())
+    rows = sorted((r["k"], r["q"], r["pay_int"], tuple(r["pay_list"] or []))
+                  for r in tab.to_pylist())
+    # top-2 by q desc per key; null key dropped
+    assert rows == [("a", 0.7, BIG2, (BIG2,)), ("a", 0.9, BIG, (BIG,)),
+                    ("b", 0.3, None, ())]
+
+
 def test_rank_window_payload_exact(ray_session):
     from openmldb_ray.stages.rank import cume_dist, rank_window
 
