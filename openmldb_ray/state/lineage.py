@@ -67,7 +67,14 @@ def _plain_arrow_lists(t):
             continue
         storage = t.column(i).combine_chunks().storage
         if pa.types.is_struct(storage.type):  # variable-shaped: (data, shape)
-            data = storage.field("data")
+            # flatten(), NOT field(): .field() returns the raw child array
+            # and IGNORES the parent's slice offset/length, so on a sliced
+            # block (e.g. the resume path's filtered batches) row k would
+            # silently take row k+offset's payload — cross-wired rows
+            # (caught by the round-5 kill-resume load test: resumed
+            # partitions carried other docs' token arrays)
+            idx = storage.type.get_field_index("data")
+            data = storage.flatten()[idx]
         else:  # fixed-shape tensor: (fixed_size_)list storage
             data = storage
         if pa.types.is_large_list(data.type):
@@ -179,13 +186,29 @@ def write_partitioned_with_lineage(
 def filter_completed(ds: "ray.data.Dataset", out_dir: str,
                      partition_col: str) -> "ray.data.Dataset":
     """Drop rows whose partition already has a complete lineage record —
-    the resume path applied at the INPUT, before any shuffle."""
+    the resume path applied at the INPUT, before any shuffle.
+
+    PYARROW-format filter, deliberately NOT pandas: a variable-length
+    list payload (token arrays) that crosses a pandas block boundary
+    comes back as a Ray tensor-extension column, and Ray 2.49's
+    pandas→Arrow batch conversion can CROSS-WIRE rows of such columns in
+    downstream pyarrow-format stages (observed: a worker-side identity
+    ``map_batches(..., batch_format="pyarrow")`` after the old pandas
+    filter paired ~2/3 of a block's rows with other rows' token arrays —
+    caught by the round-5 kill-resume load test, since this filter only
+    runs on resume). Keeping the block Arrow end-to-end sidesteps the
+    conversion entirely — the engine-wide payload rule."""
     done = completed_partitions(out_dir)
     if not done:
         return ds
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df[partition_col].astype(str).isin(done)]
+    vals = pa.array(sorted(done), pa.string())
 
-    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(
+            pc.cast(t[partition_col], pa.string()), value_set=vals))
+        return t.filter(pc.fill_null(keep, True))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
